@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (smoke, sf0.001).
+``queries()`` — one entry per implemented operator from SURVEY.md §2
+(registered in ltss_spark.plans).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible entry.
 """
 
 from __future__ import annotations
@@ -13,26 +12,39 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import ltss_spark.plans as plans
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the ltss read pattern end-to-end on sf0.001 — canonical
+    state table (ingest transform) -> hourly time-bucket aggregation joined
+    with latest-state per entity (SURVEY.md §2.B B3+B4, the Grafana +
+    SQL-sensor queries the reference exists to serve)."""
+    from pyspark.sql import functions as F
+
+    from ltss_spark.ingest import states_from_events
+    from ltss_spark.operators.timeseries import latest_state, time_bucket_agg
+    from ltss_spark.session import pin_session_for_oracle
+    from ltss_spark.sources.batch import load_table
+
+    pin_session_for_oracle(spark)
+    states = states_from_events(load_table(spark, "/root/testdata/sf0.001", "events"))
+    buckets = time_bucket_agg(states, "1 hour")
+    latest = latest_state(states.select("time", "entity_id", "state"))
+    return buckets.join(F.broadcast(latest), "entity_id").select(
+        "bucket_start",
+        "entity_id",
+        "n_events",
+        "avg_state",
+        "min_state",
+        "max_state",
+        "last_state",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return plans.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return plans.oracle_sql()

@@ -1,0 +1,225 @@
+"""Ingest dataflow — Spark-native rebuild of the reference's write path.
+
+Reference pipeline (SURVEY.md §2.A / §3.2): HA ``state_changed`` event ->
+null/unknown filter (/root/reference/custom_components/ltss/__init__.py:250-253)
+-> include/exclude entity filter (__init__.py:254, schema __init__.py:55-67)
+-> ``LTSS.from_event`` row projection (models.py:46-72) with NUL
+sanitization (models.py:67) and lat/lon extraction (models.py:54-62) ->
+single-row INSERT (__init__.py:207-211).
+
+Here each step is a *column expression* (JVM-side, whole-stage-codegen'd, no
+Python in the hot path), composed into ``events_to_states`` /
+``states_from_events``; the same transform is reused verbatim by the
+Structured Streaming path (ltss_spark.streaming.ingest), which is how the
+queue/writer-thread machinery of the reference (at-most-once, serial)
+becomes parallel micro-batches with PK dedup.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+#: canonical fact-table columns (reference models.py:30-35; location
+#: flattened to lon/lat doubles — Spark has no geometry type, SURVEY §1.1 B7)
+LTSS_COLUMNS = ("time", "entity_id", "state", "attributes", "loc_lon", "loc_lat")
+
+
+# ---------------------------------------------------------------------------
+# A3: include/exclude entity filter
+# ---------------------------------------------------------------------------
+
+def glob_to_regex(pattern: str) -> str:
+    """HA entity globs: ``*`` -> ``.*``, ``?`` -> ``.``; everything else
+    literal. Mirrors the glob semantics documented at
+    /root/reference/README.md:84-101."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+@dataclass(frozen=True)
+class EntityFilter:
+    """Declarative include/exclude filter (reference config schema
+    __init__.py:55-67; applied __init__.py:254). Compiles to ONE boolean
+    Column, so Catalyst can push it into the parquet scan."""
+
+    include_domains: tuple[str, ...] = field(default=())
+    include_entities: tuple[str, ...] = field(default=())
+    include_globs: tuple[str, ...] = field(default=())
+    exclude_domains: tuple[str, ...] = field(default=())
+    exclude_entities: tuple[str, ...] = field(default=())
+    exclude_globs: tuple[str, ...] = field(default=())
+
+    def expr(self, entity_col: Column | str = "entity_id") -> Column:
+        """Boolean column implementing Home Assistant's
+        ``convert_include_exclude_filter`` precedence (public HA helper the
+        reference imports at __init__.py:76):
+
+        - neither side configured -> keep everything;
+        - include only -> keep iff in include entities/domains/globs;
+        - exclude only -> keep unless in exclude entities/domains/globs;
+        - both -> listed include *entities* always win; otherwise a row must
+          match the include side and not the exclude entities/globs.
+        """
+        e = F.col(entity_col) if isinstance(entity_col, str) else entity_col
+        domain = F.split(e, r"\.").getItem(0)
+
+        def _match(domains, entities, globs) -> Column | None:
+            parts = []
+            if domains:
+                parts.append(domain.isin(*domains))
+            if entities:
+                parts.append(e.isin(*entities))
+            if globs:
+                rx = "|".join(glob_to_regex(g) for g in globs)
+                parts.append(e.rlike(rx))
+            if not parts:
+                return None
+            out = parts[0]
+            for p in parts[1:]:
+                out = out | p
+            return out
+
+        inc = _match(self.include_domains, self.include_entities, self.include_globs)
+        exc = _match(self.exclude_domains, self.exclude_entities, self.exclude_globs)
+        if inc is None and exc is None:
+            return F.lit(True)
+        if exc is None:
+            return inc
+        if inc is None:
+            return ~exc
+        listed = e.isin(*self.include_entities) if self.include_entities else F.lit(False)
+        exc_ent_glob = _match((), self.exclude_entities, self.exclude_globs)
+        if exc_ent_glob is None:
+            exc_ent_glob = F.lit(False)
+        return listed | (inc & ~exc_ent_glob)
+
+
+# ---------------------------------------------------------------------------
+# A2 / A5-A8: per-event transforms as column expressions
+# ---------------------------------------------------------------------------
+
+def valid_event_expr(entity_col: str = "entity_id", state_col: str = "state") -> Column:
+    """A2 null/unknown filter (reference __init__.py:250-253): drop events
+    with no entity, no state, or state == 'unknown'."""
+    return (
+        F.col(entity_col).isNotNull()
+        & F.col(state_col).isNotNull()
+        & (F.col(state_col) != "unknown")
+    )
+
+
+def sanitize_state(col: Column | str = "state") -> Column:
+    """A6 NUL sanitization (models.py:67): Postgres text cannot hold \\x00;
+    the reference replaces it with U+FFFD. We keep identical behavior."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "\x00", "�")
+
+
+def extract_location(attrs_col: Column | str = "attributes") -> tuple[Column, Column]:
+    """A7 geo extraction (models.py:54-62): emit (lon, lat) doubles only when
+    BOTH coordinates are present in the attribute JSON, else NULLs — the
+    reference's 'if lat and lon' rule at models.py:62."""
+    c = F.col(attrs_col) if isinstance(attrs_col, str) else attrs_col
+    lat = F.get_json_object(c, "$.latitude").cast("double")
+    lon = F.get_json_object(c, "$.longitude").cast("double")
+    both = lat.isNotNull() & lon.isNotNull()
+    return F.when(both, lon), F.when(both, lat)
+
+
+def strip_location_keys(attrs_col: Column | str = "attributes") -> Column:
+    """A7's attribute-key removal (models.py:58-61 ``attrs.pop``): rebuild the
+    JSON payload without latitude/longitude once extracted. Implemented on a
+    MapType projection with ``map_filter`` — stays JVM-side."""
+    c = F.col(attrs_col) if isinstance(attrs_col, str) else attrs_col
+    as_map = F.from_json(c, "map<string,string>")
+    stripped = F.map_filter(as_map, lambda k, _: ~k.isin("latitude", "longitude"))
+    return F.when(c.isNotNull(), F.to_json(stripped))
+
+
+def dedup_primary_key(df: DataFrame, tie_breaker: str | None = None) -> DataFrame:
+    """B9 PK(time, entity_id) uniqueness (models.py:31-32,
+    migrations.py:87-103). Postgres would reject a duplicate PK; we keep
+    exactly one row. With ``tie_breaker`` the survivor is the row with the
+    highest tie-breaker value (deterministic); without, an arbitrary one
+    (matches 'first insert wins' only as far as Spark task order goes).
+
+    Scale note: this is a shuffle on the PK. In the partitioned layout the
+    PK's ``time`` component means duplicates land in the same month
+    partition, so at 100 TB the dedup runs per-partition after AQE coalesces.
+    """
+    if tie_breaker is None:
+        return df.dropDuplicates(["time", "entity_id"])
+    w = Window.partitionBy("time", "entity_id").orderBy(F.col(tie_breaker).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The full event -> canonical-state transform
+# ---------------------------------------------------------------------------
+
+def events_to_states(
+    events: DataFrame,
+    entity_filter: EntityFilter | None = None,
+    with_location: bool = True,
+) -> DataFrame:
+    """A1->A3->A5-A8 pipeline over a DataFrame already shaped like HA events
+    (columns: time_fired, entity_id, state, attributes). Used by both batch
+    tests (FIXTURES.md F1) and the streaming path.
+    """
+    df = events.filter(valid_event_expr())
+    if entity_filter is not None:
+        df = df.filter(entity_filter.expr())
+    lon, lat = extract_location()
+    return df.select(
+        F.col("time_fired").alias("time"),
+        F.col("entity_id"),
+        sanitize_state().alias("state"),
+        strip_location_keys().alias("attributes") if with_location else F.col("attributes"),
+        lon.alias("loc_lon"),
+        lat.alias("loc_lat"),
+    )
+
+
+def states_from_events(events: DataFrame) -> DataFrame:
+    """Adapt the driver's ``events`` table (event_id, ts, user_id, event_type,
+    value, props — TESTDATA.md) into the canonical ltss shape (FIXTURES.md
+    F3): entity_id := '<event_type>.u<user_id>' (domain = event_type), state
+    := value printf'd '%.2f' (HA states are stringly typed, SURVEY §1.4),
+    attributes := props JSON.
+
+    ``printf('%.2f')`` rather than CAST keeps the string rendering of
+    doubles identical between Spark and the DuckDB oracle.
+    """
+    return events.select(
+        F.col("ts").alias("time"),
+        F.concat(F.col("event_type"), F.lit(".u"), F.col("user_id")).alias("entity_id"),
+        F.format_string("%.2f", F.col("value")).alias("state"),
+        F.col("props").alias("attributes"),
+        F.col("event_id"),
+    )
+
+
+#: oracle-side mirror of states_from_events (shared by several queries)
+STATES_FROM_EVENTS_SQL = """
+SELECT ts AS time,
+       event_type || '.u' || CAST(user_id AS VARCHAR) AS entity_id,
+       printf('%.2f', value) AS state,
+       props AS attributes,
+       event_id
+FROM events
+"""

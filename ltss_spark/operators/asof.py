@@ -1,0 +1,96 @@
+"""As-of join — 'state at time t' reconstruction, the canonical read over a
+change-log table (SURVEY.md §2.C join_asof; the reference's (entity_id,
+time DESC) index, models.py:78-80, exists to serve exactly this per-entity
+latest-≤-t probe in Postgres).
+
+Spark has no native ASOF JOIN, so we compose one: union the probe rows into
+the event timeline, then backfill each probe with the last non-null event
+value over a per-key, time-ordered window (``last(..., ignorenulls=True)``).
+
+Scale analysis (vs the obvious alternatives):
+- naive theta-join (l.key = r.key AND r.time <= l.time) + argmax explodes to
+  |probes| x |matching history| intermediate rows — quadratic per key;
+- per-key ``applyInPandas`` + ``pd.merge_asof`` moves the whole table
+  through Python/Arrow;
+- the union+window form shuffles each side ONCE on the key and does a
+  linear scan per key — O(n log n) for the per-key sort, no Python. Skewed
+  keys are handled by AQE; the window never crosses keys so there is no
+  global sort.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str],
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.on <= left.on`` within the same ``by`` group (backward as-of,
+    matching DuckDB's ``ASOF JOIN`` which the oracle uses).
+
+    ``left`` keeps all its columns; matched right ``value_cols`` are added
+    (NULL when no earlier right row exists). Right-side timestamp is added
+    as ``{on}{suffix}``.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    value_cols = value_cols or [
+        c for c in right.columns if c not in set(by) | {on}
+    ]
+
+    l_marked = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__is_probe"),
+    )
+    r_marked = right.select(
+        *[F.col(c) for c in by],
+        F.col(on),
+        *[F.col(c) for c in value_cols],
+        F.lit(0).alias("__is_probe"),
+    )
+    # align schemas: probes carry NULL right-values, events carry NULL left-extras
+    left_extras = [c for c in left.columns if c not in set(by) | {on}]
+    l_full = l_marked.select(
+        *by,
+        F.col(on),
+        *[F.col(c) for c in left_extras],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        "__is_probe",
+    )
+    r_full = r_marked.select(
+        *by,
+        F.col(on),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extras],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        "__is_probe",
+    )
+    unioned = l_full.unionByName(r_full)
+
+    # events sort before probes at the same timestamp via __is_probe ASC,
+    # so an exactly-coincident right row IS visible to the probe (<=, not <).
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__is_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *by,
+        F.col(on),
+        *left_extras,
+        "__is_probe",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}" if c in left.columns else c)
+            for c in value_cols
+        ],
+        F.last(F.when(F.col("__is_probe") == 0, F.col(on)), ignorenulls=True)
+        .over(w)
+        .alias(f"{on}{suffix}"),
+    )
+    return filled.filter(F.col("__is_probe") == 1).drop("__is_probe")

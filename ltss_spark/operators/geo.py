@@ -1,0 +1,39 @@
+"""Geospatial operators — the PostGIS surface of the reference rebuilt as
+plain arithmetic (SURVEY.md §2.B B7: location POINT column,
+/root/reference/custom_components/ltss/models.py:35,44; README.md:18 claims
+'directly accessing geolocation data' as a feature).
+
+Spark has no geometry type (and Sedona is not in the container), so the
+engine stores lon/lat doubles (extracted at ingest — ltss_spark.ingest.
+extract_location) and answers the two query shapes PostGIS would:
+- bounding box => two range predicates (pushdown-friendly: these reach the
+  parquet scan as min/max filters — better than a GiST probe at scale);
+- distance => haversine expression (codegen'd, no UDF).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def haversine_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance in km. Transcendental (sin/cos/asin) output —
+    callers should round before oracle comparison (libm vs JVM StrictMath
+    may differ in the last ulp)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2)
+    )
+    # clamp: fp error can push a to 1 + 1e-16, and asin(>1) is NaN
+    return F.lit(2 * EARTH_RADIUS_KM) * F.asin(F.least(F.sqrt(a), F.lit(1.0)))
+
+
+def in_bbox(lon: Column, lat: Column, west: float, south: float, east: float, north: float) -> Column:
+    """Bounding-box predicate; plain range filters => full pushdown."""
+    return lon.between(west, east) & lat.between(south, north)

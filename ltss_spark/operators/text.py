@@ -1,0 +1,98 @@
+"""Text-analysis operators for training-data pipelines (driver-mandated
+extensions, BASELINE.json north_star; SURVEY.md §2.C ext_text_stats).
+
+All pure column expressions (whole-stage codegen, no Python in the path).
+Token model: whitespace split (the corpus is synthetic space-separated
+words); a BPE-ish regex token count is provided alongside.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ltss_spark.functions.numeric import davg
+from ltss_spark.operators.dedup import normalize_text
+
+#: tiny English stopword list for quality scoring (public/ubiquitous)
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Approximate subword count: split on word boundaries and digits —
+    a deterministic stand-in for a BPE tokenizer (no tokenizer lib in the
+    container)."""
+    return F.size(
+        F.filter(F.split(col, r"[^A-Za-z0-9]+|(?<=[a-z])(?=[A-Z])"), lambda t: t != "")
+    )
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.round(n_stop / F.size(toks), 6)
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1]: rewards mid-length docs and
+    normal word lengths, penalizes stopword-free (keyword-spam-like) text.
+    Deterministic arithmetic only — oracle-expressible."""
+    n_tok = token_count(col)
+    avg_word = F.length(normalize_text(col)) / n_tok
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    word_score = F.when((avg_word >= 3) & (avg_word <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_score = F.least(stopword_ratio(col) * 5, F.lit(1.0))
+    return F.round((len_score + word_score + stop_score) / 3, 6)
+
+
+def language_guess(col: Column) -> Column:
+    """N-gram-free language-ID heuristic: marker-word votes. (The corpus
+    carries a ground-truth ``lang`` column; this exercises the classify-
+    by-content pattern and is validated against that column in tests.)"""
+    toks = tokens(col)
+    votes = {
+        "en": ("the", "and", "of"),
+        "de": ("der", "die", "und"),
+        "es": ("el", "la", "que"),
+        "fr": ("le", "la", "et"),
+    }
+    counts = [
+        (F.size(F.filter(toks, lambda t: t.isin(*words))), lang)
+        for lang, words in votes.items()
+    ]
+    expr = F.lit("unknown")
+    best = F.lit(0)
+    for cnt, lang in counts:
+        expr = F.when(cnt > best, F.lit(lang)).otherwise(expr)
+        best = F.greatest(best, cnt)
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (portable across
+    engines; used for exact dedup and multimodal payload identity)."""
+    return F.md5(normalize_text(col))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language corpus statistics over `documents`."""
+    t = F.col(text_col)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(t)).alias("total_chars"),
+            davg(token_count(t).cast("double"), scale=2).alias("avg_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min(F.length(t)).alias("min_chars"),
+            F.max(F.length(t)).alias("max_chars"),
+        )
+    )

@@ -1,0 +1,612 @@
+"""Registry part 2: aggregations, windows, sorts/limits, set ops, scalar
+function families (SURVEY.md §2.C agg_*, win_*, sort/limit/topk, set_*,
+fn_*)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from ltss_spark.functions.numeric import davg, dsum, oracle_davg, oracle_dsum
+from ltss_spark.plans.registry import _t, register
+
+
+# =========================================================================
+# Aggregations
+# =========================================================================
+
+@register(
+    "agg_basic",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_dsum('l_quantity', 2)} AS sum_qty,
+           {oracle_dsum('l_extendedprice', 2)} AS sum_base_price,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+           {oracle_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {oracle_davg('l_quantity', 2)} AS avg_qty,
+           {oracle_davg('l_extendedprice', 2)} AS avg_price,
+           {oracle_davg('l_discount', 2)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey="agg_basic (TPC-H Q1 shape)",
+)
+def agg_basic(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", 2).alias("sum_qty"),
+        dsum("l_extendedprice", 2).alias("sum_base_price"),
+        dsum(disc, 6).alias("sum_disc_price"),
+        dsum(disc * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+        davg("l_quantity", 2).alias("avg_qty"),
+        davg("l_extendedprice", 2).alias("avg_price"),
+        davg("l_discount", 2).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "agg_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey="agg_distinct",
+)
+def agg_distinct(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "agg_groupsets",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {oracle_dsum('o_totalprice', 2)} AS total
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    survey="agg_groupsets",
+)
+def agg_groupsets(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "agg_minmax_by",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rf
+      FROM events
+    )
+    SELECT user_id,
+           MAX(CASE WHEN rl = 1 THEN event_type END) AS last_type,
+           MAX(CASE WHEN rf = 1 THEN event_type END) AS first_type,
+           COUNT(*) AS n_events
+    FROM ranked GROUP BY user_id
+    """,
+    survey="agg_minmax_by B3",
+)
+def agg_minmax_by(spark, sf_dir):
+    """max_by/min_by (argmax/argmin) — single hash agg, no sort; the scalable
+    form of 'latest state per entity' (reference's DESC-index pattern,
+    models.py:79). Tie-broken on (ts, event_id) => deterministic."""
+    e = _t(spark, sf_dir, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy("user_id").agg(
+        F.max_by("event_type", order).alias("last_type"),
+        F.min_by("event_type", order).alias("first_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "agg_first_last",
+    """
+    WITH ranked AS (
+      SELECT event_type, value, ts, event_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS rf,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events
+    )
+    SELECT event_type,
+           MAX(CASE WHEN rf = 1 THEN value END) AS first_value,
+           MAX(CASE WHEN rl = 1 THEN value END) AS last_value,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM ranked GROUP BY event_type
+    """,
+    survey="agg_first_last",
+)
+def agg_first_last(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy("event_type").agg(
+        F.min_by("value", order).alias("first_value"),
+        F.max_by("value", order).alias("last_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "agg_pivot",
+    f"""
+    SELECT l_returnflag,
+           {oracle_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 2)} AS qty_O,
+           {oracle_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 2)} AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey="agg_basic (pivot)",
+)
+def agg_pivot(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity", 2))
+        .withColumnsRenamed({"O": "qty_O", "F": "qty_F"})
+    )
+
+
+@register(
+    "agg_approx",
+    None,  # sketch-based: HLL/quantile digests differ by engine — rows-only
+    survey="agg_distinct (approx, the 100TB path)",
+)
+def agg_approx(spark, sf_dir):
+    """At 100 TB exact COUNT(DISTINCT) on an unbounded key is a full shuffle
+    of the key universe; HLL (approx_count_distinct) and quantile digests
+    are the production path. Not oracle-comparable (engine-specific
+    sketches) — correctness is bounded-error, asserted in tests."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("median_price"),
+        )
+    )
+
+
+# =========================================================================
+# Window functions
+# =========================================================================
+
+@register(
+    "win_rank",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn, rnk, drnk
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(row_number() OVER w AS INT) AS rn,
+             CAST(rank()       OVER w AS INT) AS rnk,
+             CAST(dense_rank() OVER w AS INT) AS drnk
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    )
+    WHERE rn <= 5
+    """,
+    survey="win_rank topk_group",
+)
+def win_rank(spark, sf_dir):
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "win_lag_lead",
+    """
+    SELECT user_id, event_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           value - lag(value) OVER w AS delta,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_micros
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    survey="win_lag_lead B2",
+)
+def win_lag_lead(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_micros"
+        ),
+    )
+
+
+@register(
+    "win_frame",
+    """
+    SELECT user_id, event_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER w3 AS DOUBLE) AS mov_sum,
+           CAST(COUNT(value) OVER w3 AS BIGINT) AS mov_n,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER w3 AS DOUBLE)
+             / CAST(COUNT(value) OVER w3 AS DOUBLE) AS mov_avg
+    FROM events
+    WINDOW w3 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    survey="win_frame",
+)
+def win_frame(spark, sf_dir):
+    w3 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    e = _t(spark, sf_dir, "events")
+    mov_sum = F.sum(F.col("value").cast("decimal(38,2)")).over(w3).cast("double")
+    mov_n = F.count("value").over(w3)
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        mov_sum.alias("mov_sum"),
+        mov_n.alias("mov_n"),
+        (mov_sum / mov_n.cast("double")).alias("mov_avg"),
+    )
+
+
+@register(
+    "win_cumulative",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER w AS DOUBLE) AS running_total,
+           CAST(COUNT(*) OVER w AS BIGINT) AS running_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    survey="win_cumulative",
+)
+def win_cumulative(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(38,2)")).over(w).cast("double").alias(
+            "running_total"
+        ),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+# =========================================================================
+# Sorts / limits / top-k
+# =========================================================================
+
+@register(
+    "sort",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 100
+    """,
+    survey="sort limit (TakeOrdered top-k, no global sort materialized)",
+)
+def sort_topn(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "limit",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 20",
+    survey="limit",
+)
+def limit_q(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "topk_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    survey="topk_group",
+)
+def topk_group(spark, sf_dir):
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+# =========================================================================
+# Set operations
+# =========================================================================
+
+@register(
+    "set_union",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    survey="set_union",
+)
+def set_union(spark, sf_dir):
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    survey="set_intersect",
+)
+def set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    survey="set_except",
+)
+def set_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT (distinct) semantics, unlike exceptAll
+
+
+# =========================================================================
+# Scalar function families
+# =========================================================================
+
+@register(
+    "fn_string",
+    r"""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           substr(p_type, 1, 4) AS type4,
+           CAST(length(p_name) AS INT) AS name_len,
+           replace(p_name, ' ', '_') AS name_snake,
+           p_brand || ':' || p_type AS brand_type,
+           trim('  ' || p_name || ' ') AS name_trim,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+           CAST(len(string_split(p_name, ' ')) AS INT) AS n_words
+    FROM part
+    """,
+    survey="fn_string",
+)
+def fn_string(spark, sf_dir):
+    p = F.col("p_name")
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper(p).alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 4).alias("type4"),
+        F.length(p).alias("name_len"),
+        F.regexp_replace(p, " ", "_").alias("name_snake"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.trim(F.concat(F.lit("  "), p, F.lit(" "))).alias("name_trim"),
+        F.regexp_replace(p, "[aeiou]", "").alias("name_novowel"),
+        F.size(F.split(p, " ")).alias("n_words"),
+    )
+
+
+@register(
+    "fn_date",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+           CAST(EXTRACT(month FROM l_shipdate) AS INT) AS ship_month,
+           CAST(EXTRACT(day FROM l_shipdate) AS INT) AS ship_day,
+           date_trunc('month', l_shipdate) AS ship_month_start,
+           epoch_us(l_shipdate) AS ship_micros,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', l_shipdate) AS INT) AS days_since_95,
+           l_shipdate + INTERVAL 30 DAY AS ship_plus_30
+    FROM lineitem
+    """,
+    survey="fn_date",
+)
+def fn_date(spark, sf_dir):
+    # l_shipdate arrives as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false);
+    # with the session pinned to UTC the instant is unchanged by the cast,
+    # which unix_micros requires.
+    ts = F.col("l_shipdate").cast("timestamp")
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year(ts).alias("ship_year"),
+        F.month(ts).alias("ship_month"),
+        F.dayofmonth(ts).alias("ship_day"),
+        F.date_trunc("month", ts).alias("ship_month_start"),
+        F.unix_micros(ts).alias("ship_micros"),
+        F.datediff(ts, F.lit("1995-01-01").cast("timestamp")).alias("days_since_95"),
+        (ts + F.expr("INTERVAL 30 DAYS")).alias("ship_plus_30"),
+    )
+
+
+@register(
+    "fn_math",
+    """
+    SELECT event_id,
+           abs(value - 100.0) AS dist_from_100,
+           CAST(floor(value) AS BIGINT) AS value_floor,
+           CAST(ceil(value) AS BIGINT) AS value_ceil,
+           round(ln(value + 1.0), 6) AS log_value,
+           round(sqrt(value), 6) AS sqrt_value,
+           CAST(user_id % 7 AS BIGINT) AS user_mod,
+           TRY_CAST(event_type AS DOUBLE) AS type_as_num,
+           value / 3.0 AS value_third
+    FROM events
+    """,
+    survey="fn_math (incl. try_cast of stringly data)",
+)
+def fn_math(spark, sf_dir):
+    v = F.col("value")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.abs(v - 100.0).alias("dist_from_100"),
+        F.floor(v).alias("value_floor"),
+        F.ceil(v).alias("value_ceil"),
+        F.round(F.log(v + 1.0), 6).alias("log_value"),
+        F.round(F.sqrt(v), 6).alias("sqrt_value"),
+        F.pmod(F.col("user_id"), F.lit(7)).alias("user_mod"),
+        F.col("event_type").try_cast("double").alias("type_as_num"),
+        (v / 3.0).alias("value_third"),
+    )
+
+
+@register(
+    "fn_array",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_sum,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           round(CAST(list_sort(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)))[1] AS DOUBLE), 6) AS min_elem
+    FROM embeddings
+    """,
+    survey="fn_array (higher-order fns over embeddings)",
+)
+def fn_array(spark, sf_dir):
+    emb = F.col("embedding")
+    as_dbl = F.transform(emb, lambda x: x.cast("double"))
+    fsum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        emb.getItem(0).cast("double").alias("first_elem"),
+        F.round(fsum(as_dbl), 6).alias("vec_sum"),
+        F.round(F.sqrt(fsum(F.transform(emb, lambda x: x.cast("double") * x.cast("double")))), 6).alias("l2_norm"),
+        F.round(F.array_min(as_dbl), 6).alias("min_elem"),
+    )
+
+
+@register(
+    "fn_map",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           CAST(len(json_keys(props)) AS INT) AS n_keys
+    FROM events
+    """,
+    survey="fn_map fn_json B5 (attribute map projection)",
+)
+def fn_map(spark, sf_dir):
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.element_at(m, "k").cast("int").alias("k_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
+    "fn_json",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+    """,
+    survey="fn_json B5 (JSONB predicate - the GIN-index pattern)",
+)
+def fn_json(spark, sf_dir):
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", k.alias("k_val"))
+        .filter(F.col("k_val") > 50)
+    )

@@ -1,0 +1,328 @@
+"""Registry part 4: LLM-training-data pipeline extensions (BASELINE.json
+north_star; SURVEY.md §2.C ext_*): text analysis, exact/near dedup,
+similarity search, multimodal plumbing.
+
+Even the MinHash-LSH dedup is oracle-checked: all hashing is md5 (the one
+hash bit-identical across engines), so the full shingle -> minhash -> band
+-> bucket-join pipeline can be mirrored in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from ltss_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from ltss_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from ltss_spark.operators.text import (
+    STOPWORDS,
+    fingerprint,
+    language_guess,
+    quality_score,
+    stopword_ratio,
+    text_stats,
+    token_count,
+)
+from ltss_spark.plans.registry import _t, register
+
+#: DuckDB fragments mirroring ltss_spark.operators.text/dedup normalization
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+#: shared shingle CTE (k=5 word shingles, distinct per doc) — mirrors
+#: ltss_spark.operators.dedup.shingles
+_SHINGLES_CTE = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[u.i:u.i + 4], ' ') AS shingle
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 4, 1))) AS u(i)
+      WHERE len(t[u.i:u.i + 4]) = 5
+    )
+"""
+
+
+@register(
+    "ext_text_stats",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(CAST(len({_TOKS}) AS DOUBLE) AS DECIMAL(38,2))) AS DOUBLE)
+             / CAST(COUNT(text) AS DOUBLE) AS avg_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(length(text)) AS INT) AS min_chars,
+           CAST(MAX(length(text)) AS INT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    survey="ext_text_stats fn_string agg_basic",
+)
+def ext_text_stats(spark, sf_dir):
+    return text_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ext_text_quality",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             {_NORM} AS norm,
+             {_TOKS} AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS n_stop,
+             CAST(length(norm) AS DOUBLE) / len(toks) AS avg_word
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(n_tok AS INT) AS n_tokens,
+           round(n_stop / n_tok, 6) AS stop_ratio,
+           round((least(n_tok / 100.0, 1.0)
+                  + (CASE WHEN avg_word >= 3 AND avg_word <= 10 THEN 1.0 ELSE 0.5 END)
+                  + least(round(n_stop / n_tok, 6) * 5, 1.0)) / 3, 6) AS quality
+    FROM m
+    """,
+    survey="ext_text_stats (quality scoring) fn_math",
+)
+def ext_text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        stopword_ratio(t).alias("stop_ratio"),
+        quality_score(t).alias("quality"),
+    )
+
+
+@register(
+    "ext_lang_dist",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           round(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM documents
+    GROUP BY lang
+    """,
+    survey="ext_text_stats win_frame (global-window share)",
+)
+def ext_lang_dist(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return counts.select(
+        "lang", "n_docs", F.round(F.col("n_docs") / total, 6).alias("share")
+    )
+
+
+@register(
+    "ext_langid",
+    f"""
+    WITH d AS (SELECT lang, {_TOKS} AS toks FROM documents),
+    votes AS (
+      SELECT lang,
+             len(list_filter(toks, x -> x IN ('the', 'and', 'of'))) AS c_en,
+             len(list_filter(toks, x -> x IN ('der', 'die', 'und'))) AS c_de,
+             len(list_filter(toks, x -> x IN ('el', 'la', 'que'))) AS c_es,
+             len(list_filter(toks, x -> x IN ('le', 'la', 'et'))) AS c_fr
+      FROM d
+    )
+    SELECT lang,
+           CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+                WHEN c_de > 0 AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                WHEN c_es > 0 AND c_es >= c_fr THEN 'es'
+                WHEN c_fr > 0 THEN 'fr'
+                ELSE 'unknown' END AS guessed,
+           COUNT(*) AS n
+    FROM votes
+    GROUP BY 1, 2
+    """,
+    survey="ext_text_stats (language-ID heuristic)",
+)
+def ext_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", language_guess(F.col("text")).alias("guessed"))
+        .groupBy("lang", "guessed")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "ext_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5({_NORM}) AS fp,
+           COUNT(*) OVER (PARTITION BY md5({_NORM})) > 1 AS is_dup
+    FROM documents
+    """,
+    survey="ext_dedup_exact (document fingerprinting)",
+)
+def ext_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text"))
+    w = Window.partitionBy(fp)
+    return d.select(
+        "doc_id",
+        fp.alias("fp"),
+        (F.count(F.lit(1)).over(w) > 1).alias("is_dup"),
+    )
+
+
+@register(
+    "ext_dedup_exact",
+    f"""
+    SELECT md5({_NORM}) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+    survey="ext_dedup_exact B9",
+)
+def ext_dedup_exact(spark, sf_dir):
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ext_dedup_ngram",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.5
+    """,
+    survey="ext_dedup_near (n-gram Jaccard via inverted shingle index)",
+)
+def ext_dedup_ngram(spark, sf_dir):
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=5, threshold=0.5)
+
+
+@register(
+    "ext_dedup_minhash",
+    f"""
+    WITH {_SHINGLES_CTE},
+    seeds AS (SELECT unnest(generate_series(0, 11)) AS seed),
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM sh CROSS JOIN seeds
+      GROUP BY doc_id, seed
+    ),
+    banded AS (
+      SELECT doc_id,
+             CAST(floor(seed / 3.0) AS INT) AS band,
+             md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
+      FROM mh
+      GROUP BY doc_id, CAST(floor(seed / 3.0) AS INT)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
+                 AND a.doc_id < b.doc_id
+    """,
+    survey="ext_dedup_near (MinHash-LSH, md5-portable, oracle-checked)",
+)
+def ext_dedup_minhash(spark, sf_dir):
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=5, num_hashes=12, bands=4
+    )
+
+
+@register(
+    "ext_sim_search",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+             SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)) AS dot,
+             SUM(CAST(q.embedding[g.i] AS DOUBLE) * CAST(q.embedding[g.i] AS DOUBLE)) AS qn2,
+             SUM(CAST(c.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)) AS cn2
+      FROM q
+      JOIN embeddings c ON c.vec_id <> q.vec_id,
+      UNNEST(generate_series(1, 64)) AS g(i)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, candidate_id,
+             round(dot / (sqrt(qn2) * sqrt(cn2)), 6) AS cosine
+      FROM pairs
+    ),
+    ranked AS (
+      SELECT query_id, candidate_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, candidate_id ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, candidate_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    survey="ext_sim_search fn_array (brute-force cosine top-k baseline)",
+)
+def ext_sim_search(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
+@register(
+    "ext_sim_search_lsh",
+    None,  # approximate recall set — verified against the exact op in tests
+    survey="ext_sim_search (random-hyperplane LSH, the 100TB blocking path)",
+)
+def ext_sim_search_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
+_HEXD = "'0123456789abcdef'"
+
+
+def _hex_byte(hexpr: str, pos: int) -> str:
+    """DuckDB fragment: parse hex byte at 1-based char position pos..pos+1."""
+    return (
+        f"(16 * (strpos({_HEXD}, substr({hexpr}, {pos}, 1)) - 1)"
+        f" + (strpos({_HEXD}, substr({hexpr}, {pos + 1}, 1)) - 1))"
+    )
+
+
+@register(
+    "ext_multimodal",
+    f"""
+    WITH a AS (
+      SELECT doc_id AS asset_id, 'image' AS media_type, text,
+             md5(text) AS h
+      FROM documents
+    )
+    SELECT asset_id, media_type,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           sha256(text) AS sha,
+           CAST(16 + ({_hex_byte('h', 1)} % 64) AS INT) AS width,
+           CAST(16 + ({_hex_byte('h', 3)} % 64) AS INT) AS height
+    FROM a
+    """,
+    survey="ext_multimodal udf_scalar (binary payload + mapInPandas feature extraction)",
+)
+def ext_multimodal(spark, sf_dir):
+    """Binary-payload plumbing: documents as opaque bytes -> Arrow-batched
+    mapInPandas feature extraction (hash, size, stubbed decode). The decode
+    internals are a deterministic fake (no imaging libs in the container) —
+    the oracle independently recomputes them from md5, proving the Spark-side
+    batch plumbing delivers payloads byte-exactly."""
+    from ltss_spark.functions.multimodal import documents_as_assets, extract_features
+
+    return extract_features(documents_as_assets(_t(spark, sf_dir, "documents")))

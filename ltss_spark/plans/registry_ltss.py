@@ -1,0 +1,352 @@
+"""Registry part 3: the ltss reference-parity surface — ingest transform,
+latest-state, time buckets, range scans, JSON attribute predicates, as-of
+join, gap-fill, geo, partitioned sink, streaming ingest (SURVEY.md §2.A/§2.B
+and §2.C join_asof, ts_gapfill, geo_distance, sink_partitioned,
+stream_ingest)."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from ltss_spark.functions.numeric import dsum, oracle_dsum
+from ltss_spark.ingest import STATES_FROM_EVENTS_SQL, dedup_primary_key, states_from_events
+from ltss_spark.operators.asof import asof_join
+from ltss_spark.operators.gapfill import time_bucket_gapfill
+from ltss_spark.operators.geo import haversine_km, in_bbox
+from ltss_spark.operators.timeseries import latest_state, time_bucket_agg, time_in_state
+from ltss_spark.plans.registry import _t, register
+
+#: oracle CTE for the canonical state table (mirrors states_from_events)
+_STATES_CTE = f"states AS ({STATES_FROM_EVENTS_SQL})"
+
+
+@register(
+    "ltss_states",
+    f"""
+    WITH {_STATES_CTE},
+    deduped AS (
+      SELECT *, row_number() OVER (PARTITION BY time, entity_id
+                                   ORDER BY event_id DESC) AS rn
+      FROM states
+      WHERE entity_id IS NOT NULL AND state IS NOT NULL AND state <> 'unknown'
+    )
+    SELECT time, entity_id, state, attributes FROM deduped WHERE rn = 1
+    """,
+    survey="A2 A5 A6 A8 B9 stream_ingest(batch form) project",
+)
+def ltss_states(spark, sf_dir):
+    """The reference's full write-path transform (SURVEY §3.2 steps 1-5) as
+    one declarative plan: validity filter (A2), event->row projection (A5),
+    PK dedup (B9, models.py:31-32) with deterministic survivor."""
+    from ltss_spark.ingest import valid_event_expr
+
+    states = states_from_events(_t(spark, sf_dir, "events")).filter(valid_event_expr())
+    return dedup_primary_key(states, tie_breaker="event_id").select(
+        "time", "entity_id", "state", "attributes"
+    )
+
+
+@register(
+    "ltss_latest",
+    f"""
+    WITH {_STATES_CTE},
+    ranked AS (
+      SELECT entity_id, time, state, event_id,
+             row_number() OVER (PARTITION BY entity_id
+                                ORDER BY time DESC, event_id DESC) AS rn
+      FROM states
+    )
+    SELECT entity_id, time AS last_time, state AS last_state
+    FROM ranked WHERE rn = 1
+    """,
+    survey="B3 agg_minmax_by (latest state per entity - the SQL-sensor query)",
+)
+def ltss_latest(spark, sf_dir):
+    states = states_from_events(_t(spark, sf_dir, "events"))
+    order = F.struct(F.col("time"), F.col("event_id"))
+    return states.groupBy("entity_id").agg(
+        F.max_by("time", order).alias("last_time"),
+        F.max_by("state", order).alias("last_state"),
+    )
+
+
+@register(
+    "ltss_bucket",
+    f"""
+    WITH {_STATES_CTE}
+    SELECT date_trunc('hour', time) AS bucket_start,
+           entity_id,
+           COUNT(*) AS n_events,
+           {oracle_dsum('TRY_CAST(state AS DOUBLE)', 2)}
+             / CAST(COUNT(TRY_CAST(state AS DOUBLE)) AS DOUBLE) AS avg_state,
+           MIN(TRY_CAST(state AS DOUBLE)) AS min_state,
+           MAX(TRY_CAST(state AS DOUBLE)) AS max_state
+    FROM states
+    GROUP BY 1, 2
+    """,
+    survey="B4 stream_window_tumbling(batch form) fn_math (time_bucket analogue)",
+)
+def ltss_bucket(spark, sf_dir):
+    states = states_from_events(_t(spark, sf_dir, "events"))
+    return time_bucket_agg(states, "1 hour")
+
+
+@register(
+    "ltss_entity_range",
+    f"""
+    WITH {_STATES_CTE}
+    SELECT time, entity_id, state
+    FROM states
+    WHERE entity_id = 'purchase.u3'
+      AND time BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-20'
+    """,
+    survey="B2 B8 sort (per-entity range scan - the composite-index pattern)",
+)
+def ltss_entity_range(spark, sf_dir):
+    from ltss_spark.operators.timeseries import entity_range_scan
+
+    states = states_from_events(_t(spark, sf_dir, "events"))
+    return entity_range_scan(
+        states, "purchase.u3", "2024-01-05", "2024-01-20"
+    ).select("time", "entity_id", "state")
+
+
+@register(
+    "ltss_json_attr",
+    f"""
+    WITH {_STATES_CTE}
+    SELECT entity_id, time,
+           CAST(json_extract_string(attributes, '$.k') AS INT) AS k_val
+    FROM states
+    WHERE CAST(json_extract_string(attributes, '$.k') AS INT) > 80
+    """,
+    survey="B5 fn_json (JSONB attribute predicate - the GIN-index pattern)",
+)
+def ltss_json_attr(spark, sf_dir):
+    states = states_from_events(_t(spark, sf_dir, "events"))
+    k = F.get_json_object(F.col("attributes"), "$.k").cast("int")
+    return (
+        states.select("entity_id", "time", k.alias("k_val"))
+        .filter(F.col("k_val") > 80)
+    )
+
+
+@register(
+    "ltss_timeinstate",
+    f"""
+    WITH {_STATES_CTE}
+    SELECT entity_id, time, state,
+           epoch_us(lead(time) OVER (PARTITION BY entity_id
+                                     ORDER BY time ASC, event_id ASC))
+             - epoch_us(time) AS micros_in_state
+    FROM states
+    """,
+    survey="win_lag_lead (time-in-state, the canonical change-log derivation)",
+)
+def ltss_timeinstate(spark, sf_dir):
+    states = states_from_events(_t(spark, sf_dir, "events"))
+    return time_in_state(states, tie_breaker="event_id")
+
+
+@register(
+    "join_asof",
+    """
+    WITH probes AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    quotes AS (
+      SELECT user_id, ts, MAX(value) AS signup_value
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           q.signup_value, q.ts AS ts_right
+    FROM probes p
+    ASOF LEFT JOIN quotes q
+      ON p.user_id = q.user_id AND p.ts >= q.ts
+    """,
+    survey="join_asof B3 (state-at-time-t reconstruction)",
+)
+def join_asof_q(spark, sf_dir):
+    """As-of join vs DuckDB's native ASOF JOIN: for each purchase, the most
+    recent signup of the same user at or before it."""
+    e = _t(spark, sf_dir, "events")
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    quotes = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    return asof_join(probes, quotes, on="ts", by="user_id", value_cols=["signup_value"])
+
+
+@register(
+    "ts_gapfill",
+    f"""
+    WITH agg AS (
+      SELECT event_type,
+             date_trunc('day', ts) AS bucket_ts,
+             {oracle_dsum('value', 2)} AS agg_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(bucket_ts) AS mn, MAX(bucket_ts) AS mx FROM agg),
+    days AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket_ts
+      FROM bounds
+    ),
+    grid AS (
+      SELECT t.event_type, d.bucket_ts
+      FROM (SELECT DISTINCT event_type FROM agg) t CROSS JOIN days d
+    ),
+    joined AS (
+      SELECT g.event_type, g.bucket_ts, a.agg_value
+      FROM grid g LEFT JOIN agg a USING (event_type, bucket_ts)
+    )
+    SELECT event_type, bucket_ts, agg_value,
+           last_value(agg_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           agg_value IS NULL AS is_gap
+    FROM joined
+    """,
+    survey="ts_gapfill B4 (time_bucket_gapfill analogue, LOCF)",
+)
+def ts_gapfill_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return time_bucket_gapfill(
+        e, time_col="ts", key_cols=["event_type"], agg=dsum("value", 2), bucket="1 day"
+    )
+
+
+@register(
+    "geo_distance",
+    """
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 360 AS DOUBLE) - 180.0 + 0.5 AS lon,
+             CAST(c_custkey % 178 AS DOUBLE) - 89.0 + 0.25 AS lat
+      FROM customer
+    )
+    SELECT c_custkey, lon, lat,
+           round(2.0 * 6371.0 * asin(least(sqrt(
+             pow(sin(radians(lat - 0.0) / 2), 2)
+             + cos(radians(0.0)) * cos(radians(lat))
+               * pow(sin(radians(lon - 0.0) / 2), 2)
+           ), 1.0)), 3) AS dist_km
+    FROM pts
+    WHERE lon BETWEEN -90.0 AND 90.0 AND lat BETWEEN -45.0 AND 45.0
+    """,
+    survey="geo_distance B7 (haversine + bbox - the PostGIS surface)",
+)
+def geo_distance_q(spark, sf_dir):
+    """PostGIS-position parity (reference models.py:35,44; README.md:18):
+    bbox as pushdown-friendly range predicates + haversine distance.
+    Coordinates synthesized deterministically from keys (the testdata has
+    no geo columns; ingest-extracted lon/lat take this exact shape)."""
+    c = _t(spark, sf_dir, "customer")
+    lon = (F.col("c_custkey") % 360).cast("double") - 180.0 + 0.5
+    lat = (F.col("c_custkey") % 178).cast("double") - 89.0 + 0.25
+    pts = c.select("c_custkey", lon.alias("lon"), lat.alias("lat"))
+    return pts.filter(in_bbox(F.col("lon"), F.col("lat"), -90.0, -45.0, 90.0, 45.0)).select(
+        "c_custkey",
+        "lon",
+        "lat",
+        F.round(
+            haversine_km(F.col("lon"), F.col("lat"), F.lit(0.0), F.lit(0.0)), 3
+        ).alias("dist_km"),
+    )
+
+
+@register(
+    "sink_partitioned",
+    """
+    SELECT event_id, strftime(ts, '%Y-%m') AS month
+    FROM events
+    WHERE strftime(ts, '%Y-%m') = '2024-01'
+    """,
+    survey="sink_partitioned A12 B8 (hypertable-chunk write + partition pruning)",
+)
+def sink_partitioned_q(spark, sf_dir):
+    """Round-trips events through a month-partitioned parquet table and reads
+    back ONE partition — partition pruning is the hypertable chunk-exclusion
+    analogue (reference __init__.py:336-344). The month filter prunes at
+    file-listing time (no data read outside the partition)."""
+    out = f"{tempfile.gettempdir()}/ltss_sink_{uuid.uuid4().hex}"
+    e = _t(spark, sf_dir, "events").withColumn(
+        "month", F.date_format("ts", "yyyy-MM")
+    )
+    e.write.mode("overwrite").partitionBy("month").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("month") == "2024-01")
+        .select("event_id", F.col("month").cast("string").alias("month"))
+    )
+
+
+@register(
+    "stream_ingest",
+    f"""
+    WITH {_STATES_CTE}
+    SELECT time, entity_id, state, attributes FROM states
+    """,
+    survey="stream_ingest stream_dedup stream_watermark A1 A9 (Structured Streaming pipeline)",
+)
+def stream_ingest_q(spark, sf_dir):
+    """Runs the ACTUAL Structured Streaming ingest (readStream ->
+    states_from_events -> watermark+dedup -> foreachBatch partitioned
+    parquet sink, Trigger.AvailableNow) and returns the landed table —
+    checked against the same oracle as the batch transform, proving
+    batch/streaming parity on the reference's write path."""
+    from ltss_spark.streaming.ingest import run_ingest_availablenow
+
+    base = f"{tempfile.gettempdir()}/ltss_stream_{uuid.uuid4().hex}"
+    run_ingest_availablenow(
+        spark, sf_dir, out_path=f"{base}/out", checkpoint=f"{base}/ckpt"
+    )
+    return spark.read.parquet(f"{base}/out").select(
+        "time", "entity_id", "state", "attributes"
+    )
+
+
+@register(
+    "sql_select",
+    f"""
+    SELECT l_orderkey,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    survey="B1 (arbitrary SQL over registered views - TPC-H Q3 shape)",
+)
+def sql_select(spark, sf_dir):
+    """B1: 'Fully SQL compatible' (reference README.md:23) — the engine's
+    SQL entry point: register views, run ANSI SQL through Catalyst."""
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+        """
+    )

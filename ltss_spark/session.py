@@ -1,0 +1,65 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Local testing runs on local[N]; the same config block is what we would ship
+to a 1000-executor cluster (AQE on, skew-join handling on, shuffle
+partitions sized explicitly). Session timezone is pinned to UTC because the
+reference stores `TIMESTAMP WITH TIME ZONE` normalized to UTC
+(/root/reference/custom_components/ltss/models.py:31) and the DuckDB oracle
+compares UTC-naive values.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ltss-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    - AQE enabled: runtime shuffle-partition coalescing, join-strategy
+      switching, and skew-join splitting — our substitute for hand-tuning
+      per-query parallelism at 100 TB.
+    - shuffle partitions default to the core count locally; on a real
+      cluster this should be ~2-3x total cores (set via spark-submit).
+    - Arrow enabled for the few Pandas-UDF operators (multimodal stubs).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # the driver's events.parquet carries TIMESTAMP(NANOS) which Spark
+        # has no native type for; read as long + convert (sources.batch)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_session_for_oracle(spark: SparkSession) -> None:
+    """Runtime-settable knobs we must control even on a session we did not
+    build (the driver passes its own session into ``queries()`` callables).
+
+    UTC session timezone keeps timestamp values identical to the DuckDB
+    oracle's UTC-naive timestamps; nanosAsLong lets us read the driver's
+    nanosecond-precision events table (converted in sources.batch).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,77 @@
+"""Batch sources and sinks (SURVEY.md §2.C scan_parquet / sink_append /
+sink_partitioned).
+
+The reference's storage layout is a single time-chunked hypertable
+(/root/reference/custom_components/ltss/__init__.py:336-344, 30-day default
+chunk, __init__.py:60-62). The Spark-native equivalent is parquet written
+``partitionBy`` a derived time-bucket column: Catalyst partition pruning then
+plays the role of hypertable chunk exclusion, and parquet column stats play
+the role of the btree indexes (models.py:75-80).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+#: every table the driver materializes (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def normalize_event_times(df: DataFrame, col: str = "ts") -> DataFrame:
+    """The driver's events table stores TIMESTAMP(NANOS); Spark has no nanos
+    type, so it is read as a nanosecond long (legacy.parquet.nanosAsLong)
+    and converted here: integer-divide to micros (truncation — exactly what
+    DuckDB's ns->us cast does) then timestamp_micros. No-op if already a
+    timestamp."""
+    if col in df.columns and dict(df.dtypes)[col] == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """DataSource-V2 parquet scan: column pruning + predicate pushdown are
+    free once downstream ops stay declarative (check ``PushedFilters`` /
+    ``ReadSchema`` in ``df.explain('formatted')``)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = normalize_event_times(df)
+    return df
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    time_col: str = "time",
+    bucket_fmt: str = "yyyy-MM",
+    mode: str = "overwrite",
+) -> None:
+    """Time-partitioned append sink — the hypertable-chunking analogue
+    (reference: create_hypertable + chunk_time_interval,
+    __init__.py:336-344).
+
+    ``bucket_fmt='yyyy-MM'`` mirrors the reference's 30-day default chunk.
+    At 100 TB the partition column bounds each file-listing + scan to the
+    months a time predicate touches; within a partition we sort by
+    (entity_id, time) so parquet row-group min/max stats can skip files for
+    per-entity scans — the stand-in for the reference's
+    (entity_id, time DESC) composite index (models.py:78-80).
+    """
+    bucketed = df.withColumn("month", F.date_format(F.col(time_col), bucket_fmt))
+    (
+        bucketed.sortWithinPartitions("entity_id", time_col)
+        if "entity_id" in df.columns
+        else bucketed
+    ).write.mode(mode).partitionBy("month").parquet(path)
