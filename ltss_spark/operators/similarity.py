@@ -91,8 +91,8 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    tables: int = 6,
-    bits: int = 8,
+    tables: int = 16,
+    bits: int = 4,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH.
@@ -100,8 +100,14 @@ def cosine_topk_lsh(
     Each vector gets ``tables`` signatures of ``bits`` sign bits; query and
     candidate join on (table, signature). The hyperplanes are literal arrays
     broadcast with the plan (a few KB) — no RNG on executors, fully
-    reproducible. Recall is tunable with (tables, bits); verified against
-    the exact operator in tests.
+    reproducible.
+
+    Tuning: P(bit agrees) = 1 - theta/pi, recall ~= 1-(1-p^bits)^tables.
+    The defaults (4 bits x 16 tables) target weakly-clustered corpora where
+    true neighbors sit at cosine ~0.3 (recall ~0.9). On a real embedding
+    corpus where near-duplicates are cosine >= 0.9, use bits=8/tables=6 —
+    far fewer candidate collisions, same recall. Verified against the exact
+    operator in tests/test_operators.py.
     """
     planes = [
         [ _hyperplane(t, b, dim) for b in range(bits) ] for t in range(tables)

@@ -1,0 +1,167 @@
+"""Behavioral ingest tests — the reference's observable write-path semantics
+(FIXTURES.md F4; reference cites in each test):
+
+- null/unknown filtering        (__init__.py:250-253)
+- include/exclude precedence    (__init__.py:55-67, README.md:71-101)
+- NUL sanitization              (models.py:67)
+- geo extraction rules          (models.py:54-62)
+- PK dedup                      (models.py:31-32)
+"""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from ltss_spark.ingest import (
+    EntityFilter,
+    dedup_primary_key,
+    events_to_states,
+    extract_location,
+    sanitize_state,
+    strip_location_keys,
+    valid_event_expr,
+)
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "time_fired timestamp, entity_id string, state string, attributes string"
+    )
+
+
+def test_null_unknown_filter(spark):
+    """A2: drop events with no entity_id, no state, or state == 'unknown'."""
+    df = _events(
+        spark,
+        [
+            (T0, "sensor.a", "21.5", "{}"),
+            (T0, None, "21.5", "{}"),
+            (T0, "sensor.b", None, "{}"),
+            (T0, "sensor.c", "unknown", "{}"),
+        ],
+    )
+    kept = df.filter(valid_event_expr()).select("entity_id").collect()
+    assert [r.entity_id for r in kept] == ["sensor.a"]
+
+
+def test_nul_sanitization(spark):
+    """A6: NUL byte becomes U+FFFD (Postgres text cannot store \\x00)."""
+    df = _events(spark, [(T0, "sensor.a", "bad\x00state", "{}")])
+    out = df.select(sanitize_state().alias("s")).first()
+    assert out.s == "bad�state"
+
+
+def test_geo_extraction_both_coords(spark):
+    """A7: lat+lon both present -> extracted; keys removed from attributes."""
+    attrs = '{"latitude": 57.7, "longitude": 11.97, "name": "gbg"}'
+    df = _events(spark, [(T0, "person.x", "home", attrs)])
+    lon, lat = extract_location()
+    row = df.select(
+        lon.alias("lon"), lat.alias("lat"), strip_location_keys().alias("attrs")
+    ).first()
+    assert row.lon == pytest.approx(11.97)
+    assert row.lat == pytest.approx(57.7)
+    assert "latitude" not in row.attrs and "longitude" not in row.attrs
+    assert "gbg" in row.attrs
+
+
+def test_geo_extraction_single_coord_is_null(spark):
+    """A7: either coordinate missing -> location NULL (models.py:62),
+    but the present key is still stripped (models.py:58-61 pops both)."""
+    df = _events(spark, [(T0, "person.x", "home", '{"latitude": 57.7}')])
+    lon, lat = extract_location()
+    row = df.select(
+        lon.alias("lon"), lat.alias("lat"), strip_location_keys().alias("attrs")
+    ).first()
+    assert row.lon is None and row.lat is None
+    assert "latitude" not in row.attrs
+
+
+def test_pk_dedup_deterministic(spark):
+    """B9: PK(time, entity_id) uniqueness with highest tie-breaker winning."""
+    df = spark.createDataFrame(
+        [
+            (T0, "sensor.a", "first", 1),
+            (T0, "sensor.a", "second", 2),
+            (T0, "sensor.b", "only", 3),
+        ],
+        "time timestamp, entity_id string, state string, event_id long",
+    )
+    out = {r.entity_id: r.state for r in dedup_primary_key(df, "event_id").collect()}
+    assert out == {"sensor.a": "second", "sensor.b": "only"}
+
+
+def test_events_to_states_pipeline(spark):
+    """A1->A8 composed: filter + sanitize + geo + attr-strip in one pass."""
+    df = _events(
+        spark,
+        [
+            (T0, "sensor.temp", "21.5\x00", '{"latitude": 1.0, "longitude": 2.0}'),
+            (T0, "sensor.skip", "unknown", "{}"),
+            (T0, "light.on", "on", '{"brightness": 5}'),
+        ],
+    )
+    out = {r.entity_id: r for r in events_to_states(df).collect()}
+    assert set(out) == {"sensor.temp", "light.on"}
+    assert out["sensor.temp"].state == "21.5�"
+    assert out["sensor.temp"].loc_lon == pytest.approx(2.0)
+    assert "latitude" not in out["sensor.temp"].attributes
+    assert out["light.on"].loc_lat is None
+
+
+# ---------------------------------------------------------------------------
+# Include/exclude filter semantics (HA convert_include_exclude_filter)
+# ---------------------------------------------------------------------------
+
+ENTITIES = [
+    "sensor.temp_kitchen",
+    "sensor.temp_attic",
+    "sensor.weather_wind",
+    "light.kitchen",
+    "person.john",
+]
+
+
+def _apply(spark, flt: EntityFilter) -> set[str]:
+    df = spark.createDataFrame([(e,) for e in ENTITIES], "entity_id string")
+    return {r.entity_id for r in df.filter(flt.expr()).collect()}
+
+
+def test_filter_empty_keeps_all(spark):
+    assert _apply(spark, EntityFilter()) == set(ENTITIES)
+
+
+def test_filter_include_only(spark):
+    flt = EntityFilter(include_domains=("light",), include_entities=("person.john",))
+    assert _apply(spark, flt) == {"light.kitchen", "person.john"}
+
+
+def test_filter_include_glob(spark):
+    flt = EntityFilter(include_globs=("sensor.temp_*",))
+    assert _apply(spark, flt) == {"sensor.temp_kitchen", "sensor.temp_attic"}
+
+
+def test_filter_exclude_only(spark):
+    flt = EntityFilter(exclude_domains=("sensor",))
+    assert _apply(spark, flt) == {"light.kitchen", "person.john"}
+
+
+def test_filter_both_listed_include_wins(spark):
+    """Listed include entities always pass, even matching an exclude glob."""
+    flt = EntityFilter(
+        include_domains=("light",),
+        include_entities=("sensor.weather_wind",),
+        exclude_globs=("sensor.*",),
+    )
+    assert _apply(spark, flt) == {"light.kitchen", "sensor.weather_wind"}
+
+
+def test_filter_both_exclude_refines_include_domain(spark):
+    flt = EntityFilter(
+        include_domains=("sensor",),
+        exclude_entities=("sensor.temp_attic",),
+    )
+    assert _apply(spark, flt) == {"sensor.temp_kitchen", "sensor.weather_wind"}

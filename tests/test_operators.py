@@ -1,0 +1,144 @@
+"""Property/behavior tests for the nontrivial operator compositions:
+as-of join vs DuckDB's native ASOF JOIN on randomized data, gap-fill edge
+cases, LSH recall vs exact operators, multimodal plumbing."""
+
+import datetime as dt
+import random
+
+import duckdb
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def test_asof_join_matches_duckdb_on_random_data(spark):
+    """Randomized differential test: our union+window as-of join ==
+    DuckDB ASOF LEFT JOIN, including probes before any event (NULL) and
+    exact-timestamp coincidence (<= semantics)."""
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    events = [
+        (k, base + dt.timedelta(seconds=rng.randrange(0, 10_000)), float(i))
+        for i, k in enumerate(rng.choices("abcd", k=200))
+    ]
+    # dedup (key, ts) so the right side is unique (asof tie rule)
+    seen, uniq = set(), []
+    for k, ts, v in events:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            uniq.append((k, ts, v))
+    probes = [
+        (i, k, base + dt.timedelta(seconds=rng.randrange(-100, 10_100)))
+        for i, k in enumerate(rng.choices("abcde", k=300))  # 'e' never matches
+    ]
+    # force exact-coincidence cases
+    probes += [(1000 + j, uniq[j][0], uniq[j][1]) for j in range(10)]
+
+    edf = spark.createDataFrame(uniq, "key string, ts timestamp, val double")
+    pdf = spark.createDataFrame(probes, "probe_id long, key string, ts timestamp")
+
+    from ltss_spark.operators.asof import asof_join
+
+    got = (
+        asof_join(pdf, edf, on="ts", by="key", value_cols=["val"])
+        .select("probe_id", "val")
+        .toPandas()
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(uniq, columns=["key", "ts", "val"]))
+    con.register("p", pd.DataFrame(probes, columns=["probe_id", "key", "ts"]))
+    want = con.execute(
+        """
+        SELECT p.probe_id, e.val
+        FROM p ASOF LEFT JOIN e ON p.key = e.key AND p.ts >= e.ts
+        ORDER BY p.probe_id
+        """
+    ).df()
+    pd.testing.assert_series_equal(
+        got["val"], want["val"], check_dtype=False, check_names=False
+    )
+
+
+def test_gapfill_leading_gap_stays_null(spark):
+    """Buckets before a key's first observation must stay NULL (no
+    backward fill) and be flagged as gaps."""
+    rows = [
+        ("a", dt.datetime(2024, 1, 1), 1.0),
+        ("a", dt.datetime(2024, 1, 4), 2.0),
+        ("b", dt.datetime(2024, 1, 3), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    from ltss_spark.functions.numeric import dsum
+    from ltss_spark.operators.gapfill import time_bucket_gapfill
+
+    out = time_bucket_gapfill(df, "ts", ["k"], dsum("v", 2), "1 day").toPandas()
+    out["d"] = out["bucket_ts"].dt.day
+    b = out[out.k == "b"].set_index("d")
+    # b has no data on days 1-2: leading gap, filled stays NaN
+    assert b.loc[1, "is_gap"] and pd.isna(b.loc[1, "filled_value"])
+    assert b.loc[2, "is_gap"] and pd.isna(b.loc[2, "filled_value"])
+    assert not b.loc[3, "is_gap"] and b.loc[3, "filled_value"] == 5.0
+    assert b.loc[4, "is_gap"] and b.loc[4, "filled_value"] == 5.0  # LOCF
+    a = out[out.k == "a"].set_index("d")
+    assert a.loc[2, "filled_value"] == 1.0 and a.loc[3, "filled_value"] == 1.0
+    assert a.loc[4, "filled_value"] == 2.0
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(spark):
+    """LSH candidates must include essentially-identical docs (j≈1 =>
+    P(candidate) = 1-(1-j^3)^4 ≈ 1) and exclude unrelated ones."""
+    vocab = [f"w{i}" for i in range(1000)]
+    rng = random.Random(3)
+    base = " ".join(rng.choices(vocab, k=120))
+    near = base.replace("w", "W", 1)  # first token differs -> j just under 1
+    other = " ".join(rng.choices(vocab, k=120))
+    docs = spark.createDataFrame(
+        [(0, base), (1, near), (2, other)], "doc_id long, text string"
+    )
+    from ltss_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    # exact jaccard agrees the pair is high-sim
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs).collect()}
+    assert j[(0, 1)] > 0.9
+
+
+def test_sim_search_lsh_recall_vs_exact(spark):
+    """Random-hyperplane LSH recall@5 against the exact brute-force top-k
+    on the driver's embeddings (label-clustered => high-cosine neighbors)."""
+    from ltss_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+    from ltss_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, k=5).select("query_id", "candidate_id").collect()
+    approx = cosine_topk_lsh(emb, q, k=5).select("query_id", "candidate_id").collect()
+    exact_set = {(r.query_id, r.candidate_id) for r in exact}
+    approx_set = {(r.query_id, r.candidate_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall@5 too low: {recall:.2f}"
+
+
+def test_multimodal_plumbing_byte_exact(spark):
+    """mapInPandas must deliver payload bytes unmodified: sha256 computed
+    in executors equals driver-side hashlib on the same text."""
+    import hashlib
+
+    from ltss_spark.functions.multimodal import documents_as_assets, extract_features
+    from ltss_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    feats = {r.asset_id: r for r in extract_features(documents_as_assets(docs)).collect()}
+    for row in docs.collect():
+        want = hashlib.sha256(row.text.encode()).hexdigest()
+        got = feats[row.doc_id]
+        assert got.sha == want
+        assert got.n_bytes == len(row.text.encode())
+        assert 16 <= got.width < 80 and 16 <= got.height < 80
