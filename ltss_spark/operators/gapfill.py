@@ -66,3 +66,57 @@ def time_bucket_gapfill(
         F.last("agg_value", ignorenulls=True).over(w).alias("filled_value"),
         F.col("agg_value").isNull().alias("is_gap"),
     )
+
+
+def time_bucket_interpolate(
+    df: DataFrame,
+    time_col: str,
+    key_cols: list[str],
+    agg: Column,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Gap-fill with LINEAR interpolation — TimescaleDB's
+    ``interpolate()`` companion to ``time_bucket_gapfill``. Gap buckets get
+    prev + (next - prev) * elapsed_fraction; leading/trailing gaps (no
+    bracket on one side) stay NULL.
+
+    Same dense-grid construction as :func:`time_bucket_gapfill`; the
+    bracketing values come from two per-key ordered windows
+    (last-non-null-behind, first-non-null-ahead) — still linear per key,
+    no self-join.
+    """
+    sparse = time_bucket_gapfill(df, time_col, key_cols, agg, bucket, locf=False)
+    behind = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ahead = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col("agg_value")
+    marked_ts = F.when(v.isNotNull(), F.col("bucket_ts"))
+    prev_v = F.last(v, ignorenulls=True).over(behind)
+    prev_t = F.last(marked_ts, ignorenulls=True).over(behind)
+    next_v = F.first(v, ignorenulls=True).over(ahead)
+    next_t = F.first(marked_ts, ignorenulls=True).over(ahead)
+    frac = (
+        (F.unix_micros(F.col("bucket_ts")) - F.unix_micros(prev_t))
+        / (F.unix_micros(next_t) - F.unix_micros(prev_t))
+    )
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * frac,
+        )
+    )
+    return sparse.select(
+        *key_cols,
+        "bucket_ts",
+        "agg_value",
+        interp.alias("interp_value"),
+        v.isNull().alias("is_gap"),
+    )

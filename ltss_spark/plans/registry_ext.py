@@ -16,6 +16,7 @@ from ltss_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash_pairs,
 )
 from ltss_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 from ltss_spark.operators.text import (
@@ -214,35 +215,120 @@ def ext_dedup_ngram(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=5, threshold=0.5)
 
 
-@register(
-    "ext_dedup_minhash",
-    f"""
+def _oracle_base_hash() -> str:
+    """DuckDB mirror of ltss_spark.operators.dedup.shingle_base_hash: parse
+    the first 15 hex chars of md5(shingle) into a BIGINT (60 bits, exact),
+    then mod 2^31-1. DuckDB has no hex->int conversion, so the parse is an
+    unrolled positional sum."""
+    digit = "(strpos('0123456789abcdef', substr(md5(shingle), {j}, 1)) - 1)"
+    terms = " + ".join(
+        f"{digit.format(j=j)} * {16 ** (15 - j)}" for j in range(1, 16)
+    )
+    return f"(({terms}) % 2147483647)"
+
+
+def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+    from ltss_spark.operators.dedup import MERSENNE31, _uh_params
+
+    A, B = _uh_params(num_hashes)
+    rows = num_hashes // bands
+    mins = ",\n             ".join(
+        f"MIN(({A[i]} * base + {B[i]}) % {MERSENNE31}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {j} AS band, md5({sig}) AS band_sig FROM mh".format(
+            j=j,
+            sig=" || '|' || ".join(
+                f"CAST(h{i} AS VARCHAR)" for i in range(j * rows, (j + 1) * rows)
+            ),
+        )
+        for j in range(bands)
+    )
+    return f"""
     WITH {_SHINGLES_CTE},
-    seeds AS (SELECT unnest(generate_series(0, 11)) AS seed),
+    based AS (SELECT doc_id, {_oracle_base_hash()} AS base FROM sh),
     mh AS (
-      SELECT doc_id, seed,
-             MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
-      FROM sh CROSS JOIN seeds
-      GROUP BY doc_id, seed
+      SELECT doc_id,
+             {mins}
+      FROM based GROUP BY doc_id
     ),
     banded AS (
-      SELECT doc_id,
-             CAST(floor(seed / 3.0) AS INT) AS band,
-             md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
-      FROM mh
-      GROUP BY doc_id, CAST(floor(seed / 3.0) AS INT)
+      {band_selects}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM banded a
     JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
                  AND a.doc_id < b.doc_id
-    """,
-    survey="ext_dedup_near (MinHash-LSH, md5-portable, oracle-checked)",
+    """
+
+
+@register(
+    "ext_dedup_minhash",
+    _minhash_oracle(12, 4),
+    survey="ext_dedup_near (MinHash-LSH, portable integer hashing, oracle-checked)",
 )
 def ext_dedup_minhash(spark, sf_dir):
     return minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), k=5, num_hashes=12, bands=4
     )
+
+
+def _simhash_oracle(bits: int = 48, max_hamming: int = 3) -> str:
+    """DuckDB mirror of ltss_spark.operators.dedup.simhash_pairs: same
+    48-bit token hash (first 12 hex chars of md5 -> BIGINT, exact), same
+    per-bit sign votes, same pigeonhole banding, same bit_count(xor)
+    verification."""
+    digit = "(strpos('0123456789abcdef', substr(md5(token), {j}, 1)) - 1)"
+    h = " + ".join(f"{digit.format(j=j)} * {16 ** (12 - j)}" for j in range(1, 13))
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    blocks = max_hamming + 1
+    width = bits // blocks
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, simhash, {j} AS band,"
+        f" (simhash >> {j * width}) & {(1 << width) - 1} AS block FROM fp"
+        for j in range(blocks)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, token
+      FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+    ),
+    hashed AS (SELECT doc_id, ({h}) AS h FROM toks),
+    votes AS (
+      SELECT doc_id,
+             {sums}
+      FROM hashed GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, ({fp}) AS simhash FROM votes),
+    banded AS (
+      {band_selects}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.block = b.block
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+@register(
+    "ext_dedup_simhash",
+    _simhash_oracle(48, 3),
+    survey="ext_dedup_near (SimHash fingerprints + pigeonhole banding, oracle-checked)",
+)
+def ext_dedup_simhash(spark, sf_dir):
+    return simhash_pairs(_t(spark, sf_dir, "documents"), bits=48, max_hamming=3)
 
 
 @register(

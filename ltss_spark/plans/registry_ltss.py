@@ -15,7 +15,7 @@ from pyspark.sql import Window
 from ltss_spark.functions.numeric import dsum, oracle_dsum
 from ltss_spark.ingest import STATES_FROM_EVENTS_SQL, dedup_primary_key, states_from_events
 from ltss_spark.operators.asof import asof_join
-from ltss_spark.operators.gapfill import time_bucket_gapfill
+from ltss_spark.operators.gapfill import time_bucket_gapfill, time_bucket_interpolate
 from ltss_spark.operators.geo import haversine_km, in_bbox
 from ltss_spark.operators.timeseries import latest_state, time_bucket_agg, time_in_state
 from ltss_spark.plans.registry import _t, register
@@ -219,6 +219,61 @@ def join_asof_q(spark, sf_dir):
 def ts_gapfill_q(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return time_bucket_gapfill(
+        e, time_col="ts", key_cols=["event_type"], agg=dsum("value", 2), bucket="1 day"
+    )
+
+
+@register(
+    "ts_interpolate",
+    f"""
+    WITH agg AS (
+      SELECT event_type,
+             date_trunc('day', ts) AS bucket_ts,
+             {oracle_dsum('value', 2)} AS agg_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(bucket_ts) AS mn, MAX(bucket_ts) AS mx FROM agg),
+    days AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket_ts
+      FROM bounds
+    ),
+    grid AS (
+      SELECT t.event_type, d.bucket_ts
+      FROM (SELECT DISTINCT event_type FROM agg) t CROSS JOIN days d
+    ),
+    joined AS (
+      SELECT g.event_type, g.bucket_ts, a.agg_value
+      FROM grid g LEFT JOIN agg a USING (event_type, bucket_ts)
+    ),
+    br AS (
+      SELECT event_type, bucket_ts, agg_value,
+             last_value(agg_value IGNORE NULLS) OVER wb AS prev_v,
+             last_value(CASE WHEN agg_value IS NOT NULL THEN bucket_ts END
+                        IGNORE NULLS) OVER wb AS prev_t,
+             first_value(agg_value IGNORE NULLS) OVER wa AS next_v,
+             first_value(CASE WHEN agg_value IS NOT NULL THEN bucket_ts END
+                         IGNORE NULLS) OVER wa AS next_t
+      FROM joined
+      WINDOW wb AS (PARTITION BY event_type ORDER BY bucket_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wa AS (PARTITION BY event_type ORDER BY bucket_ts
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket_ts, agg_value,
+           CASE WHEN agg_value IS NOT NULL THEN agg_value
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                THEN prev_v + (next_v - prev_v)
+                     * ((epoch_us(bucket_ts) - epoch_us(prev_t))
+                        / (epoch_us(next_t) - epoch_us(prev_t)))
+           END AS interp_value,
+           agg_value IS NULL AS is_gap
+    FROM br
+    """,
+    survey="ts_gapfill B4 (TimescaleDB interpolate() analogue, linear)",
+)
+def ts_interpolate_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return time_bucket_interpolate(
         e, time_col="ts", key_cols=["event_type"], agg=dsum("value", 2), bucket="1 day"
     )
 
