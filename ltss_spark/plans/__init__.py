@@ -5,3 +5,4 @@ from ltss_spark.plans.registry import REGISTRY, oracle_sql, queries  # noqa: F40
 import ltss_spark.plans.registry_agg  # noqa: F401,E402
 import ltss_spark.plans.registry_ltss  # noqa: F401,E402
 import ltss_spark.plans.registry_ext  # noqa: F401,E402
+import ltss_spark.plans.registry_stream  # noqa: F401,E402

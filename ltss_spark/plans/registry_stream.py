@@ -1,0 +1,125 @@
+"""Registry part 5: streaming operators run bounded (Trigger.AvailableNow)
+so the driver's batch oracle can check them (SURVEY.md §2.C
+stream_window_tumbling/_sliding/_session, stream_dedup, stream_stateful,
+stream_late_drop; stream_ingest / stream_watermark live in registry_ltss).
+
+Every entry executes the REAL streaming plan — readStream source, streaming
+aggregation state, memory/foreachBatch sink — only the trigger is bounded,
+so results are deterministic and most are hash-checkable against plain
+GROUP BY SQL.
+"""
+
+from __future__ import annotations
+
+from ltss_spark.plans.registry import register
+
+
+@register(
+    "stream_window_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS bucket_start, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    survey="stream_window_tumbling B4 (event-time tumbling agg, streaming state)",
+)
+def stream_window_tumbling(spark, sf_dir):
+    from ltss_spark.streaming.ingest import streaming_bucket_counts
+
+    return streaming_bucket_counts(spark, sf_dir, bucket="1 hour")
+
+
+@register(
+    "stream_window_sliding",
+    """
+    WITH expanded AS (
+      SELECT event_type,
+             date_trunc('hour', ts) - (k.i * INTERVAL 1 HOUR) AS window_start
+      FROM events, UNNEST([0, 1]) AS k(i)
+    )
+    SELECT window_start, event_type, COUNT(*) AS n
+    FROM expanded GROUP BY 1, 2
+    """,
+    survey="stream_window_sliding B4 (overlapping event-time windows)",
+)
+def stream_window_sliding(spark, sf_dir):
+    from ltss_spark.streaming.windows import streaming_sliding_counts
+
+    return streaming_sliding_counts(spark, sf_dir, duration="2 hours", slide="1 hour")
+
+
+@register(
+    "stream_window_session",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM g GROUP BY user_id, sid
+    """,
+    survey="stream_window_session (per-entity episode detection, session state)",
+)
+def stream_window_session(spark, sf_dir):
+    from ltss_spark.streaming.windows import streaming_session_windows
+
+    return streaming_session_windows(spark, sf_dir, gap="30 minutes")
+
+
+@register(
+    "stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    survey="stream_dedup B9 (streaming exactly-once key emission)",
+)
+def stream_dedup(spark, sf_dir):
+    from ltss_spark.streaming.windows import streaming_dedup
+
+    return streaming_dedup(spark, sf_dir)
+
+
+@register(
+    "stream_stateful",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+           MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+    survey="stream_stateful (applyInPandasWithState custom per-key state)",
+)
+def stream_stateful(spark, sf_dir):
+    from ltss_spark.streaming.stateful import streaming_user_totals
+
+    return streaming_user_totals(spark, sf_dir)
+
+
+@register(
+    "stream_late_drop",
+    """
+    WITH mn AS (SELECT MIN(ts) AS m FROM events)
+    SELECT date_trunc('hour', ts) AS bucket_start, event_type, COUNT(*) AS n
+    FROM events WHERE ts > (SELECT m FROM mn)
+    GROUP BY 1, 2
+    """,
+    survey="stream_late_drop stream_watermark A10 (watermark drops stragglers)",
+)
+def stream_late_drop(spark, sf_dir):
+    from ltss_spark.streaming.windows import streaming_counts_dropping_late
+
+    return streaming_counts_dropping_late(spark, sf_dir, bucket="1 hour")

@@ -1,0 +1,177 @@
+"""Streaming window operators over the bounded event stream (SURVEY.md §2.C
+stream_window_tumbling / _sliding / _session, stream_dedup,
+stream_late_drop).
+
+The reference ingests an unbounded event stream into a hypertable and lets
+TimescaleDB `time_bucket` queries aggregate it after the fact
+(/root/reference/README.md:24-26). Structured Streaming moves those
+aggregations INTO the stream: the same tumbling/sliding/session shapes run
+incrementally with bounded state. Every operator here is driven with
+Trigger.AvailableNow over the driver's static events table, so the result
+is deterministic and oracle-checkable — the streaming plan is the real
+plan, only the trigger is bounded.
+
+Scale notes: windowed aggregation state is per (key, window) and evicted by
+watermark — state size is bounded by (#keys x #open windows), independent
+of stream length. The memory sink is test-only plumbing; production sinks
+are the foreachBatch path in ltss_spark.streaming.ingest.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ltss_spark.sources.batch import normalize_event_times
+
+
+def bounded_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """The driver's events table as a file stream (schema from a batch peek;
+    pathGlobFilter narrows the directory to the one table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{source_dir}/events.parquet").schema
+    return normalize_event_times(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(source_dir)
+    )
+
+
+def run_to_memory(df: DataFrame, output_mode: str, name_hint: str) -> DataFrame:
+    """Run a bounded streaming query to completion through a memory sink and
+    return the finished result as a batch DataFrame."""
+    name = f"{name_hint}_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def streaming_sliding_counts(
+    spark: SparkSession,
+    source_dir: str,
+    duration: str = "2 hours",
+    slide: str = "1 hour",
+) -> DataFrame:
+    """stream_window_sliding: each event lands in duration/slide overlapping
+    windows; Spark expands the membership set inline (no self-join)."""
+    raw = bounded_events_stream(spark, source_dir)
+    agg = (
+        raw.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", duration, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return run_to_memory(agg, "complete", "stream_sliding")
+
+
+def streaming_session_windows(
+    spark: SparkSession,
+    source_dir: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """stream_window_session: per-user activity episodes; a session closes
+    when the next event is >= gap after the previous one (window end is
+    exclusive: end = last_event + gap). State per OPEN session only —
+    the 100 TB shape for "episode" detection the reference's schema can
+    only express as a post-hoc gaps-and-islands SQL query."""
+    raw = bounded_events_stream(spark, source_dir)
+    agg = (
+        raw.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("event_id").alias("id_checksum"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "id_checksum",
+        )
+    )
+    return run_to_memory(agg, "complete", "stream_session")
+
+
+def streaming_dedup(spark: SparkSession, source_dir: str) -> DataFrame:
+    """stream_dedup: exactly-once key emission under at-least-once delivery
+    — the streaming form of the reference's PK(time, entity_id) uniqueness
+    (/root/reference/custom_components/ltss/models.py:31-32). State is one
+    entry per seen key; production use bounds it with a watermark (see
+    ltss_spark.streaming.ingest)."""
+    raw = bounded_events_stream(spark, source_dir)
+    deduped = raw.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_to_memory(deduped, "append", "stream_dedup")
+
+
+def streaming_counts_dropping_late(
+    spark: SparkSession,
+    source_dir: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """stream_late_drop: watermark-based late-row dropping, observable.
+
+    The events table is split into three files processed as three
+    micro-batches (maxFilesPerTrigger=1 + explicit mtimes): the bulk of the
+    on-time rows, then the latest row(s), then the earliest row(s) alone as
+    a straggler. The watermark EFFECTIVE in micro-batch N is the one
+    computed after batch N-1 (one-batch lag — verified empirically on this
+    Spark version), so by batch 3 it stands at max(on-time ts) - 0s and the
+    straggler is older than it and is dropped (visible as
+    numRowsDroppedByWatermark). This is the streaming analogue of the
+    reference's drop-bad-rows policy
+    (/root/reference/custom_components/ltss/__init__.py:212-216): bounded
+    staleness instead of unbounded buffering.
+
+    Returns hourly counts per event_type EXCLUDING the dropped straggler(s)
+    — update-mode emissions from the last batch are empty because its
+    entire input is late.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = normalize_event_times(
+        spark.read.parquet(f"{source_dir}/events.parquet")
+    )
+    base = f"{tempfile.gettempdir()}/ltss_late_{uuid.uuid4().hex}"
+    src = f"{base}/src"
+    mn, mx = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    bulk = events.filter((F.col("ts") > mn) & (F.col("ts") < mx))
+    tail = events.filter(F.col("ts") == mx)  # advances the watermark
+    late = events.filter(F.col("ts") <= mn)  # straggler, arrives last
+    bulk.coalesce(1).write.parquet(f"{src}/a.parquet")
+    tail.coalesce(1).write.parquet(f"{src}/b.parquet")
+    late.coalesce(1).write.parquet(f"{src}/c.parquet")
+    now = 1_700_000_000
+    offsets = {"/a.parquet": 0, "/b.parquet": 600, "/c.parquet": 1200}
+    for root, _dirs, files in os.walk(src):
+        for f_ in files:
+            p = os.path.join(root, f_)
+            for marker, off in offsets.items():
+                if marker in p:
+                    os.utime(p, (now + off, now + off))
+
+    schema = events.schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*.parquet")
+    )
+    agg = (
+        raw.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", bucket).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n")
+    )
+    out = run_to_memory(agg, "update", "stream_late")
+    # update mode re-emits a group each time it changes; keep the final count
+    return (
+        out.groupBy("bucket_start", "event_type")
+        .agg(F.max("n").alias("n"))
+    )

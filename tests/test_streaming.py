@@ -47,3 +47,59 @@ def test_streaming_window_counts_equal_batch(spark):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_stateful_state_carries_across_microbatches(spark):
+    """applyInPandasWithState must fold state across micro-batches, not just
+    within one: split events into two files, force two batches with
+    maxFilesPerTrigger=1, and check the final per-user emission equals the
+    whole-table GROUP BY."""
+    import os
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ltss_spark.sources.batch import load_table
+    from ltss_spark.streaming.stateful import _OUT_SCHEMA, _STATE_SCHEMA, _accumulate
+    from ltss_spark.streaming.windows import run_to_memory
+
+    events = load_table(spark, SF_SMOKE, "events")
+    base = f"{tempfile.gettempdir()}/ltss_state_{uuid.uuid4().hex}"
+    src = f"{base}/src"
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/a.parquet")
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/b.parquet")
+    now = 1_700_000_000
+    for root, _dirs, files in os.walk(src):
+        for f_ in files:
+            p = os.path.join(root, f_)
+            t = now if "/a.parquet" in p else now + 600
+            os.utime(p, (t, t))
+    raw = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*.parquet")
+    )
+    updates = raw.groupBy("user_id").applyInPandasWithState(
+        _accumulate,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(updates, "update", "test_stateful_mb")
+    # users present in both batches emit twice; the larger n_events is final
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max_by(F.struct("n_events", "id_checksum", "max_value"), "n_events").alias("s")
+        )
+        .select("user_id", "s.n_events", "s.id_checksum", "s.max_value")
+    )
+    want = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("id_checksum"),
+        F.max("value").alias("max_value"),
+    )
+    assert final.exceptAll(want).count() == 0
+    assert want.exceptAll(final).count() == 0
+    # proves >1 micro-batch actually ran: some user must have emitted twice
+    assert out.count() > want.count()
