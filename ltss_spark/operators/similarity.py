@@ -169,3 +169,136 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "candidate_id", "cosine", "rank")
     )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> Column:
+    return _norm(F.col(vec_col))
+
+
+def embedding_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
+    cosine(a, b) >= threshold (rounded to 6 for cross-engine determinism).
+
+    Norms are computed ONCE per vector before the join (not once per pair).
+    This is the exact correctness baseline — a broadcast self-join that
+    scales as |V|^2 comparisons with only a linear shuffle. At 100 TB the
+    same verify step runs on LSH-bucketed candidates instead of the full
+    cross product (see cosine_topk_lsh / cosine_topk_ivf); the per-pair
+    arithmetic is identical.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer — the
+    FAISS-IVF-flat shape re-expressed as DataFrame ops.
+
+    - Codebook: every ceil(|V|/n_centroids)-th vector by id (deterministic
+      sample; a k-means codebook drops in without changing the plan).
+    - Assignment: corpus x broadcast(codebook) -> argmax cosine per vector
+      (one narrow pass, |V| x C comparisons, no shuffle of the corpus).
+    - Search: each query probes its nprobe nearest centroids and scores
+      ONLY vectors assigned to those lists — work scales with
+      |V| * nprobe / n_centroids instead of |V|.
+
+    With nprobe == n_centroids the result is EXACTLY brute force (tested);
+    recall degrades gracefully as nprobe shrinks.
+    """
+    n = corpus.count()
+    stride = max(1, n // n_centroids)
+    # deterministic codebook: every stride-th vector by id — a single
+    # filtered scan, no global sort; a k-means codebook drops in here
+    codebook = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent_vec"))
+        .filter((F.col("cid") % stride == 0) & (F.col("cid") / stride < n_centroids))
+        .select(
+            (F.col("cid") / stride + 1).cast("int").alias("centroid_id"),
+            "cent_vec",
+            _norm(F.col("cent_vec")).alias("cent_nrm"),
+        )
+    )
+
+    def assign(df: DataFrame, ident: str, keep_n: int) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias(ident),
+            F.col(vec_col).alias(f"{ident}_vec"),
+            _norm(F.col(vec_col)).alias(f"{ident}_nrm"),
+        ).join(F.broadcast(codebook), how="cross").select(
+            ident,
+            f"{ident}_vec",
+            f"{ident}_nrm",
+            "centroid_id",
+            (
+                _dot(F.col(f"{ident}_vec"), F.col("cent_vec"))
+                / (F.col(f"{ident}_nrm") * F.col("cent_nrm"))
+            ).alias("cent_cos"),
+        )
+        ww = Window.partitionBy(ident).orderBy(
+            F.col("cent_cos").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(ww))
+            .filter(F.col("crank") <= keep_n)
+            .drop("crank", "cent_cos")
+        )
+
+    lists = assign(corpus, "candidate_id", 1)
+    probes = assign(queries, "query_id", nprobe)
+    cand = (
+        lists.join(probes, "centroid_id")
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .select("query_id", "query_id_vec", "query_id_nrm",
+                "candidate_id", "candidate_id_vec", "candidate_id_nrm")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "candidate_id",
+        F.round(
+            _dot(F.col("query_id_vec"), F.col("candidate_id_vec"))
+            / (F.col("query_id_nrm") * F.col("candidate_id_nrm")),
+            6,
+        ).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("candidate_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "cosine", "rank")
+    )

@@ -18,7 +18,12 @@ from ltss_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from ltss_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from ltss_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    embedding_dup_pairs,
+)
 from ltss_spark.operators.text import (
     STOPWORDS,
     fingerprint,
@@ -373,6 +378,44 @@ def ext_sim_search(spark, sf_dir):
 def ext_sim_search_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
+@register(
+    "ext_dedup_embed",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)) AS dot,
+             SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(a.embedding[g.i] AS DOUBLE)) AS na2,
+             SUM(CAST(b.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)) AS nb2
+      FROM e a
+      JOIN e b ON a.vec_id < b.vec_id,
+      UNNEST(generate_series(1, 64)) AS g(i)
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cosine
+    FROM pairs
+    WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 6) >= 0.3
+    """,
+    survey="ext_dedup_near fn_array (embedding-cosine near-dup, exact baseline)",
+)
+def ext_dedup_embed(spark, sf_dir):
+    return embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+@register(
+    "ext_sim_search_ivf",
+    None,  # approximate recall set — exactness at nprobe=n_centroids tested
+    survey="ext_sim_search (IVF coarse quantizer, FAISS-IVF-flat shape)",
+)
+def ext_sim_search_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, n_centroids=16, nprobe=4
+    )
 
 
 _HEXD = "'0123456789abcdef'"

@@ -142,3 +142,57 @@ def test_multimodal_plumbing_byte_exact(spark):
         assert got.sha == want
         assert got.n_bytes == len(row.text.encode())
         assert 16 <= got.width < 80 and 16 <= got.height < 80
+
+
+def test_ivf_exact_when_probing_all_lists(spark):
+    """IVF with nprobe == n_centroids searches every inverted list, so it
+    must reproduce brute force EXACTLY (same rows, same ranks)."""
+    from ltss_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+    from ltss_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(emb, q, k=5)
+    ivf = cosine_topk_ivf(emb, q, k=5, n_centroids=8, nprobe=8)
+    assert ivf.exceptAll(exact).count() == 0
+    assert exact.exceptAll(ivf).count() == 0
+
+
+def test_ivf_partial_probe_recall(spark):
+    """nprobe < n_centroids: approximate, but recall@5 must beat the random
+    baseline (nprobe/n_centroids of the corpus searched)."""
+    from ltss_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+    from ltss_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.candidate_id) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {
+        (r.query_id, r.candidate_id)
+        for r in cosine_topk_ivf(emb, q, k=5, n_centroids=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall@5 too low: {recall:.2f}"
+
+
+def test_embedding_dup_pairs_symmetric_and_thresholded(spark):
+    """Every returned pair is ordered, above threshold, and the pair set
+    matches an independently computed python-side check on a sample."""
+    from ltss_spark.operators.similarity import embedding_dup_pairs
+    from ltss_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") < 100)
+    got = embedding_dup_pairs(emb, threshold=0.25).collect()
+    assert all(r.id_a < r.id_b and r.cosine >= 0.25 for r in got)
+    import math
+
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+    want = {
+        (i, j)
+        for i in vecs for j in vecs
+        if i < j and round(cos(vecs[i], vecs[j]), 6) >= 0.25
+    }
+    assert {(r.id_a, r.id_b) for r in got} == want
