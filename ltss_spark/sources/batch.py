@@ -11,6 +11,8 @@ the role of the btree indexes (models.py:75-80).
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -40,14 +42,42 @@ def normalize_event_times(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+#: below this on-disk size a table is broadcast-dimension material — not
+#: worth a repartition shuffle (region/nation/supplier class)
+_TINY_BYTES = 256 * 1024
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """DataSource-V2 parquet scan: column pruning + predicate pushdown are
     free once downstream ops stay declarative (check ``PushedFilters`` /
-    ``ReadSchema`` in ``df.explain('formatted')``)."""
+    ``ReadSchema`` in ``df.explain('formatted')``).
+
+    Parallelism rescue: the driver's local fixtures are single-file,
+    single-row-group parquet — unsplittable, so every scan would otherwise
+    feed exactly ONE task and serialize the whole downstream pipeline. When
+    the scan yields fewer partitions than the session's parallelism, add a
+    round-robin repartition (filters still push THROUGH the exchange to the
+    scan, so pushdown/pruning are unaffected). On a production table this
+    is a no-op: a 100 TB table has thousands of splits, and the branch
+    never triggers.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events":
         df = normalize_event_times(df)
+    # cheap layout check, no planning pass: a single file under
+    # maxPartitionBytes always scans as one partition
+    if os.path.isfile(path):
+        try:
+            n_bytes = os.path.getsize(path)
+        except OSError:
+            return df
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+        )
+        if _TINY_BYTES < n_bytes < max_split:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
