@@ -51,6 +51,97 @@ def ltss_states(spark, sf_dir):
 
 
 @register(
+    "ltss_geo_ingest",
+    """
+    WITH geo AS (
+      SELECT event_id,
+             event_type || '.u' || CAST(user_id AS VARCHAR) AS entity_id,
+             '{"latitude": ' || CAST(CAST(user_id % 178 AS DOUBLE) - 89.0 + 0.25 AS VARCHAR)
+               || ', "longitude": ' || CAST(CAST(user_id % 360 AS DOUBLE) - 180.0 + 0.5 AS VARCHAR)
+               || ', "k": ' || CAST(event_id % 100 AS VARCHAR) || '}' AS attributes
+      FROM events
+    )
+    SELECT event_id, entity_id,
+           CAST(CAST(user_id % 360 AS DOUBLE) - 180.0 + 0.5 AS DOUBLE) AS loc_lon,
+           CAST(CAST(user_id % 178 AS DOUBLE) - 89.0 + 0.25 AS DOUBLE) AS loc_lat,
+           '{"k":"' || CAST(event_id % 100 AS VARCHAR) || '"}' AS attributes_stripped
+    FROM geo JOIN events USING (event_id)
+    """,
+    survey="A7 B7 fn_json (geo extraction + attribute-key removal at ingest)",
+)
+def ltss_geo_ingest(spark, sf_dir):
+    """The reference's location path (models.py:54-62): pop latitude/
+    longitude out of the attribute JSON into typed columns, keep the rest of
+    the payload. Coordinates synthesized into the JSON here (the driver's
+    events have none), then extracted by the REAL ingest expressions."""
+    from ltss_spark.ingest import extract_location, strip_location_keys
+
+    e = _t(spark, sf_dir, "events")
+    lat = (F.col("user_id") % 178).cast("double") - 89.0 + 0.25
+    lon = (F.col("user_id") % 360).cast("double") - 180.0 + 0.5
+    with_geo = e.select(
+        "event_id",
+        F.concat(F.col("event_type"), F.lit(".u"), F.col("user_id")).alias("entity_id"),
+        F.concat(
+            F.lit('{"latitude": '), lat.cast("string"),
+            F.lit(', "longitude": '), lon.cast("string"),
+            F.lit(', "k": '), (F.col("event_id") % 100).cast("string"), F.lit("}"),
+        ).alias("attributes"),
+    )
+    lon_c, lat_c = extract_location()
+    return with_geo.select(
+        "event_id",
+        "entity_id",
+        lon_c.alias("loc_lon"),
+        lat_c.alias("loc_lat"),
+        strip_location_keys().alias("attributes_stripped"),
+    )
+
+
+@register(
+    "ddl_migrate",
+    f"""
+    WITH {_STATES_CTE}
+    SELECT time, entity_id, state,
+           CAST(NULL AS DOUBLE) AS loc_lon
+    FROM states WHERE day(time) <= 15
+    UNION ALL
+    SELECT time, entity_id, state,
+           CAST(CAST(event_id % 360 AS DOUBLE) - 180.0 AS DOUBLE) AS loc_lon
+    FROM states WHERE day(time) > 15
+    """,
+    survey="A11 A13 (DDL create + schema migration via parquet schema evolution)",
+)
+def ddl_migrate(spark, sf_dir):
+    """The reference's migration path (migrations.py:10-103: add columns,
+    re-key, all in-place DDL) re-expressed as parquet schema evolution:
+    month partitions written BEFORE the location column existed coexist with
+    later ones; ``mergeSchema`` unifies them, old rows surface NULL — no
+    table rewrite, the 100 TB-safe migration."""
+    out = f"{tempfile.gettempdir()}/ltss_migrate_{uuid.uuid4().hex}"
+    states = states_from_events(_t(spark, sf_dir, "events")).withColumn(
+        "half", F.when(F.dayofmonth("time") <= 15, "h1").otherwise("h2")
+    )
+    v1 = states.filter(F.col("half") == "h1").select(
+        "time", "entity_id", "state", "half"
+    )
+    v2 = states.filter(F.col("half") == "h2").select(
+        "time",
+        "entity_id",
+        "state",
+        ((F.col("event_id") % 360).cast("double") - 180.0).alias("loc_lon"),
+        "half",
+    )
+    v1.write.partitionBy("half").mode("append").parquet(out)
+    v2.write.partitionBy("half").mode("append").parquet(out)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .select("time", "entity_id", "state", "loc_lon")
+    )
+
+
+@register(
     "ltss_latest",
     f"""
     WITH {_STATES_CTE},

@@ -15,6 +15,52 @@ from ltss_spark.plans.registry import register
 
 
 @register(
+    "scan_stream",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+    survey="scan_stream A1 (streaming source delivers the table byte-exactly)",
+)
+def scan_stream(spark, sf_dir):
+    """readStream file source -> memory sink, no transform: proves the
+    streaming scan delivers exactly the batch table (schema + values),
+    including the nanos->micros time normalization."""
+    from ltss_spark.streaming.windows import bounded_events_stream, run_to_memory
+
+    raw = bounded_events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    return run_to_memory(raw, "append", "scan_stream")
+
+
+@register(
+    "sink_append",
+    """
+    SELECT event_id, event_type, value FROM events
+    """,
+    survey="sink_append A9 (append-mode sink accumulates batches losslessly)",
+)
+def sink_append(spark, sf_dir):
+    """Two successive append writes (disjoint halves) into one parquet
+    table, read back — the reference's INSERT-append path
+    (/root/reference/custom_components/ltss/__init__.py:207-211) done as
+    idempotent batch appends. With a JDBC URL the same writer becomes
+    ``.write.jdbc(mode='append')`` unchanged."""
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from ltss_spark.plans.registry import _t
+
+    out = f"{tempfile.gettempdir()}/ltss_append_{uuid.uuid4().hex}"
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    e.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(out)
+    e.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(out)
+    return spark.read.parquet(out)
+
+
+@register(
     "stream_window_tumbling",
     """
     SELECT date_trunc('hour', ts) AS bucket_start, event_type, COUNT(*) AS n
