@@ -89,3 +89,66 @@ def test_agg_is_partial_then_final(spark):
     df = plans.queries()["agg_basic"](spark, SF_SMOKE)
     plan = _plan(df)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_lsh_dedup_plans_have_no_cartesian(spark):
+    """MinHash-LSH and SimHash candidate generation must be band-bucket
+    EQUI-joins — a cartesian/nested-loop there is the O(n^2) trap that dies
+    at scale."""
+    from ltss_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+    from ltss_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for df in (minhash_lsh_pairs(docs), simhash_pairs(docs)):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_similarity_broadcasts_probe_side(spark):
+    """Exact cosine top-k: the probe set must broadcast (nested-loop over a
+    replicated few-row side), never shuffle the corpus."""
+    from ltss_spark.operators.similarity import cosine_topk
+    from ltss_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _plan(cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gapfill_grid_is_broadcast(spark):
+    """The dense-grid cross join (keys x buckets) must broadcast its tiny
+    side, not shuffle."""
+    import ltss_spark.plans as plans
+
+    df = plans.queries()["ts_gapfill"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_text_stats_is_pure_codegen(spark):
+    """Text analysis must stay JVM-side: whole-stage codegen spans, no
+    Python evals in the plan."""
+    import ltss_spark.plans as plans
+
+    df = plans.queries()["ext_text_stats"](spark, SF_SMOKE)
+    s = _formatted(df)
+    # vectorized parquet scan + JVM hash aggregation, zero Python in the plan
+    # (AQE hides WholeStageCodegen spans until execution, so assert the
+    # absence of Python eval nodes instead)
+    assert "Batched: true" in s
+    assert "HashAggregate" in s
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in s
+
+
+def test_asof_join_no_cartesian(spark):
+    import ltss_spark.plans as plans
+
+    df = plans.queries()["join_asof"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
