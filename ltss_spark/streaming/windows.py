@@ -80,8 +80,9 @@ def streaming_session_windows(
     gap: str = "30 minutes",
 ) -> DataFrame:
     """stream_window_session: per-user activity episodes; a session closes
-    when the next event is >= gap after the previous one (window end is
-    exclusive: end = last_event + gap). State per OPEN session only —
+    when the next event is STRICTLY more than ``gap`` after the previous one
+    (an event landing exactly on the previous window's end merges into it;
+    end = last_event + gap). State per OPEN session only —
     the 100 TB shape for "episode" detection the reference's schema can
     only express as a post-hoc gaps-and-islands SQL query."""
     raw = bounded_events_stream(spark, source_dir)

@@ -196,3 +196,85 @@ def test_embedding_dup_pairs_symmetric_and_thresholded(spark):
         if i < j and round(cos(vecs[i], vecs[j]), 6) >= 0.25
     }
     assert {(r.id_a, r.id_b) for r in got} == want
+
+
+def test_interpolate_matches_duckdb_on_random_data(spark):
+    """Randomized differential: linear interpolation == DuckDB window SQL,
+    including leading/trailing gaps (stay NULL) and multi-day holes."""
+    rng = random.Random(11)
+    rows = [
+        (k, dt.datetime(2024, 1, 1) + dt.timedelta(days=rng.randrange(0, 20), hours=rng.randrange(24)), round(rng.uniform(-50, 50), 2))
+        for k in "abc"
+        for _ in range(rng.randrange(3, 9))
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    from ltss_spark.functions.numeric import dsum
+    from ltss_spark.operators.gapfill import time_bucket_interpolate
+
+    got = (
+        time_bucket_interpolate(df, "ts", ["k"], dsum("v", 2), "1 day")
+        .select("k", "bucket_ts", F.round("interp_value", 6).alias("iv"))
+        .toPandas()
+        .sort_values(["k", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("raw", pd.DataFrame(rows, columns=["k", "ts", "v"]))
+    want = con.execute(
+        """
+        WITH agg AS (
+          SELECT k, date_trunc('day', ts) AS bucket_ts,
+                 CAST(SUM(CAST(round(v, 2) AS DECIMAL(38,2))) AS DOUBLE) AS av
+          FROM raw GROUP BY 1, 2
+        ),
+        bounds AS (SELECT MIN(bucket_ts) mn, MAX(bucket_ts) mx FROM agg),
+        grid AS (
+          SELECT k, d.bucket_ts
+          FROM (SELECT DISTINCT k FROM agg),
+               (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket_ts FROM bounds) d
+        ),
+        j AS (SELECT g.k, g.bucket_ts, a.av FROM grid g LEFT JOIN agg a USING (k, bucket_ts)),
+        br AS (
+          SELECT k, bucket_ts, av,
+                 last_value(av IGNORE NULLS) OVER wb AS pv,
+                 last_value(CASE WHEN av IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wb AS pt,
+                 first_value(av IGNORE NULLS) OVER wa AS nv,
+                 first_value(CASE WHEN av IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER wa AS nt
+          FROM j
+          WINDOW wb AS (PARTITION BY k ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wa AS (PARTITION BY k ORDER BY bucket_ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT k, bucket_ts,
+               round(CASE WHEN av IS NOT NULL THEN av
+                          WHEN pv IS NOT NULL AND nv IS NOT NULL
+                          THEN pv + (nv - pv) * ((epoch_us(bucket_ts) - epoch_us(pt))
+                                                 / (epoch_us(nt) - epoch_us(pt)))
+                     END, 6) AS iv
+        FROM br ORDER BY k, bucket_ts
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_session_window_boundary_merges(spark):
+    """An event at EXACTLY prev_ts + gap MERGES into the session (verified
+    Spark semantics; the oracle's strict > INTERVAL mirror encodes the same
+    rule), while one strictly past it starts a new session."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0)),
+        (1, dt.datetime(2024, 1, 1, 0, 30)),   # == prev + gap -> merges
+        (1, dt.datetime(2024, 1, 1, 0, 59)),   # < prev + gap  -> merges
+        (1, dt.datetime(2024, 1, 1, 2, 0)),    # > prev + gap  -> new session
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+        .orderBy("s")
+        .collect()
+    )
+    assert [(str(r.s), str(r.e), r.n) for r in got] == [
+        ("2024-01-01 00:00:00", "2024-01-01 01:29:00", 3),
+        ("2024-01-01 02:00:00", "2024-01-01 02:30:00", 1),
+    ]
