@@ -112,54 +112,68 @@ def cosine_topk_lsh(
     planes = [
         [ _hyperplane(t, b, dim) for b in range(bits) ] for t in range(tables)
     ]
-
-    def signature(vec: Column, t: int) -> Column:
-        bits_c = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(x) for x in planes[t][b]]),
-                        lambda v, p: v.cast("double") * p,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for b in range(bits)
+    # ONE nested literal (tables x bits x dim) walked by higher-order
+    # functions: the dot-product expression is built once and applied per
+    # element, instead of tables*bits inlined copies of a dim-literal
+    # array — the latter made codegen compile-time dominate the query.
+    planes_lit = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                F.array(
+                    *[F.array(*[F.lit(x) for x in planes[t][b]]) for b in range(bits)]
+                ).alias("planes"),
+            )
+            for t in range(tables)
         ]
-        return F.concat(*bits_c)
+    )
+
+    def table_sigs(vec: Column) -> Column:
+        def sig_for(tbl: Column) -> Column:
+            bits_arr = F.transform(
+                tbl.getField("planes"),
+                lambda plane: F.when(
+                    F.aggregate(
+                        F.zip_with(vec, plane, lambda v, p: v.cast("double") * p),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0")),
+            )
+            return F.struct(
+                tbl.getField("table").alias("table"),
+                F.array_join(bits_arr, "").alias("sig"),
+            )
+
+        return F.transform(planes_lit, sig_for)
 
     def with_sigs(df: DataFrame, ident: str) -> DataFrame:
-        sigs = F.array(
-            *[
-                F.struct(F.lit(t).alias("table"), signature(F.col(vec_col), t).alias("sig"))
-                for t in range(tables)
-            ]
-        )
         return df.select(
             F.col(id_col).alias(ident), F.col(vec_col).alias(f"{ident}_vec"),
-            F.explode(sigs).alias("ts"),
+            F.explode(table_sigs(F.col(vec_col))).alias("ts"),
         ).select(ident, f"{ident}_vec", F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig"))
 
     qs = with_sigs(queries, "query_id")
     cs = with_sigs(corpus, "candidate_id")
-    cand = (
+    # score per collision row, then dedupe multi-table collisions by id —
+    # a distinct over the raw vector columns would hash 64-float arrays
+    # through a shuffle; re-scoring a duplicate pair is far cheaper
+    scored = (
         cs.join(F.broadcast(qs), ["table", "sig"])
         .filter(F.col("candidate_id") != F.col("query_id"))
-        .select("query_id", "query_id_vec", "candidate_id", "candidate_id_vec")
-        .distinct()
-    )
-    scored = cand.select(
-        "query_id",
-        "candidate_id",
-        F.round(
-            _dot(F.col("query_id_vec"), F.col("candidate_id_vec"))
-            / (_norm(F.col("query_id_vec")) * _norm(F.col("candidate_id_vec"))),
-            6,
-        ).alias("cosine"),
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(
+                _dot(F.col("query_id_vec"), F.col("candidate_id_vec"))
+                / (_norm(F.col("query_id_vec")) * _norm(F.col("candidate_id_vec"))),
+                6,
+            ).alias("cosine"),
+        )
+        .groupBy("query_id", "candidate_id")
+        .agg(F.first("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("candidate_id").asc()
