@@ -94,3 +94,75 @@ def documents_as_assets(docs: DataFrame) -> DataFrame:
         F.encode(F.col("text"), "utf-8").cast("binary").alias("payload"),
         F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("out_w", T.IntegerType(), True),
+        T.StructField("out_h", T.IntegerType(), True),
+        T.StructField("thumb_sha", T.StringType(), True),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, max_side: int = 32) -> DataFrame:
+    """mapInPandas resize: decode (stubbed), clamp the longer side to
+    ``max_side`` preserving aspect (integer floor), emit a deterministic
+    'thumbnail' hash (sha256 of payload + out dims — stands in for the
+    resized pixel buffer; only _decode/_resample change on a real
+    cluster). Narrow transform: no shuffle, scales with input splits."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                w, h = _decode_image_impl(p)
+                scale = min(1.0, max_side / max(w, h))
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                thumb = hashlib.sha256(p + f":{ow}x{oh}".encode()).hexdigest()
+                rows.append((aid, w, h, ow, oh, thumb))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "width", "height", "out_w", "out_h", "thumb_sha"]
+            ).astype({"width": "int32", "height": "int32", "out_w": "int32", "out_h": "int32"})
+
+    return assets.mapInPandas(fn, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("frame_sha", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 4) -> DataFrame:
+    """mapInPandas frame sampling: one input 'video' row fans out to one
+    row per sampled frame (frame count decoded from the payload — stubbed
+    deterministically as len(payload) % 32 + 1). The table-function shape
+    for multimodal decode: variable fan-out, still a narrow transform."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                n_frames = len(p) % 32 + 1
+                for idx in range(0, n_frames, every_n):
+                    sha = hashlib.sha256(p + f":f{idx}".encode()).hexdigest()
+                    rows.append((aid, n_frames, idx, sha))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "n_frames", "frame_idx", "frame_sha"]
+            ).astype({"n_frames": "int32", "frame_idx": "int32"})
+
+    return assets.mapInPandas(fn, schema=FRAME_SCHEMA)

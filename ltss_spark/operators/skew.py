@@ -1,0 +1,70 @@
+"""Skew-safe aggregation patterns (SURVEY.md §7 '100 TB posture': salting
+for skew).
+
+The driver's events table is the canonical skew case: 100k+ rows over FIVE
+event_type keys — a naive groupBy(event_type) funnels everything through
+five reduce tasks. Two mitigations, both plain DataFrame compositions:
+
+- algebraic aggs (count/sum/min/max): Spark's map-side partial aggregation
+  already bounds reducer input to #maps x #keys — nothing to do;
+- NON-algebraic aggs (exact distinct, collect-style): pre-aggregate on
+  (key, salt) first so the heavy key's state is built by many tasks, then
+  combine per key. For exact COUNT(DISTINCT v) the natural salt IS v
+  itself: groupBy(key, v) -> groupBy(key) count — every stage's
+  parallelism scales with data, not with |keys|.
+
+AQE's skew-join splitting covers the join side of the same problem
+(enabled in ltss_spark.session).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def skew_safe_distinct_count(
+    df: DataFrame,
+    key_cols: list[str],
+    distinct_col: str,
+    extra_aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Exact COUNT(DISTINCT distinct_col) per key via two-phase
+    aggregation: phase 1 dedups on (key, value) with parallelism
+    |distinct pairs|, phase 2 counts per key. Equivalent to
+    ``countDistinct`` but never builds a distinct-set on a single reducer
+    for a hot key — the exact-distinct analogue of salting.
+    """
+    phase1 = df.groupBy(*key_cols, distinct_col).agg(
+        F.count(F.lit(1)).alias("__n_rows")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias(f"n_{distinct_col}"),
+        F.sum("__n_rows").alias("n_rows"),
+    ]
+    if extra_aggs:
+        aggs.extend(extra_aggs)
+    return phase1.groupBy(*key_cols).agg(*aggs)
+
+
+def salted_two_phase_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    salt_col: Column,
+    partials: dict[str, Column],
+    finals: dict[str, Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Generic salted aggregation: phase 1 groups by (key, salt) computing
+    ``partials``; phase 2 groups by key combining them with ``finals``.
+    ``salt_col`` must be deterministic per row (e.g. pmod(crc32(id), n));
+    the result is invariant to the salt assignment. Use when the
+    per-key state itself is large (exact distinct handled more simply by
+    skew_safe_distinct_count)."""
+    salted = df.withColumn("__salt", F.pmod(salt_col, F.lit(salt_buckets)))
+    p1 = salted.groupBy(*key_cols, "__salt").agg(
+        *[c.alias(name) for name, c in partials.items()]
+    )
+    return p1.groupBy(*key_cols).agg(
+        *[c.alias(name) for name, c in finals.items()]
+    )

@@ -610,3 +610,25 @@ def fn_json(spark, sf_dir):
         .select("event_id", k.alias("k_val"))
         .filter(F.col("k_val") > 50)
     )
+
+
+@register(
+    "agg_skew_distinct",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_user_id,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY event_type
+    """,
+    survey="agg_distinct (skew-safe two-phase exact distinct — the salting pattern)",
+)
+def agg_skew_distinct(spark, sf_dir):
+    """events is the canonical skew case (100k+ rows, 5 hot keys): a naive
+    per-key distinct funnels each key through one reducer. The two-phase
+    form dedups on (key, value) first — parallelism follows the data."""
+    from ltss_spark.operators.skew import skew_safe_distinct_count
+
+    return skew_safe_distinct_count(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id"
+    )

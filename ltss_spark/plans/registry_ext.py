@@ -455,3 +455,60 @@ def ext_multimodal(spark, sf_dir):
     from ltss_spark.functions.multimodal import documents_as_assets, extract_features
 
     return extract_features(documents_as_assets(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "ext_multimodal_resize",
+    f"""
+    WITH a AS (
+      SELECT doc_id AS asset_id, text, md5(text) AS h FROM documents
+    ),
+    dims AS (
+      SELECT asset_id, text,
+             16 + ({_hex_byte('h', 1)} % 64) AS w,
+             16 + ({_hex_byte('h', 3)} % 64) AS h2
+      FROM a
+    ),
+    scaled AS (
+      SELECT asset_id, text, w, h2,
+             least(1.0, 32.0 / greatest(w, h2)) AS scale
+      FROM dims
+    )
+    SELECT asset_id,
+           CAST(w AS INT) AS width,
+           CAST(h2 AS INT) AS height,
+           CAST(greatest(1, CAST(trunc(w * scale) AS INT)) AS INT) AS out_w,
+           CAST(greatest(1, CAST(trunc(h2 * scale) AS INT)) AS INT) AS out_h,
+           sha256(text || ':' || CAST(greatest(1, CAST(trunc(w * scale) AS INT)) AS VARCHAR)
+                       || 'x' || CAST(greatest(1, CAST(trunc(h2 * scale) AS INT)) AS VARCHAR))
+             AS thumb_sha
+    FROM scaled
+    """,
+    survey="ext_multimodal udf_scalar (mapInPandas resize, aspect-preserving)",
+)
+def ext_multimodal_resize(spark, sf_dir):
+    from ltss_spark.functions.multimodal import documents_as_assets, resize_images
+
+    return resize_images(documents_as_assets(_t(spark, sf_dir, "documents")), max_side=32)
+
+
+@register(
+    "ext_multimodal_frames",
+    """
+    WITH a AS (
+      SELECT doc_id AS asset_id, text,
+             octet_length(encode(text)) % 32 + 1 AS n_frames
+      FROM documents
+    )
+    SELECT asset_id,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST(g.i AS INT) AS frame_idx,
+           sha256(text || ':f' || CAST(g.i AS VARCHAR)) AS frame_sha
+    FROM a, UNNEST(generate_series(0, n_frames - 1, 4)) AS g(i)
+    """,
+    survey="ext_multimodal udtf (mapInPandas frame sampling, variable fan-out)",
+)
+def ext_multimodal_frames(spark, sf_dir):
+    from ltss_spark.functions.multimodal import documents_as_assets, sample_frames
+
+    return sample_frames(documents_as_assets(_t(spark, sf_dir, "documents")), every_n=4)
