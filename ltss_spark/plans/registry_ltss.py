@@ -496,3 +496,43 @@ def sql_select(spark, sf_dir):
         LIMIT 10
         """
     )
+
+
+@register(
+    "sql_q10",
+    f"""
+    SELECT c_custkey, c_name,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1998-01-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    survey="B1 join_inner join_broadcast agg_basic limit (TPC-H Q10 shape)",
+)
+def sql_q10(spark, sf_dir):
+    """B1 depth check: 4-table star join + aggregate + deterministic top-20
+    through the SQL entry point. Catalyst broadcasts nation automatically
+    (AQE size estimate); the fact-side joins shuffle on their keys."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+               c_acctbal, n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1998-01-01'
+          AND l_returnflag = 'R'
+          AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+        """
+    )

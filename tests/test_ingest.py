@@ -165,3 +165,61 @@ def test_filter_both_exclude_refines_include_domain(spark):
         exclude_entities=("sensor.temp_attic",),
     )
     assert _apply(spark, flt) == {"sensor.temp_kitchen", "sensor.weather_wind"}
+
+
+def test_glob_to_regex_matches_fnmatch_property():
+    """Property: our glob compiler agrees with Python's fnmatch (an
+    independent model of HA's glob semantics) on randomized patterns and
+    candidates — including regex metacharacters in literals."""
+    import fnmatch
+    import random
+    import re
+
+    from ltss_spark.ingest import glob_to_regex
+
+    rng = random.Random(31)
+    alphabet = "ab._*?+[]()d"
+    for _ in range(500):
+        pat = "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 8)))
+        # fnmatch treats [seq] as a character class; HA globs (and ours)
+        # treat [ ] literally — skip patterns where the models diverge
+        if "[" in pat or "]" in pat:
+            continue
+        cand = "".join(rng.choice("ab._d") for _ in range(rng.randrange(0, 8)))
+        got = re.fullmatch(glob_to_regex(pat)[1:-1], cand) is not None
+        want = fnmatch.fnmatchcase(cand, pat)
+        assert got == want, f"pattern={pat!r} candidate={cand!r} got={got} want={want}"
+
+
+def test_dedup_primary_key_invariants(spark):
+    """Property on random data: exactly one row per (time, entity_id), and
+    with a tie-breaker the survivor is the max-tie-breaker row."""
+    import datetime as dt
+    import random
+
+    from ltss_spark.ingest import dedup_primary_key
+
+    rng = random.Random(13)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            base + dt.timedelta(seconds=rng.randrange(5)),
+            f"e{rng.randrange(3)}",
+            f"s{i}",
+            i,
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "time timestamp, entity_id string, state string, event_id long")
+    out = dedup_primary_key(df, tie_breaker="event_id").collect()
+    seen = {}
+    for r in out:
+        key = (r.time, r.entity_id)
+        assert key not in seen, f"duplicate PK {key}"
+        seen[key] = r.event_id
+    # survivor check against a python-side model
+    want = {}
+    for t, e, _s, i in rows:
+        key = (t, e)
+        want[key] = max(want.get(key, -1), i)
+    assert {k: v for k, v in seen.items()} == want
