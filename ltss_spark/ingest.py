@@ -21,7 +21,7 @@ import re
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 
 #: canonical fact-table columns (reference models.py:30-35; location
 #: flattened to lon/lat doubles — Spark has no geometry type, SURVEY §1.1 B7)
@@ -160,11 +160,15 @@ def dedup_primary_key(df: DataFrame, tie_breaker: str | None = None) -> DataFram
     """
     if tie_breaker is None:
         return df.dropDuplicates(["time", "entity_id"])
-    w = Window.partitionBy("time", "entity_id").orderBy(F.col(tie_breaker).desc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    # ONE hash aggregation (max_by over the packed row) instead of a
+    # row_number window: no per-group sort, O(1) state per PK — the shape
+    # that survives 100 TB of mostly-unique keys
+    others = [c for c in df.columns if c not in ("time", "entity_id")]
+    packed = df.groupBy("time", "entity_id").agg(
+        F.max_by(F.struct(*others), F.col(tie_breaker)).alias("__row")
+    )
+    return packed.select(
+        "time", "entity_id", *[F.col(f"__row.{c}").alias(c) for c in others]
     )
 
 
