@@ -152,3 +152,45 @@ def test_asof_join_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_registry_wide_plan_audit(spark):
+    """Every registered batch operator's physical plan is free of scale
+    anti-patterns: no CartesianProduct anywhere; BroadcastNestedLoopJoin
+    only where a tiny side is intentionally replicated (similarity probe
+    sets, dense-grid builders, theta join); Python eval nodes only in the
+    deliberate UDF/multimodal surface."""
+    import ltss_spark.plans as plans
+
+    PY_OK = {
+        "udf_scalar", "udaf", "udtf",
+        "ext_multimodal", "ext_multimodal_resize", "ext_multimodal_frames",
+    }
+    BNL_OK = {
+        "ext_sim_search", "ext_sim_search_lsh", "ext_sim_search_ivf",
+        "ext_dedup_embed", "join_theta", "ts_gapfill", "ts_interpolate",
+        "join_asof",
+    }
+    # streaming/sink entries run real side-effecting queries — covered by
+    # their own tests
+    SKIP = {
+        "stream_ingest", "scan_stream", "stream_window_tumbling",
+        "stream_window_sliding", "stream_window_session", "stream_dedup",
+        "stream_stateful", "stream_late_drop", "sink_partitioned",
+        "sink_append", "ddl_migrate",
+    }
+    offenders = []
+    for q in plans.REGISTRY:
+        if q.name in SKIP:
+            continue
+        plan = _plan(q.build(spark, SF_SMOKE))
+        if "CartesianProduct" in plan:
+            offenders.append(f"{q.name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and q.name not in BNL_OK:
+            offenders.append(f"{q.name}: BroadcastNestedLoopJoin")
+        if (
+            any(m in plan for m in ("BatchEvalPython", "ArrowEvalPython"))
+            and q.name not in PY_OK
+        ):
+            offenders.append(f"{q.name}: Python eval in plan")
+    assert not offenders, offenders
