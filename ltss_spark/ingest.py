@@ -176,6 +176,33 @@ def dedup_primary_key(df: DataFrame, tie_breaker: str | None = None) -> DataFram
 # The full event -> canonical-state transform
 # ---------------------------------------------------------------------------
 
+def split_dead_letter(
+    df: DataFrame,
+    entity_col: str = "entity_id",
+    state_col: str = "state",
+) -> tuple[DataFrame, DataFrame]:
+    """A10 error policy (reference __init__.py:212-216, 229-235) as data:
+    the reference *drops* bad events with a log line; we divert them to a
+    dead-letter DataFrame with a machine-readable reason — same pipeline,
+    nothing silently lost, and the dead-letter side can be re-driven after
+    a fix. Returns (valid, dead); ``dead`` carries a ``reject_reason``.
+
+    One pass, two filters over the same scan: Spark caches nothing here —
+    at scale, write both sides from one ``foreachBatch`` body instead of
+    re-scanning.
+    """
+    reason = (
+        F.when(F.col(entity_col).isNull(), F.lit("null_entity_id"))
+        .when(F.col(state_col).isNull(), F.lit("null_state"))
+        .when(F.col(state_col) == "unknown", F.lit("unknown_state"))
+    )
+    dead = df.withColumn("reject_reason", reason).filter(
+        F.col("reject_reason").isNotNull()
+    )
+    valid = df.filter(valid_event_expr(entity_col, state_col))
+    return valid, dead
+
+
 def events_to_states(
     events: DataFrame,
     entity_filter: EntityFilter | None = None,

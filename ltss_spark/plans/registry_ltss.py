@@ -536,3 +536,40 @@ def sql_q10(spark, sf_dir):
         LIMIT 20
         """
     )
+
+
+@register(
+    "ltss_deadletter",
+    f"""
+    WITH {_STATES_CTE},
+    corrupted AS (
+      SELECT time, event_id,
+             CASE WHEN event_id % 11 = 0 THEN NULL ELSE entity_id END AS entity_id,
+             CASE WHEN event_id % 7 = 0 THEN 'unknown' ELSE state END AS state
+      FROM states
+    )
+    SELECT time, event_id, entity_id, state,
+           CASE WHEN entity_id IS NULL THEN 'null_entity_id'
+                WHEN state IS NULL THEN 'null_state'
+                WHEN state = 'unknown' THEN 'unknown_state' END AS reject_reason
+    FROM corrupted
+    WHERE entity_id IS NULL OR state IS NULL OR state = 'unknown'
+    """,
+    survey="A2 A10 stream_late_drop(batch form) (dead-letter divert with reasons)",
+)
+def ltss_deadletter(spark, sf_dir):
+    """The reference drops unserializable/invalid events with a log line
+    (__init__.py:212-216); here they divert to a dead-letter table with a
+    reject_reason. Invalid rows are synthesized deterministically (the
+    driver's events are all clean), then split by the REAL policy."""
+    from ltss_spark.ingest import split_dead_letter
+
+    states = states_from_events(_t(spark, sf_dir, "events"))
+    corrupted = states.select(
+        "time",
+        "event_id",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(F.col("entity_id")).alias("entity_id"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("unknown")).otherwise(F.col("state")).alias("state"),
+    )
+    _valid, dead = split_dead_letter(corrupted)
+    return dead.select("time", "event_id", "entity_id", "state", "reject_reason")

@@ -223,3 +223,30 @@ def test_dedup_primary_key_invariants(spark):
         key = (t, e)
         want[key] = max(want.get(key, -1), i)
     assert {k: v for k, v in seen.items()} == want
+
+
+def test_split_dead_letter_partition(spark):
+    """valid + dead partition the input exactly; reasons follow the
+    first-failing-rule order."""
+    import datetime as dt
+
+    from ltss_spark.ingest import split_dead_letter
+
+    rows = [
+        (dt.datetime(2024, 1, 1), "a.x", "1.0"),
+        (dt.datetime(2024, 1, 1), None, "2.0"),
+        (dt.datetime(2024, 1, 1), "b.y", None),
+        (dt.datetime(2024, 1, 1), "c.z", "unknown"),
+        (dt.datetime(2024, 1, 1), None, "unknown"),  # first rule wins
+    ]
+    df = spark.createDataFrame(rows, "time timestamp, entity_id string, state string")
+    valid, dead = split_dead_letter(df)
+    assert valid.count() + dead.count() == df.count()
+    reasons = {
+        (r.entity_id, r.state): r.reject_reason for r in dead.collect()
+    }
+    assert reasons[(None, "2.0")] == "null_entity_id"
+    assert reasons[("b.y", None)] == "null_state"
+    assert reasons[("c.z", "unknown")] == "unknown_state"
+    assert reasons[(None, "unknown")] == "null_entity_id"
+    assert valid.collect()[0].entity_id == "a.x"
