@@ -512,3 +512,45 @@ def ext_multimodal_frames(spark, sf_dir):
     from ltss_spark.functions.multimodal import documents_as_assets, sample_frames
 
     return sample_frames(documents_as_assets(_t(spark, sf_dir, "documents")), every_n=4)
+
+
+@register(
+    "ext_token_topk",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest({_TOKS}) AS token FROM documents
+    ),
+    counts AS (
+      SELECT lang, token, COUNT(*) AS n
+      FROM toks WHERE token <> '' GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT lang, token, n,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, token ASC) AS INT) AS rank
+      FROM counts
+    )
+    SELECT lang, token, n, rank FROM ranked WHERE rank <= 10
+    """,
+    survey="ext_text_stats topk_group fn_string (corpus token frequency top-k)",
+)
+def ext_token_topk(spark, sf_dir):
+    """Top-10 tokens per language — the vocabulary/frequency pass every
+    corpus pipeline runs. Explode -> two-level hash aggregation (partial
+    map-side combine bounds shuffle volume by |vocab|, not |tokens|) ->
+    per-key top-k window over the counted (small) side only."""
+    from ltss_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+    counts = (
+        toks.filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "token", "n", "rank")
+    )

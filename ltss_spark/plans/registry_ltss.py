@@ -573,3 +573,41 @@ def ltss_deadletter(spark, sf_dir):
     )
     _valid, dead = split_dead_letter(corrupted)
     return dead.select("time", "event_id", "entity_id", "state", "reject_reason")
+
+
+@register(
+    "ltss_json_contains",
+    f"""
+    WITH {_STATES_CTE},
+    enriched AS (
+      SELECT entity_id, time,
+             '{{"k": ' || CAST(event_id % 100 AS VARCHAR)
+               || ', "src": "' || split_part(entity_id, '.', 1) || '"}}' AS attributes
+      FROM states
+    )
+    SELECT entity_id, time, attributes
+    FROM enriched
+    WHERE json_extract_string(attributes, '$.k') = '42'
+      AND json_extract_string(attributes, '$.src') = 'purchase'
+    """,
+    survey="B5 fn_json (JSONB containment @> as conjunctive key equality)",
+)
+def ltss_json_contains(spark, sf_dir):
+    """Postgres ``attributes @> '{{"k": 42, "src": "purchase"}}'`` (the GIN
+    containment probe) == conjunction of extracted-key equalities — the
+    form Catalyst can push and parquet stats can skip on once hot keys are
+    materialized as typed columns at ingest (ARCHITECTURE.md)."""
+    states = states_from_events(_t(spark, sf_dir, "events"))
+    enriched = states.select(
+        "entity_id",
+        "time",
+        F.concat(
+            F.lit('{"k": '), (F.col("event_id") % 100).cast("string"),
+            F.lit(', "src": "'), F.split(F.col("entity_id"), r"\.").getItem(0),
+            F.lit('"}'),
+        ).alias("attributes"),
+    )
+    return enriched.filter(
+        (F.get_json_object("attributes", "$.k") == "42")
+        & (F.get_json_object("attributes", "$.src") == "purchase")
+    )

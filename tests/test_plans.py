@@ -194,3 +194,23 @@ def test_registry_wide_plan_audit(spark):
         ):
             offenders.append(f"{q.name}: Python eval in plan")
     assert not offenders, offenders
+
+
+def test_hostile_session_timezone_is_pinned():
+    """The driver passes its OWN session into queries(); if that session
+    runs in a non-UTC zone, pin_session_for_oracle must still make
+    timestamp results match the UTC-naive oracle (verify-skill probe)."""
+    from pyspark.sql import SparkSession
+
+    from ltss_spark.plans.parity import compare
+    import ltss_spark.plans as plans
+
+    spark = SparkSession.builder.master("local[4]").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    q = {x.name: x for x in plans.REGISTRY}["stream_window_tumbling"]
+    # a timestamp-producing query: bucket starts would shift by 5h if the
+    # session zone leaked into date_trunc/window
+    df = q.build(spark, SF_SMOKE)
+    ok, msg = compare(df, q.oracle, SF_SMOKE)
+    assert ok, msg
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
