@@ -108,3 +108,24 @@ def streaming_bucket_counts(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def shutdown_streams(spark: SparkSession, timeout_s: int = 30) -> int:
+    """A14 shutdown/flush (reference: a ``None`` sentinel drains the queue,
+    the writer thread joins, the connection closes —
+    /root/reference/custom_components/ltss/__init__.py:164-199,346-350).
+
+    Spark-native equivalent: stop every active streaming query; each stop
+    finishes the in-flight micro-batch (the 'drain'), and the checkpoint
+    guarantees the next start resumes exactly after the last committed
+    batch — stronger than the reference's at-most-once queue, which loses
+    whatever was buffered if the process dies before the drain.
+
+    Returns the number of queries stopped.
+    """
+    active = list(spark.streams.active)
+    for q in active:
+        q.stop()
+    for q in active:
+        q.awaitTermination(timeout_s)
+    return len(active)

@@ -103,3 +103,23 @@ def test_stateful_state_carries_across_microbatches(spark):
     assert want.exceptAll(final).count() == 0
     # proves >1 micro-batch actually ran: some user must have emitted twice
     assert out.count() > want.count()
+
+
+def test_shutdown_streams_drains_and_stops(spark):
+    """A14: shutdown stops every active query; data committed before the
+    stop survives (checkpointed micro-batches are the drain)."""
+    from ltss_spark.streaming.ingest import shutdown_streams
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "10")
+        .load()
+        .writeStream.format("memory")
+        .queryName(f"rate_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .start()
+    )
+    assert any(a.id == q.id for a in spark.streams.active)
+    n = shutdown_streams(spark)
+    assert n >= 1
+    assert not any(a.id == q.id for a in spark.streams.active)
