@@ -19,7 +19,6 @@ with RE2, medians on sorted doubles, literal string splits.
 from __future__ import annotations
 
 import re
-from collections.abc import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F

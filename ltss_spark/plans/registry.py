@@ -23,9 +23,9 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
-from ltss_spark.functions.numeric import davg, dsum, oracle_davg, oracle_dsum
+from ltss_spark.functions.numeric import dsum, oracle_dsum
 from ltss_spark.session import pin_session_for_oracle
 from ltss_spark.sources.batch import load_table
 

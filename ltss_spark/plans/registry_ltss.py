@@ -10,14 +10,13 @@ import tempfile
 import uuid
 
 import pyspark.sql.functions as F
-from pyspark.sql import Window
 
 from ltss_spark.functions.numeric import dsum, oracle_dsum
 from ltss_spark.ingest import STATES_FROM_EVENTS_SQL, dedup_primary_key, states_from_events
 from ltss_spark.operators.asof import asof_join
 from ltss_spark.operators.gapfill import time_bucket_gapfill, time_bucket_interpolate
 from ltss_spark.operators.geo import haversine_km, in_bbox
-from ltss_spark.operators.timeseries import latest_state, time_bucket_agg, time_in_state
+from ltss_spark.operators.timeseries import time_bucket_agg, time_in_state
 from ltss_spark.plans.registry import _t, register
 
 #: oracle CTE for the canonical state table (mirrors states_from_events)

@@ -8,7 +8,6 @@ import random
 import duckdb
 import pandas as pd
 import pyspark.sql.functions as F
-import pytest
 
 from tests.conftest import SF_SMOKE
 
