@@ -36,16 +36,20 @@ def time_bucket_gapfill(
     aliased here). Buckets with no input rows appear with agg_value NULL and
     filled_value carried forward from the previous non-empty bucket.
     """
+    # window().start is the epoch-aligned bucket floor for ANY interval —
+    # the general time_bucket, not just date_trunc's calendar units
+    bucket_start = F.window(F.col(time_col), bucket).getField("start")
     bucketed = (
-        df.groupBy(*key_cols, F.date_trunc("day" if "day" in bucket else "hour", F.col(time_col)).alias("bucket_ts"))
+        df.groupBy(*key_cols, bucket_start.alias("bucket_ts"))
         .agg(agg.alias("agg_value"))
     )
     bounds = bucketed.agg(
         F.min("bucket_ts").alias("mn"), F.max("bucket_ts").alias("mx")
     )
-    step = "interval 1 day" if "day" in bucket else "interval 1 hour"
     grid_times = bounds.select(
-        F.explode(F.sequence(F.col("mn"), F.col("mx"), F.expr(step))).alias("bucket_ts")
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr(f"INTERVAL {bucket}"))
+        ).alias("bucket_ts")
     )
     keys = bucketed.select(*key_cols).distinct()
     # both sides of this cross join are tiny (distinct keys x bucket count);

@@ -277,3 +277,32 @@ def test_session_window_boundary_merges(spark):
         ("2024-01-01 00:00:00", "2024-01-01 01:29:00", 3),
         ("2024-01-01 02:00:00", "2024-01-01 02:30:00", 1),
     ]
+
+
+def test_gapfill_arbitrary_interval(spark):
+    """time_bucket_gapfill accepts ANY interval (TimescaleDB time_bucket
+    parity), not just calendar units: 15-minute buckets, epoch-aligned,
+    dense grid with LOCF."""
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 7), 1.0),
+        ("a", dt.datetime(2024, 1, 1, 1, 2), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    from ltss_spark.functions.numeric import dsum
+    from ltss_spark.operators.gapfill import time_bucket_gapfill
+
+    out = (
+        time_bucket_gapfill(df, "ts", ["k"], dsum("v", 2), "15 minutes")
+        .orderBy("bucket_ts")
+        .collect()
+    )
+    starts = [str(r.bucket_ts) for r in out]
+    assert starts == [
+        "2024-01-01 00:00:00",
+        "2024-01-01 00:15:00",
+        "2024-01-01 00:30:00",
+        "2024-01-01 00:45:00",
+        "2024-01-01 01:00:00",
+    ]
+    assert [r.filled_value for r in out] == [1.0, 1.0, 1.0, 1.0, 4.0]
+    assert [r.is_gap for r in out] == [False, True, True, True, False]
