@@ -94,3 +94,66 @@ def asof_join(
         .alias(f"{on}{suffix}"),
     )
     return filled.filter(F.col("__is_probe") == 1).drop("__is_probe")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str],
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Forward as-of: for each left row, the EARLIEST right row with
+    ``right.on >= left.on`` in the same group (next-event attribution —
+    'which reading followed this probe'). Mirror of :func:`asof_join`:
+    same union, ``first(ignorenulls)`` over the FOLLOWING window; probes
+    sort before events at equal timestamps so coincident rows match (>=).
+    Same scale shape: one shuffle per side on the key, linear per-key scan.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    value_cols = value_cols or [
+        c for c in right.columns if c not in set(by) | {on}
+    ]
+    left_extras = [c for c in left.columns if c not in set(by) | {on}]
+    l_full = left.select(
+        *by,
+        F.col(on),
+        *[F.col(c) for c in left_extras],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+        F.lit(1).alias("__is_probe"),
+    )
+    r_full = right.select(
+        *by,
+        F.col(on),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extras],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.lit(0).alias("__is_probe"),
+    )
+    unioned = l_full.unionByName(r_full)
+    # probes sort BEFORE events at the same timestamp (__is_probe DESC) so a
+    # coincident right row is inside the forward frame (>=, not >)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__is_probe").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        *by,
+        F.col(on),
+        *left_extras,
+        "__is_probe",
+        *[
+            F.first(F.col(f"__r_{c}"), ignorenulls=True)
+            .over(w)
+            .alias(f"{c}{suffix}" if c in left.columns else c)
+            for c in value_cols
+        ],
+        F.first(F.when(F.col("__is_probe") == 0, F.col(on)), ignorenulls=True)
+        .over(w)
+        .alias(f"{on}{suffix}"),
+    )
+    return filled.filter(F.col("__is_probe") == 1).drop("__is_probe")

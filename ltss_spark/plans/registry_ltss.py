@@ -610,3 +610,40 @@ def ltss_json_contains(spark, sf_dir):
         (F.get_json_object("attributes", "$.k") == "42")
         & (F.get_json_object("attributes", "$.src") == "purchase")
     )
+
+
+@register(
+    "join_asof_fwd",
+    """
+    WITH probes AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    quotes AS (
+      SELECT user_id, ts, MAX(value) AS next_error_value
+      FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           q.next_error_value, q.ts AS ts_right
+    FROM probes p
+    ASOF LEFT JOIN quotes q
+      ON p.user_id = q.user_id AND p.ts <= q.ts
+    """,
+    survey="join_asof (forward direction: next-event attribution)",
+)
+def join_asof_fwd_q(spark, sf_dir):
+    """Forward as-of vs DuckDB ASOF with reversed comparison: for each
+    purchase, the user's EARLIEST error at or after it."""
+    from ltss_spark.operators.asof import asof_join_forward
+
+    e = _t(spark, sf_dir, "events")
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    quotes = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("next_error_value"))
+    )
+    return asof_join_forward(
+        probes, quotes, on="ts", by="user_id", value_cols=["next_error_value"]
+    )

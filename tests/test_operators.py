@@ -306,3 +306,47 @@ def test_gapfill_arbitrary_interval(spark):
     ]
     assert [r.filled_value for r in out] == [1.0, 1.0, 1.0, 1.0, 4.0]
     assert [r.is_gap for r in out] == [False, True, True, True, False]
+
+
+def test_asof_forward_matches_duckdb_on_random_data(spark):
+    """Forward as-of (earliest right >= probe) vs DuckDB ASOF with reversed
+    comparison, including coincident timestamps and never-matching probes."""
+    rng = random.Random(23)
+    base = dt.datetime(2024, 1, 1)
+    events, seen = [], set()
+    for i, k in enumerate(rng.choices("abcd", k=200)):
+        ts = base + dt.timedelta(seconds=rng.randrange(0, 10_000))
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            events.append((k, ts, float(i)))
+    probes = [
+        (i, k, base + dt.timedelta(seconds=rng.randrange(-100, 10_100)))
+        for i, k in enumerate(rng.choices("abcde", k=300))
+    ]
+    probes += [(1000 + j, events[j][0], events[j][1]) for j in range(10)]
+
+    edf = spark.createDataFrame(events, "key string, ts timestamp, val double")
+    pdf = spark.createDataFrame(probes, "probe_id long, key string, ts timestamp")
+
+    from ltss_spark.operators.asof import asof_join_forward
+
+    got = (
+        asof_join_forward(pdf, edf, on="ts", by="key", value_cols=["val"])
+        .select("probe_id", "val")
+        .toPandas()
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(events, columns=["key", "ts", "val"]))
+    con.register("p", pd.DataFrame(probes, columns=["probe_id", "key", "ts"]))
+    want = con.execute(
+        """
+        SELECT p.probe_id, e.val
+        FROM p ASOF LEFT JOIN e ON p.key = e.key AND p.ts <= e.ts
+        ORDER BY p.probe_id
+        """
+    ).df()
+    pd.testing.assert_series_equal(
+        got["val"], want["val"], check_dtype=False, check_names=False
+    )
