@@ -632,3 +632,94 @@ def agg_skew_distinct(spark, sf_dir):
     return skew_safe_distinct_count(
         _t(spark, sf_dir, "events"), ["event_type"], "user_id"
     )
+
+
+@register(
+    "agg_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      FROM lineitem WHERE l_orderkey < 100
+    )
+    UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+    """,
+    survey="udtf set_union (UNPIVOT/melt - wide measures to long form)",
+)
+def agg_unpivot(spark, sf_dir):
+    """Wide->long reshape (pandas melt / SQL UNPIVOT): each measure column
+    becomes a row. Map-side only (generate), no shuffle."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "metric",
+            "val",
+        )
+    )
+
+
+@register(
+    "win_distribution",
+    """
+    SELECT c_mktsegment, c_custkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+    survey="win_rank win_frame (distribution functions: ntile/percent_rank/cume_dist)",
+)
+def win_distribution(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "fn_conditional",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'urgent!') AS prio_or_flag,
+           least(o_custkey % 10 + 1, 5) AS prio_capped,
+           greatest(CAST(o_totalprice AS DOUBLE), 50000.0) AS floor_price,
+           CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END AS closed_status
+    FROM orders
+    """,
+    survey="fn_math filter_basic (CASE/coalesce/nullif/least/greatest)",
+)
+def fn_conditional(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("urgent!")
+        ).alias("prio_or_flag"),
+        F.least(F.col("o_custkey") % 10 + 1, F.lit(5)).alias("prio_capped"),
+        F.greatest(F.col("o_totalprice").cast("double"), F.lit(50000.0)).alias(
+            "floor_price"
+        ),
+        F.when(F.col("o_orderstatus") == "O", F.lit(None)).otherwise(
+            F.col("o_orderstatus")
+        ).alias("closed_status"),
+    )
