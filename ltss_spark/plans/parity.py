@@ -28,7 +28,14 @@ def duck_run(sql: str, sf_dir: str) -> pd.DataFrame:
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
+        if df[c].dtype == object and df[c].map(
+            lambda v: isinstance(v, (list, np.ndarray))
+        ).any():
+            # array-typed columns: tuples are hashable/comparable/sortable
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
             vals = df[c]
             if getattr(vals.dtype, "tz", None) is not None:
                 vals = vals.dt.tz_convert("UTC").dt.tz_localize(None)

@@ -723,3 +723,28 @@ def fn_conditional(spark, sf_dir):
             F.col("o_orderstatus")
         ).alias("closed_status"),
     )
+
+
+@register(
+    "agg_collect",
+    """
+    SELECT o_orderstatus,
+           list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    survey="agg_distinct fn_array (collect_set with deterministic ordering)",
+)
+def agg_collect(spark, sf_dir):
+    """Set aggregation surfaced as a SORTED array — the only
+    hash-comparable form (collect_set order is partition-dependent;
+    array_sort pins it)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
