@@ -729,7 +729,7 @@ def fn_conditional(spark, sf_dir):
     "agg_collect",
     """
     SELECT o_orderstatus,
-           list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities,
+           array_to_string(list(DISTINCT o_orderpriority ORDER BY o_orderpriority), '|') AS priorities,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM orders
     GROUP BY o_orderstatus
@@ -744,7 +744,9 @@ def agg_collect(spark, sf_dir):
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities"),
             F.count(F.lit(1)).alias("n"),
         )
     )
