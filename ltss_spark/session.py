@@ -60,6 +60,15 @@ def pin_session_for_oracle(spark: SparkSession) -> None:
     UTC session timezone keeps timestamp values identical to the DuckDB
     oracle's UTC-naive timestamps; nanosAsLong lets us read the driver's
     nanosecond-precision events table (converted in sources.batch).
+
+    Also pins the runtime-settable performance knobs: a foreign session may
+    carry the 200-partition default (50x too many tasks for local data) and
+    AQE off — both safely settable per-session at any time.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
