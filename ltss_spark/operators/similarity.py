@@ -229,6 +229,86 @@ def embedding_dup_pairs(
     )
 
 
+def stride_codebook(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Deterministic seed codebook: every stride-th vector by id — a single
+    filtered scan, no global sort. Columns (centroid_id, cent_vec, cent_nrm)."""
+    n = corpus.count()
+    stride = max(1, n // n_centroids)
+    return (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent_vec"))
+        .filter((F.col("cid") % stride == 0) & (F.col("cid") / stride < n_centroids))
+        .select(
+            (F.col("cid") / stride + 1).cast("int").alias("centroid_id"),
+            "cent_vec",
+            _norm(F.col("cent_vec")).alias("cent_nrm"),
+        )
+    )
+
+
+def kmeans_refine_codebook(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+) -> DataFrame:
+    """Lloyd iterations over the coarse codebook, all DataFrame ops: assign
+    every vector to its nearest centroid (broadcast codebook, argmax
+    cosine), then recompute each centroid as the per-dimension mean of its
+    members (posexplode -> (centroid, dim) hash agg -> array rebuild).
+    Work per iter: one narrow assignment pass + one |V| x dim shuffle of
+    scalar triples — no vector ever crosses the wire twice. Empty clusters
+    keep their previous centroid (standard k-means practice)."""
+    for _ in range(iters):
+        assigned = (
+            corpus.select(
+                F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+                _norm(F.col(vec_col)).alias("nrm"),
+            )
+            .join(F.broadcast(codebook), how="cross")
+            .select(
+                "vid", "vec",
+                "centroid_id",
+                (_dot(F.col("vec"), F.col("cent_vec")) / (F.col("nrm") * F.col("cent_nrm"))).alias("c"),
+            )
+            .groupBy("vid")
+            .agg(
+                F.max_by("centroid_id", F.struct(F.col("c"), -F.col("centroid_id"))).alias("centroid_id"),
+                F.first("vec").alias("vec"),
+            )
+        )
+        dims = assigned.select(
+            "centroid_id", F.posexplode(F.col("vec")).alias("pos", "val")
+        )
+        means = (
+            dims.groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("cent_vec")
+            )
+        )
+        # empty clusters: keep the old centroid
+        kept = codebook.select("centroid_id", F.col("cent_vec").alias("old_vec"))
+        codebook = (
+            kept.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("cent_vec"), F.col("old_vec")).alias("cent_vec"),
+            )
+            .select("centroid_id", "cent_vec", _norm(F.col("cent_vec")).alias("cent_nrm"))
+        )
+    return codebook
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -237,12 +317,13 @@ def cosine_topk_ivf(
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    train_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer — the
     FAISS-IVF-flat shape re-expressed as DataFrame ops.
 
-    - Codebook: every ceil(|V|/n_centroids)-th vector by id (deterministic
-      sample; a k-means codebook drops in without changing the plan).
+    - Codebook: stride-sampled seeds, optionally refined with
+      ``train_iters`` Lloyd iterations (:func:`kmeans_refine_codebook`).
     - Assignment: corpus x broadcast(codebook) -> argmax cosine per vector
       (one narrow pass, |V| x C comparisons, no shuffle of the corpus).
     - Search: each query probes its nprobe nearest centroids and scores
@@ -252,19 +333,11 @@ def cosine_topk_ivf(
     With nprobe == n_centroids the result is EXACTLY brute force (tested);
     recall degrades gracefully as nprobe shrinks.
     """
-    n = corpus.count()
-    stride = max(1, n // n_centroids)
-    # deterministic codebook: every stride-th vector by id — a single
-    # filtered scan, no global sort; a k-means codebook drops in here
-    codebook = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent_vec"))
-        .filter((F.col("cid") % stride == 0) & (F.col("cid") / stride < n_centroids))
-        .select(
-            (F.col("cid") / stride + 1).cast("int").alias("centroid_id"),
-            "cent_vec",
-            _norm(F.col("cent_vec")).alias("cent_nrm"),
+    codebook = stride_codebook(corpus, id_col, vec_col, n_centroids)
+    if train_iters > 0:
+        codebook = kmeans_refine_codebook(
+            corpus, codebook, id_col, vec_col, iters=train_iters
         )
-    )
 
     def assign(df: DataFrame, ident: str, keep_n: int) -> DataFrame:
         scored = df.select(

@@ -647,3 +647,45 @@ def join_asof_fwd_q(spark, sf_dir):
     return asof_join_forward(
         probes, quotes, on="ts", by="user_id", value_cols=["next_error_value"]
     )
+
+
+@register(
+    "sql_q5",
+    f"""
+    SELECT n_name,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    survey="B1 join_inner join_broadcast agg_basic (TPC-H Q5 shape, 6-table)",
+)
+def sql_q5(spark, sf_dir):
+    """B1 depth: the 6-table local-supplier-volume join. The
+    customer-supplier same-nation equality rides the join graph; nation and
+    region broadcast; the two fact-side joins shuffle on their keys."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        """
+    )

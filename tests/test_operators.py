@@ -350,3 +350,42 @@ def test_asof_forward_matches_duckdb_on_random_data(spark):
     pd.testing.assert_series_equal(
         got["val"], want["val"], check_dtype=False, check_names=False
     )
+
+
+def test_ivf_trained_codebook_exact_when_probing_all(spark):
+    """The exactness invariant must survive codebook training: with
+    nprobe == n_centroids the trained IVF still reproduces brute force
+    (training moves centroids, never drops vectors from the index)."""
+    from ltss_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+    from ltss_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(emb, q, k=5)
+    ivf = cosine_topk_ivf(emb, q, k=5, n_centroids=8, nprobe=8, train_iters=1)
+    assert ivf.exceptAll(exact).count() == 0
+    assert exact.exceptAll(ivf).count() == 0
+
+
+def test_ivf_training_does_not_hurt_recall(spark):
+    """One Lloyd iteration must not degrade partial-probe recall below the
+    untrained codebook's (on the weakly-clustered fixture both are
+    approximate; trained should be >= untrained - small tolerance)."""
+    from ltss_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+    from ltss_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.candidate_id) for r in cosine_topk(emb, q, k=5).collect()}
+
+    def recall(train_iters):
+        got = {
+            (r.query_id, r.candidate_id)
+            for r in cosine_topk_ivf(
+                emb, q, k=5, n_centroids=8, nprobe=4, train_iters=train_iters
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0 - 0.1, f"training hurt recall: {r0:.2f} -> {r1:.2f}"
