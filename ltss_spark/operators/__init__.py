@@ -1,5 +1,27 @@
-from ltss_spark.operators.asof import asof_join  # noqa: F401
-from ltss_spark.operators.gapfill import time_bucket_gapfill  # noqa: F401
+from ltss_spark.operators.asof import asof_join, asof_join_forward  # noqa: F401
+from ltss_spark.operators.dedup import (  # noqa: F401
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ltss_spark.operators.gapfill import (  # noqa: F401
+    time_bucket_gapfill,
+    time_bucket_interpolate,
+)
+from ltss_spark.operators.geo import haversine_km, in_bbox  # noqa: F401
+from ltss_spark.operators.similarity import (  # noqa: F401
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    embedding_dup_pairs,
+    kmeans_refine_codebook,
+    stride_codebook,
+)
+from ltss_spark.operators.skew import (  # noqa: F401
+    salted_two_phase_agg,
+    skew_safe_distinct_count,
+)
 from ltss_spark.operators.timeseries import (  # noqa: F401
     entity_range_scan,
     latest_state,

@@ -27,13 +27,47 @@ from ltss_spark.ingest import states_from_events
 from ltss_spark.sources.batch import normalize_event_times
 
 
+def make_sink(
+    out_path: str | None = None,
+    jdbc_url: str | None = None,
+    jdbc_table: str = "ltss",
+    jdbc_options: dict | None = None,
+):
+    """Build the ``foreachBatch`` body: parquet partitioned-by-month (the
+    test/file path) or JDBC append (the production database sink from
+    BASELINE's 'Structured Streaming + JDBC sink' shape — one batched
+    INSERT per micro-batch instead of the reference's row-at-a-time
+    ``session.add``, /root/reference/custom_components/ltss/__init__.py:
+    207-211). Exactly one of ``out_path`` / ``jdbc_url`` must be set.
+    """
+    if (out_path is None) == (jdbc_url is None):
+        raise ValueError("exactly one of out_path / jdbc_url required")
+
+    if jdbc_url is not None:
+        def sink(batch: DataFrame, epoch_id: int) -> None:
+            writer = batch.write.mode("append")
+            for k, v in (jdbc_options or {}).items():
+                writer = writer.option(k, v)
+            writer.jdbc(jdbc_url, jdbc_table)
+
+        return sink
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        out = batch.withColumn("month", F.date_format("time", "yyyy-MM"))
+        out.write.mode("append").partitionBy("month").parquet(out_path)
+
+    return sink
+
+
 def run_ingest_availablenow(
     spark: SparkSession,
     source_dir: str,
-    out_path: str,
-    checkpoint: str,
+    out_path: str | None = None,
+    checkpoint: str | None = None,
     watermark: str = "1 hour",
     dedup: bool = True,
+    jdbc_url: str | None = None,
+    jdbc_table: str = "ltss",
 ) -> None:
     """Drive the ingest pipeline over the driver's ``events`` parquet as a
     bounded stream (Trigger.AvailableNow) and land canonical state rows at
@@ -63,10 +97,7 @@ def run_ingest_availablenow(
             ["time", "entity_id"]
         )
 
-    def sink(batch: DataFrame, epoch_id: int) -> None:
-        out = batch.withColumn("month", F.date_format("time", "yyyy-MM"))
-        out.write.mode("append").partitionBy("month").parquet(out_path)
-
+    sink = make_sink(out_path=out_path, jdbc_url=jdbc_url, jdbc_table=jdbc_table)
     q = (
         states.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)

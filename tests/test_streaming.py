@@ -123,3 +123,32 @@ def test_shutdown_streams_drains_and_stops(spark):
     n = shutdown_streams(spark)
     assert n >= 1
     assert not any(a.id == q.id for a in spark.streams.active)
+
+
+def test_make_sink_jdbc_shape(spark, monkeypatch):
+    """The JDBC sink body issues one batched append per micro-batch (the
+    production 'Structured Streaming + JDBC sink' shape). No database in
+    the container, so capture the writer call instead of connecting."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from ltss_spark.streaming.ingest import make_sink
+
+    calls = []
+
+    def fake_jdbc(self, url, table, mode=None, properties=None):
+        calls.append((url, table))
+
+    monkeypatch.setattr(DataFrameWriter, "jdbc", fake_jdbc)
+    sink = make_sink(jdbc_url="jdbc:postgresql://db/ha", jdbc_table="ltss")
+    batch = spark.createDataFrame(
+        [(1, "a.b")], "event_id long, entity_id string"
+    )
+    sink(batch, epoch_id=0)
+    assert calls == [("jdbc:postgresql://db/ha", "ltss")]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_sink()  # neither target
+    with _pytest.raises(ValueError):
+        make_sink(out_path="/tmp/x", jdbc_url="jdbc:y")  # both targets
