@@ -389,3 +389,25 @@ def test_ivf_training_does_not_hurt_recall(spark):
 
     r0, r1 = recall(0), recall(1)
     assert r1 >= r0 - 0.1, f"training hurt recall: {r0:.2f} -> {r1:.2f}"
+
+
+def test_salted_two_phase_agg_equals_direct(spark):
+    """Salted aggregation is result-invariant to the salt: partial
+    count/sum per (key, salt) recombined per key == direct groupBy."""
+    from ltss_spark.operators.skew import salted_two_phase_agg
+    from ltss_spark.sources.batch import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    got = salted_two_phase_agg(
+        e,
+        ["event_type"],
+        salt_col=F.crc32(F.col("event_id").cast("string")),
+        partials={"c": F.count(F.lit(1)), "s": F.sum("event_id")},
+        finals={"n_rows": F.sum("c"), "id_sum": F.sum("s")},
+        salt_buckets=16,
+    )
+    want = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("event_id").alias("id_sum")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
