@@ -169,3 +169,42 @@ def stream_late_drop(spark, sf_dir):
     from ltss_spark.streaming.windows import streaming_counts_dropping_late
 
     return streaming_counts_dropping_late(spark, sf_dir, bucket="1 hour")
+
+
+@register(
+    "stream_rollup",
+    """
+    WITH states AS (
+      SELECT ts AS time,
+             event_type || '.u' || CAST(user_id AS VARCHAR) AS entity_id,
+             printf('%.2f', value) AS state
+      FROM events
+    )
+    SELECT date_trunc('hour', time) AS bucket_start,
+           entity_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(TRY_CAST(state AS DOUBLE) AS DECIMAL(38,2))) AS DOUBLE)
+             / CAST(COUNT(TRY_CAST(state AS DOUBLE)) AS DOUBLE) AS avg_state,
+           MIN(TRY_CAST(state AS DOUBLE)) AS min_state,
+           MAX(TRY_CAST(state AS DOUBLE)) AS max_state
+    FROM states
+    GROUP BY 1, 2
+    """,
+    survey="B4 stream_window_tumbling sink_partitioned (continuous aggregate: incrementally maintained rollup)",
+)
+def stream_rollup(spark, sf_dir):
+    """TimescaleDB continuous-aggregate analogue: the hourly rollup is
+    MAINTAINED incrementally by the streaming pipeline (update-log append
+    per micro-batch), then resolved latest-epoch-wins at read. The oracle
+    is the direct GROUP BY — proving the incremental materialization
+    converges to the batch truth."""
+    import tempfile
+    import uuid
+
+    from ltss_spark.streaming.rollup import maintain_rollup_availablenow, read_rollup
+
+    base = f"{tempfile.gettempdir()}/ltss_rollup_{uuid.uuid4().hex}"
+    maintain_rollup_availablenow(
+        spark, sf_dir, base=f"{base}/log", checkpoint=f"{base}/ckpt"
+    )
+    return read_rollup(spark, f"{base}/log")

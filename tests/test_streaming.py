@@ -152,3 +152,105 @@ def test_make_sink_jdbc_shape(spark, monkeypatch):
         make_sink()  # neither target
     with _pytest.raises(ValueError):
         make_sink(out_path="/tmp/x", jdbc_url="jdbc:y")  # both targets
+
+
+def test_rollup_incremental_across_batches_and_compaction(spark):
+    """Continuous aggregate: two micro-batches where batch 2 UPDATES
+    buckets already materialized by batch 1 (same hours, different rows).
+    The resolved rollup must equal the direct batch GROUP BY, and
+    compaction must preserve it exactly."""
+    import os
+
+    from ltss_spark.ingest import states_from_events
+    from ltss_spark.sources.batch import load_table
+    from ltss_spark.streaming.rollup import (
+        _METRICS,
+        compact_rollup,
+        maintain_rollup_availablenow,
+        read_rollup,
+    )
+    from ltss_spark.functions.numeric import davg
+
+    events = load_table(spark, SF_SMOKE, "events")
+    base = f"{tempfile.gettempdir()}/ltss_roll_{uuid.uuid4().hex}"
+    src = f"{base}/src"
+    # interleave by event_id so the SAME hours appear in both batches
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{src}/a.parquet"
+    )
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{src}/b.parquet"
+    )
+    now = 1_700_000_000
+    for root, _dirs, files in os.walk(src):
+        for f_ in files:
+            p = os.path.join(root, f_)
+            t = now if "/a.parquet" in p else now + 600
+            os.utime(p, (t, t))
+
+    # stream with one file per trigger so hour-buckets get UPDATED in batch 2
+    import ltss_spark.streaming.rollup as R
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{src}/a.parquet").schema
+    raw = R.normalize_event_times(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*.parquet")
+    )
+    states = R.states_from_events(raw)
+    v = F.col("state").try_cast("double")
+    agg = (
+        states.withWatermark("time", "1 hour")
+        .groupBy(F.window("time", "1 hour").alias("w"), F.col("entity_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg(v).alias("avg_state"),
+            F.min(v).alias("min_state"),
+            F.max(v).alias("max_state"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "entity_id", *_METRICS)
+    )
+
+    def sink(batch, epoch_id):
+        (
+            batch.withColumn("epoch", F.lit(epoch_id))
+            .withColumn("day", F.date_format("bucket_start", "yyyy-MM-dd"))
+            .write.mode("append")
+            .partitionBy("day")
+            .parquet(f"{base}/log")
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    log = spark.read.parquet(f"{base}/log")
+    assert log.select("epoch").distinct().count() >= 2, "need >1 micro-batch"
+    # some bucket must have been updated across batches (superseded rows exist)
+    assert log.count() > log.select("bucket_start", "entity_id").distinct().count()
+
+    resolved = read_rollup(spark, f"{base}/log")
+    want = (
+        states_from_events(events)
+        .groupBy(F.window("time", "1 hour").alias("w"), "entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg(F.col("state").try_cast("double")).alias("avg_state"),
+            F.min(F.col("state").try_cast("double")).alias("min_state"),
+            F.max(F.col("state").try_cast("double")).alias("max_state"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "entity_id", *_METRICS)
+    )
+    assert resolved.exceptAll(want).count() == 0
+    assert want.exceptAll(resolved).count() == 0
+
+    compact_rollup(spark, f"{base}/log", f"{base}/compact")
+    compacted = read_rollup(spark, f"{base}/compact")
+    assert compacted.exceptAll(want).count() == 0
+    assert want.exceptAll(compacted).count() == 0
