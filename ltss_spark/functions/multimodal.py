@@ -166,3 +166,44 @@ def sample_frames(assets: DataFrame, every_n: int = 4) -> DataFrame:
             ).astype({"n_frames": "int32", "frame_idx": "int32"})
 
     return assets.mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("loudness", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """mapInPandas audio feature extraction (duration / sample rate /
+    loudness). Decode is a deterministic stub (no audio libs here):
+    duration and loudness derive from payload bytes; swap
+    ``_decode_audio_impl`` for soundfile/librosa in production — schema,
+    batching, and plan shape stay identical."""
+
+    def _decode_audio_impl(p: bytes) -> tuple[int, int, float]:
+        import hashlib
+
+        h = hashlib.md5(p or b"").digest()
+        duration_ms = 500 + (len(p) % 10_000)
+        sample_rate = (8000, 16000, 44100, 48000)[h[2] % 4]
+        loudness = round(-60.0 + (h[3] / 255.0) * 60.0, 6)
+        return duration_ms, sample_rate, loudness
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                dur, sr, loud = _decode_audio_impl(p)
+                rows.append((aid, len(p), dur, sr, loud))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "n_bytes", "duration_ms", "sample_rate", "loudness"]
+            ).astype({"n_bytes": "int32", "duration_ms": "int32", "sample_rate": "int32"})
+
+    return assets.mapInPandas(fn, schema=AUDIO_SCHEMA)

@@ -254,3 +254,24 @@ SELECT ts AS time,
        event_id
 FROM events
 """
+
+
+def materialize_attrs(
+    df: DataFrame,
+    keys: dict[str, str],
+    attrs_col: str = "attributes",
+) -> DataFrame:
+    """Materialize hot JSON attribute keys as typed columns (`keys` maps
+    attribute name -> Spark type). This is the engine's answer to the
+    reference's GIN index (models.py:75-77): instead of indexing the JSON
+    blob, promote the fields queries actually touch so predicates reach
+    parquet stats/pushdown, and keep the blob lossless alongside. Columns
+    are named ``attr_<key>``; try-cast semantics (NULL on type mismatch)
+    match TRY_CAST in the oracle."""
+    c = F.col(attrs_col)
+    out = df
+    for k, t in keys.items():
+        out = out.withColumn(
+            f"attr_{k}", F.get_json_object(c, f"$.{k}").try_cast(t)
+        )
+    return out

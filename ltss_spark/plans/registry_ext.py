@@ -554,3 +554,33 @@ def ext_token_topk(spark, sf_dir):
         .filter(F.col("rank") <= 10)
         .select("lang", "token", "n", "rank")
     )
+
+
+@register(
+    "ext_multimodal_audio",
+    f"""
+    WITH a AS (
+      SELECT doc_id AS asset_id, text, md5(text) AS h,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    )
+    SELECT asset_id,
+           CAST(nb AS INT) AS n_bytes,
+           CAST(500 + nb % 10000 AS INT) AS duration_ms,
+           CAST(CASE {_hex_byte('h', 5)} % 4
+                  WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  WHEN 2 THEN 44100 ELSE 48000 END AS INT) AS sample_rate,
+           round(-60.0 + ({_hex_byte('h', 7)} / 255.0) * 60.0, 6) AS loudness
+    FROM a
+    """,
+    survey="ext_multimodal udf_scalar (mapInPandas audio feature extraction)",
+)
+def ext_multimodal_audio(spark, sf_dir):
+    from ltss_spark.functions.multimodal import (
+        documents_as_assets,
+        extract_audio_features,
+    )
+
+    return extract_audio_features(
+        documents_as_assets(_t(spark, sf_dir, "documents"))
+    )

@@ -689,3 +689,34 @@ def sql_q5(spark, sf_dir):
         GROUP BY n_name
         """
     )
+
+
+@register(
+    "ltss_attr_materialize",
+    """
+    WITH e AS (
+      SELECT event_id,
+             event_type || '.u' || CAST(user_id AS VARCHAR) AS entity_id,
+             props AS attributes
+      FROM events
+    )
+    SELECT event_id, entity_id, attributes,
+           TRY_CAST(json_extract_string(attributes, '$.k') AS INT) AS attr_k
+    FROM e
+    WHERE TRY_CAST(json_extract_string(attributes, '$.k') AS INT) >= 50
+    """,
+    survey="B5 fn_json (hot attribute keys materialized as typed columns - the GIN replacement)",
+)
+def ltss_attr_materialize(spark, sf_dir):
+    """The engine's replacement for the reference's GIN index
+    (models.py:75-77): promote queried JSON keys to typed columns at
+    ingest via materialize_attrs; the predicate then runs on a plain INT
+    column (stats, pushdown) while the blob stays lossless."""
+    from ltss_spark.ingest import materialize_attrs
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.col("event_type"), F.lit(".u"), F.col("user_id")).alias("entity_id"),
+        F.col("props").alias("attributes"),
+    )
+    return materialize_attrs(e, {"k": "int"}).filter(F.col("attr_k") >= 50)
