@@ -750,3 +750,95 @@ def agg_collect(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "sql_subquery",
+    f"""
+    SELECT c_custkey, c_name, n_orders, spent
+    FROM (
+      SELECT c_custkey, c_name,
+             (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+             (SELECT {oracle_dsum('o_totalprice', 2)} FROM orders
+               WHERE o_custkey = c_custkey AND o_orderstatus = 'F') AS spent
+      FROM customer
+    )
+    WHERE n_orders > (SELECT AVG(cnt) FROM (
+        SELECT COUNT(*) AS cnt FROM orders GROUP BY o_custkey))
+    """,
+    survey="B1 join_semi agg_basic (correlated scalar subqueries - Catalyst decorrelation)",
+)
+def sql_subquery(spark, sf_dir):
+    """Correlated scalar subqueries + uncorrelated scalar filter, through
+    the SQL entry: Catalyst decorrelates both into aggregating joins (no
+    per-row re-execution — check the plan for the two left joins)."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, n_orders, spent
+        FROM (
+          SELECT c_custkey, c_name,
+                 (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+                 (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                    FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F') AS spent
+          FROM customer
+        )
+        WHERE n_orders > (SELECT AVG(cnt) FROM (
+            SELECT COUNT(*) AS cnt FROM orders GROUP BY o_custkey))
+        """
+    )
+
+
+@register(
+    "sort_nulls",
+    """
+    SELECT event_id, user_id, value
+    FROM events
+    ORDER BY value DESC NULLS LAST, event_id ASC
+    LIMIT 200
+    """,
+    survey="sort (explicit null ordering - Spark and ANSI defaults differ)",
+)
+def sort_nulls(spark, sf_dir):
+    """Null-ordering is a portability trap: Spark's default is NULLS FIRST
+    for ASC / NULLS LAST for DESC, DuckDB's is NULLS LAST everywhere.
+    Explicit desc_nulls_last pins it."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .orderBy(F.col("value").desc_nulls_last(), F.col("event_id").asc())
+        .limit(200)
+    )
+
+
+@register(
+    "win_range_frame",
+    """
+    SELECT user_id, ts, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_24h,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER w AS DOUBLE) AS sum_trailing_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """,
+    survey="win_frame fn_date (RANGE frame over event time - trailing 24h per user)",
+)
+def win_range_frame(spark, sf_dir):
+    """Value-based (RANGE) frame: everything within the trailing 24 hours
+    of each event, regardless of row count — the time-series moving
+    aggregate ROWS frames cannot express. Ordered by epoch micros so the
+    range arithmetic is exact integers on both engines."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-86_400_000_000, Window.currentRow)
+    )
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_24h"),
+        F.sum(F.col("value").cast("decimal(38,2)")).over(w).cast("double").alias("sum_trailing_24h"),
+    )

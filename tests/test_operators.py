@@ -411,3 +411,34 @@ def test_salted_two_phase_agg_equals_direct(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    """agg_approx is rows-only (engine-specific sketches); pin its accuracy
+    instead: HLL distinct within 5% of exact, approx median within the
+    p40-p60 band of the exact distribution."""
+    import ltss_spark.plans as plans
+    from ltss_spark.sources.batch import load_table
+
+    got = {
+        r.l_returnflag: r
+        for r in plans.queries()["agg_approx"](spark, SF_SMOKE).collect()
+    }
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd"),
+            F.expr("percentile(l_extendedprice, array(0.4, 0.6))").alias("band"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        g = got[flag]
+        assert abs(g.approx_parts - e.nd) / e.nd <= 0.05, (
+            f"{flag}: HLL {g.approx_parts} vs exact {e.nd}"
+        )
+        assert e.band[0] <= g.median_price <= e.band[1], (
+            f"{flag}: approx median {g.median_price} outside p40-p60 {e.band}"
+        )
