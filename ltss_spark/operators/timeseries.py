@@ -104,3 +104,113 @@ def time_in_state(states: DataFrame, tie_breaker: str | None = None) -> DataFram
         "state",
         (F.unix_micros(nxt) - F.unix_micros(F.col("time"))).alias("micros_in_state"),
     )
+
+
+def counter_delta(
+    states: DataFrame,
+    value: Column,
+    tie_breaker: str | None = None,
+) -> DataFrame:
+    """TimescaleDB ``counter_agg``/``delta`` analogue: per-entity increase
+    of a monotonic counter with RESET detection (a drop means the counter
+    restarted; the post-reset value is the increase since the reset).
+    Returns per-entity totals: total_increase, n_resets, n_samples.
+
+    One per-entity window (lag) + one hash aggregation — linear per key,
+    no self-join.
+    """
+    order = ["time"] + ([tie_breaker] if tie_breaker else [])
+    w = Window.partitionBy("entity_id").orderBy(*order)
+    prev = F.lag(value).over(w)
+    delta = value - prev
+    inc = (
+        F.when(prev.isNull(), F.lit(None))          # first sample: no delta
+        .when(delta >= 0, delta)                    # normal increase
+        .otherwise(value)                           # reset: count from zero
+    )
+    per_row = states.select(
+        "entity_id",
+        inc.alias("inc"),
+        (delta < 0).cast("int").alias("is_reset"),
+    )
+    return per_row.groupBy("entity_id").agg(
+        F.round(F.sum("inc"), 6).alias("total_increase"),
+        F.coalesce(F.sum("is_reset"), F.lit(0)).cast("bigint").alias("n_resets"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
+def value_histogram(
+    states: DataFrame,
+    value: Column,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+) -> DataFrame:
+    """TimescaleDB ``histogram()`` analogue: per-entity bucket counts over
+    [lo, hi) with underflow bucket 0 and overflow bucket n+1. Bucket
+    arithmetic is written out explicitly (identical IEEE expression in the
+    DuckDB oracle — neither engine's built-in is used)."""
+    step = (hi - lo) / n_buckets
+    bucket = (
+        F.when(value.isNull(), F.lit(None))
+        .when(value < lo, F.lit(0))
+        .when(value >= hi, F.lit(n_buckets + 1))
+        .otherwise(F.floor((value - F.lit(lo)) / F.lit(step)) + 1)
+    ).cast("int")
+    return (
+        states.select("entity_id", bucket.alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("entity_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def lttb_downsample(
+    states: DataFrame,
+    n_out: int = 100,
+    time_col: str = "time",
+    value_col: str = "value",
+    key_col: str = "entity_id",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling — TimescaleDB's
+    ``lttb()`` hyperfunction, the standard Grafana rendering reducer:
+    pick the visually most important ``n_out`` points per series (first
+    and last always kept; each middle bucket contributes the point with
+    the largest triangle area against the previous pick and the next
+    bucket's centroid).
+
+    Inherently sequential per series, so it runs as ``applyInPandas`` per
+    key — correct for dashboard series (bounded length after a time-range
+    filter); the groupBy shuffles each series to one worker once. Output:
+    (key, time, value) of the selected points, a subset of the input.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col).reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_out:
+            return pdf[[key_col, time_col, value_col]]
+        t = pdf[time_col].astype("int64").to_numpy(dtype=np.float64)
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        # bucket boundaries over the middle points (exclude first & last)
+        bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        picked = [0]
+        a = 0
+        for i in range(n_out - 2):
+            lo, hi = bounds[i], bounds[i + 1]
+            nlo, nhi = (bounds[i + 1], n) if i == n_out - 3 else (bounds[i + 1], bounds[i + 2])
+            avg_t, avg_v = t[nlo:nhi].mean(), np.nanmean(v[nlo:nhi])
+            area = np.abs(
+                (t[a] - avg_t) * (v[lo:hi] - v[a]) - (t[a] - t[lo:hi]) * (avg_v - v[a])
+            )
+            a = lo + int(np.nanargmax(area))
+            picked.append(a)
+        picked.append(n - 1)
+        return pdf.iloc[picked][[key_col, time_col, value_col]]
+
+    out_schema = f"{key_col} string, {time_col} timestamp, {value_col} double"
+    sel = states.select(key_col, time_col, F.col(value_col).cast("double").alias(value_col))
+    return sel.groupBy(key_col).applyInPandas(lttb, schema=out_schema)

@@ -720,3 +720,87 @@ def ltss_attr_materialize(spark, sf_dir):
         F.col("props").alias("attributes"),
     )
     return materialize_attrs(e, {"k": "int"}).filter(F.col("attr_k") >= 50)
+
+
+@register(
+    "ts_counter_delta",
+    f"""
+    WITH {_STATES_CTE},
+    typed AS (
+      SELECT entity_id, time, event_id, TRY_CAST(state AS DOUBLE) AS v
+      FROM states
+    ),
+    lagged AS (
+      SELECT entity_id, v,
+             lag(v) OVER (PARTITION BY entity_id ORDER BY time, event_id) AS pv
+      FROM typed
+    ),
+    per_row AS (
+      SELECT entity_id,
+             CASE WHEN pv IS NULL THEN NULL
+                  WHEN v - pv >= 0 THEN v - pv
+                  ELSE v END AS inc,
+             CAST(v - pv < 0 AS INT) AS is_reset
+      FROM lagged
+    )
+    SELECT entity_id,
+           round(SUM(inc), 6) AS total_increase,
+           CAST(COALESCE(SUM(is_reset), 0) AS BIGINT) AS n_resets,
+           COUNT(*) AS n_samples
+    FROM per_row GROUP BY entity_id
+    """,
+    survey="win_lag_lead agg_basic (TimescaleDB counter_agg: monotonic delta with reset detection)",
+)
+def ts_counter_delta(spark, sf_dir):
+    from ltss_spark.operators.timeseries import counter_delta
+
+    states = states_from_events(_t(spark, sf_dir, "events"))
+    return counter_delta(
+        states, F.col("state").try_cast("double"), tie_breaker="event_id"
+    )
+
+
+@register(
+    "ts_histogram",
+    f"""
+    WITH {_STATES_CTE},
+    typed AS (
+      SELECT entity_id, TRY_CAST(state AS DOUBLE) AS v FROM states
+    ),
+    bucketed AS (
+      SELECT entity_id,
+             CAST(CASE WHEN v IS NULL THEN NULL
+                       WHEN v < 0.0 THEN 0
+                       WHEN v >= 100.0 THEN 11
+                       ELSE floor((v - 0.0) / 10.0) + 1 END AS INT) AS bucket
+      FROM typed
+    )
+    SELECT entity_id, bucket, COUNT(*) AS n
+    FROM bucketed WHERE bucket IS NOT NULL
+    GROUP BY entity_id, bucket
+    """,
+    survey="agg_basic fn_math (TimescaleDB histogram(): per-entity value distribution)",
+)
+def ts_histogram(spark, sf_dir):
+    from ltss_spark.operators.timeseries import value_histogram
+
+    states = states_from_events(_t(spark, sf_dir, "events"))
+    return value_histogram(
+        states, F.col("state").try_cast("double"), lo=0.0, hi=100.0, n_buckets=10
+    )
+
+
+@register(
+    "ts_lttb",
+    None,  # algorithmic selection — not SQL-expressible; invariants in pytest
+    survey="udaf ext_text_stats-adjacent (TimescaleDB lttb(): visual downsampling per series)",
+)
+def ts_lttb(spark, sf_dir):
+    from ltss_spark.operators.timeseries import lttb_downsample
+
+    states = states_from_events(_t(spark, sf_dir, "events")).select(
+        "entity_id",
+        "time",
+        F.col("state").try_cast("double").alias("value"),
+    )
+    return lttb_downsample(states, n_out=50)

@@ -442,3 +442,37 @@ def test_approx_sketches_within_error_bounds(spark):
         assert e.band[0] <= g.median_price <= e.band[1], (
             f"{flag}: approx median {g.median_price} outside p40-p60 {e.band}"
         )
+
+
+def test_lttb_downsample_properties(spark):
+    """LTTB invariants: exact output size per series, endpoints preserved,
+    output is a subset of input, and a planted extreme spike survives."""
+    import math
+
+    from ltss_spark.operators.timeseries import lttb_downsample
+
+    rng = random.Random(41)
+    rows = []
+    for ent in ("a", "b"):
+        for i in range(500):
+            v = math.sin(i / 25.0) * 10 + rng.uniform(-0.5, 0.5)
+            if ent == "a" and i == 237:
+                v = 500.0  # planted spike
+            rows.append((ent, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), v))
+    df = spark.createDataFrame(rows, "entity_id string, time timestamp, value double")
+    out = lttb_downsample(df, n_out=50).collect()
+    by_ent = {}
+    for r in out:
+        by_ent.setdefault(r.entity_id, []).append(r)
+    src = {(e, ts, round(v, 9)) for e, ts, v in rows}
+    for ent, pts in by_ent.items():
+        assert len(pts) == 50
+        pts.sort(key=lambda r: r.time)
+        assert pts[0].time == dt.datetime(2024, 1, 1)
+        assert pts[-1].time == dt.datetime(2024, 1, 1) + dt.timedelta(minutes=499)
+        for p in pts:
+            assert (p.entity_id, p.time, round(p.value, 9)) in src
+    assert any(p.value == 500.0 for p in by_ent["a"]), "spike must survive"
+    # short series pass through untouched
+    short = lttb_downsample(df.limit(10), n_out=50).count()
+    assert short == 10

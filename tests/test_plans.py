@@ -165,7 +165,7 @@ def test_registry_wide_plan_audit(spark):
     PY_OK = {
         "udf_scalar", "udaf", "udtf",
         "ext_multimodal", "ext_multimodal_resize", "ext_multimodal_frames",
-        "ext_multimodal_audio",
+        "ext_multimodal_audio", "ts_lttb",
     }
     BNL_OK = {
         "ext_sim_search", "ext_sim_search_lsh", "ext_sim_search_ivf",
