@@ -804,3 +804,95 @@ def ts_lttb(spark, sf_dir):
         F.col("state").try_cast("double").alias("value"),
     )
     return lttb_downsample(states, n_out=50)
+
+
+@register(
+    "ts_timeweight",
+    f"""
+    WITH {_STATES_CTE},
+    typed AS (
+      SELECT entity_id, time, event_id,
+             TRY_CAST(state AS DECIMAL(38,2)) AS v
+      FROM states
+    ),
+    segs AS (
+      SELECT entity_id,
+             lag(v) OVER w AS v_prev,
+             epoch_us(time) - lag(epoch_us(time)) OVER w AS dt_us
+      FROM typed
+      WINDOW w AS (PARTITION BY entity_id ORDER BY time, event_id)
+    )
+    SELECT entity_id,
+           round(CAST(SUM(v_prev * dt_us) AS DOUBLE)
+                 / CAST(SUM(dt_us) AS DOUBLE), 6) AS twa,
+           CAST(SUM(dt_us) AS BIGINT) AS total_us,
+           COUNT(v_prev) AS n_segments
+    FROM segs
+    WHERE v_prev IS NOT NULL AND dt_us IS NOT NULL
+    GROUP BY entity_id
+    """,
+    survey="win_lag_lead agg_basic fn_date (TimescaleDB time_weight: left-Riemann TWA)",
+)
+def ts_timeweight(spark, sf_dir):
+    """Time-weighted average per entity (TimescaleDB ``time_weight``,
+    LOCF/left-Riemann): each state's value weighted by how long it was
+    current. All arithmetic exact (DECIMAL value x integer micros), so the
+    parallel aggregation is order-insensitive."""
+    from pyspark.sql import Window
+
+    states = states_from_events(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("entity_id").orderBy("time", "event_id")
+    v = F.col("state").try_cast("decimal(38,2)")
+    t_us = F.unix_micros(F.col("time"))
+    segs = states.select(
+        "entity_id",
+        F.lag(v).over(w).alias("v_prev"),
+        (t_us - F.lag(t_us).over(w)).alias("dt_us"),
+    ).filter(F.col("v_prev").isNotNull() & F.col("dt_us").isNotNull())
+    return segs.groupBy("entity_id").agg(
+        F.round(
+            F.sum(F.col("v_prev") * F.col("dt_us")).cast("double")
+            / F.sum("dt_us").cast("double"),
+            6,
+        ).alias("twa"),
+        F.sum("dt_us").cast("bigint").alias("total_us"),
+        F.count("v_prev").alias("n_segments"),
+    )
+
+
+@register(
+    "ts_trend",
+    f"""
+    WITH {_STATES_CTE},
+    typed AS (
+      SELECT entity_id,
+             (epoch_us(time) - 1704067200000000) / 3600000000.0 AS x_hours,
+             TRY_CAST(state AS DOUBLE) AS y
+      FROM states
+    )
+    SELECT entity_id,
+           round(regr_slope(y, x_hours), 4) AS slope_per_hour,
+           round(regr_intercept(y, x_hours), 4) AS intercept,
+           round(corr(y, x_hours), 4) AS r,
+           CAST(COUNT(y) AS BIGINT) AS n
+    FROM typed
+    GROUP BY entity_id
+    """,
+    survey="agg_basic fn_math (TimescaleDB stats_agg: per-entity linear trend)",
+)
+def ts_trend(spark, sf_dir):
+    """Per-entity linear trend (TimescaleDB ``stats_agg`` slope/intercept/
+    corr): time normalized to HOURS since 2024-01-01 so the regression
+    arithmetic stays well-conditioned (raw epoch-micros x-values would put
+    1e18-scale numbers through the variance sums); rounded to 4 decimals —
+    covariance accumulation order differs across engines."""
+    states = states_from_events(_t(spark, sf_dir, "events"))
+    x = (F.unix_micros(F.col("time")) - F.lit(1_704_067_200_000_000)) / 3.6e9
+    y = F.col("state").try_cast("double")
+    typed = states.select("entity_id", x.alias("x_hours"), y.alias("y"))
+    return typed.groupBy("entity_id").agg(
+        F.round(F.regr_slope("y", "x_hours"), 4).alias("slope_per_hour"),
+        F.round(F.regr_intercept("y", "x_hours"), 4).alias("intercept"),
+        F.round(F.corr("y", "x_hours"), 4).alias("r"),
+        F.count("y").alias("n"),
+    )
