@@ -180,10 +180,16 @@ def lttb_downsample(
     the largest triangle area against the previous pick and the next
     bucket's centroid).
 
-    Inherently sequential per series, so it runs as ``applyInPandas`` per
-    key — correct for dashboard series (bounded length after a time-range
-    filter); the groupBy shuffles each series to one worker once. Output:
-    (key, time, value) of the selected points, a subset of the input.
+    Inherently sequential per series — but per-KEY ``applyInPandas`` pays
+    a Python round-trip per series (measured ~10s for 7.5k small series
+    where the actual math is milliseconds). Instead: hash-repartition on
+    the key, then ONE ``mapInPandas`` call per partition that concatenates
+    the partition's Arrow batches and runs a pandas groupby inside — the
+    Python-call count drops from |series| to |partitions|. Each series
+    lives wholly in one partition (hash partitioning guarantees it);
+    memory is bounded by partition size, tuned via shuffle partitions.
+    Output: (key, time, value) of the selected points, a subset of the
+    input.
     """
     import numpy as np
     import pandas as pd
@@ -211,6 +217,35 @@ def lttb_downsample(
         picked.append(n - 1)
         return pdf.iloc[picked][[key_col, time_col, value_col]]
 
+    def per_partition(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        whole = pd.concat(pdfs, ignore_index=True)
+        # one concatenated yield per partition: yielding per series would
+        # send thousands of tiny Arrow batches back (measured 10x slower)
+        out = [
+            lttb(grp.reset_index(drop=True))
+            for _k, grp in whole.groupby(key_col, sort=False)
+        ]
+        yield pd.concat(out, ignore_index=True)
+
     out_schema = f"{key_col} string, {time_col} timestamp, {value_col} double"
     sel = states.select(key_col, time_col, F.col(value_col).cast("double").alias(value_col))
-    return sel.groupBy(key_col).applyInPandas(lttb, schema=out_schema)
+    # route: series already at or under the target pass through JVM-only
+    # (LTTB keeps every point); Python sees only series that actually
+    # shrink. A dashboard query over raw data has few such series left
+    # after its time filter — often none.
+    long_keys = (
+        sel.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > n_out)
+        .select(key_col)
+    )
+    short = sel.join(F.broadcast(long_keys), key_col, "left_anti")
+    long = (
+        sel.join(F.broadcast(long_keys), key_col, "left_semi")
+        .repartition(key_col)
+        .mapInPandas(per_partition, schema=out_schema)
+    )
+    return short.unionByName(long)
