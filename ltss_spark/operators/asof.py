@@ -157,3 +157,41 @@ def asof_join_forward(
         .alias(f"{on}{suffix}"),
     )
     return filled.filter(F.col("__is_probe") == 1).drop("__is_probe")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str],
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Nearest as-of: for each left row, the right row minimizing
+    |right.on - left.on| within the group (ties break backward — the
+    earlier right row wins, matching pandas ``merge_asof
+    (direction='nearest')``). Composition: backward + forward passes (each
+    one union + per-key window, see :func:`asof_join`), then a per-row
+    pick — still no joins beyond the two linear passes."""
+    by_l = [by] if isinstance(by, str) else list(by)
+    value_cols = value_cols or [
+        c for c in right.columns if c not in set(by_l) | {on}
+    ]
+    back = asof_join(left, right, on, by, value_cols, suffix="_b")
+    fwd = asof_join_forward(left, right, on, by, value_cols, suffix="_f")
+    join_keys = [*by_l, on, *[c for c in left.columns if c not in set(by_l) | {on}]]
+    merged = back.join(fwd, join_keys, "inner")
+    t = F.col(on)
+    bt, ft = F.col(f"{on}_b"), F.col(f"{on}_f")
+    d_b = F.when(bt.isNotNull(), t.cast("long") - bt.cast("long"))
+    d_f = F.when(ft.isNotNull(), ft.cast("long") - t.cast("long"))
+    use_back = F.when(ft.isNull(), F.lit(True)).when(bt.isNull(), F.lit(False)).otherwise(d_b <= d_f)
+    # value_cols keep their names in both passes — disambiguate by frame
+    picked = [
+        F.when(use_back, back[c]).otherwise(fwd[c]).alias(c) for c in value_cols
+    ]
+    return merged.select(
+        *join_keys,
+        *picked,
+        F.when(use_back, bt).otherwise(ft).alias(f"{on}{suffix}"),
+    )

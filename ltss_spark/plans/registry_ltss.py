@@ -896,3 +896,95 @@ def ts_trend(spark, sf_dir):
         F.round(F.corr("y", "x_hours"), 4).alias("r"),
         F.count("y").alias("n"),
     )
+
+
+@register(
+    "join_asof_near",
+    """
+    WITH probes AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    quotes AS (
+      SELECT user_id, ts, MAX(value) AS qv
+      FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    ),
+    b AS (
+      SELECT p.event_id, p.user_id, p.ts, q.qv AS qv_b, q.ts AS ts_b
+      FROM probes p ASOF LEFT JOIN quotes q
+        ON p.user_id = q.user_id AND p.ts >= q.ts
+    ),
+    f AS (
+      SELECT p.event_id, q.qv AS qv_f, q.ts AS ts_f
+      FROM probes p ASOF LEFT JOIN quotes q
+        ON p.user_id = q.user_id AND p.ts <= q.ts
+    )
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN ts_f IS NULL THEN qv_b
+                WHEN ts_b IS NULL THEN qv_f
+                WHEN epoch_us(b.ts) - epoch_us(ts_b)
+                     <= epoch_us(ts_f) - epoch_us(b.ts) THEN qv_b
+                ELSE qv_f END AS qv,
+           CASE WHEN ts_f IS NULL THEN ts_b
+                WHEN ts_b IS NULL THEN ts_f
+                WHEN epoch_us(b.ts) - epoch_us(ts_b)
+                     <= epoch_us(ts_f) - epoch_us(b.ts) THEN ts_b
+                ELSE ts_f END AS ts_right
+    FROM b JOIN f USING (event_id)
+    """,
+    survey="join_asof (nearest direction, tie-backward)",
+)
+def join_asof_near_q(spark, sf_dir):
+    """Nearest as-of vs a two-pass DuckDB construction (backward ASOF +
+    forward ASOF + per-row pick — exactly how our composition works)."""
+    from ltss_spark.operators.asof import asof_join_nearest
+
+    e = _t(spark, sf_dir, "events")
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    quotes = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("qv"))
+    )
+    return asof_join_nearest(probes, quotes, on="ts", by="user_id", value_cols=["qv"])
+
+
+@register(
+    "sql_q18",
+    f"""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+           {oracle_dsum('l_quantity', 2)} AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    survey="B1 join_semi agg_basic limit (TPC-H Q18 shape: HAVING subquery semi-join)",
+)
+def sql_q18(spark, sf_dir):
+    """Large-volume-customer query: the IN-subquery over a grouped HAVING
+    becomes a semi-join against an aggregate — Catalyst plans the
+    aggregation once, no correlated re-execution."""
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS total_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+        )
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+        """
+    )

@@ -476,3 +476,43 @@ def test_lttb_downsample_properties(spark):
     # short series pass through untouched
     short = lttb_downsample(df.limit(10), n_out=50).count()
     assert short == 10
+
+
+def test_asof_nearest_matches_pandas_on_random_data(spark):
+    """Nearest as-of vs pandas merge_asof(direction='nearest') as the
+    independent model (DuckDB has no nearest direction), ties broken
+    backward in both."""
+    rng = random.Random(29)
+    base = dt.datetime(2024, 1, 1)
+    events, seen = [], set()
+    for i, k in enumerate(rng.choices("abc", k=150)):
+        ts = base + dt.timedelta(seconds=rng.randrange(0, 5_000))
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            events.append((k, ts, float(i)))
+    probes = [
+        (i, k, base + dt.timedelta(seconds=rng.randrange(-50, 5_050)))
+        for i, k in enumerate(rng.choices("abcd", k=250))
+    ]
+    edf = spark.createDataFrame(events, "key string, ts timestamp, val double")
+    pdf_s = spark.createDataFrame(probes, "probe_id long, key string, ts timestamp")
+
+    from ltss_spark.operators.asof import asof_join_nearest
+
+    got = (
+        asof_join_nearest(pdf_s, edf, on="ts", by="key", value_cols=["val"])
+        .select("probe_id", "val")
+        .toPandas()
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+    ep = pd.DataFrame(events, columns=["key", "ts", "val"]).sort_values("ts")
+    pp = pd.DataFrame(probes, columns=["probe_id", "key", "ts"]).sort_values("ts")
+    want = (
+        pd.merge_asof(pp, ep, on="ts", by="key", direction="nearest")
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(
+        got["val"], want["val"], check_dtype=False, check_names=False
+    )
