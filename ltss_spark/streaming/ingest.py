@@ -160,3 +160,43 @@ def shutdown_streams(spark: SparkSession, timeout_s: int = 30) -> int:
     for q in active:
         q.awaitTermination(timeout_s)
     return len(active)
+
+
+def events_stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+):
+    """Kafka variant of the event source (SURVEY §2.C scan_stream lists
+    file/Kafka/memory): value bytes -> JSON -> the same event schema the
+    file source delivers, so everything downstream (states_from_events,
+    watermark, dedup, sinks) is source-agnostic.
+
+    Requires the spark-sql-kafka package on the classpath (not present in
+    this container — the file source covers the tested path; this builder
+    is the production wiring and fails fast with Spark's own error if the
+    connector is absent).
+    """
+    import pyspark.sql.types as T
+
+    event_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), event_schema).alias("e")
+    ).select("e.*")
