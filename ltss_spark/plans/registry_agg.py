@@ -842,3 +842,71 @@ def win_range_frame(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("n_trailing_24h"),
         F.sum(F.col("value").cast("decimal(38,2)")).over(w).cast("double").alias("sum_trailing_24h"),
     )
+
+
+@register(
+    "fn_fuzzy",
+    """
+    SELECT p_partkey, p_name,
+           CAST(levenshtein(p_name, 'standard polished widget') AS INT) AS dist
+    FROM part
+    WHERE levenshtein(p_name, 'standard polished widget') <= 18
+    """,
+    survey="fn_string (edit-distance fuzzy matching)",
+)
+def fn_fuzzy(spark, sf_dir):
+    """Levenshtein edit distance — the fuzzy-match primitive for entity
+    resolution; here as a filter against a probe string (the scalable form
+    pre-blocks candidates with LSH, then edit-distance verifies — same
+    verify-after-block shape as the dedup operators)."""
+    probe = F.lit("standard polished widget")
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.levenshtein(F.col("p_name"), probe).alias("dist"),
+        )
+        .filter(F.col("dist") <= 18)
+    )
+
+
+@register(
+    "filter_not_in",
+    """
+    WITH probe AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    SELECT 'not_in_clean' AS variant, COUNT(*) AS n
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM probe)
+    UNION ALL
+    SELECT 'not_in_with_null' AS variant, COUNT(*) AS n
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM probe
+                                        UNION ALL SELECT NULL)
+    UNION ALL
+    SELECT 'not_exists' AS variant, COUNT(*) AS n
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM probe p WHERE p.c_custkey = o.o_custkey)
+    """,
+    survey="filter_in join_anti (ANSI NOT IN vs NOT EXISTS null semantics)",
+)
+def filter_not_in(spark, sf_dir):
+    """The classic ANSI trap, proven identical on both engines: a NULL in
+    the NOT IN subquery makes the predicate UNKNOWN for every row (count
+    0), while NOT EXISTS keeps anti-join semantics. An engine with naive
+    set semantics would disagree on the middle variant."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH probe AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        SELECT 'not_in_clean' AS variant, COUNT(*) AS n
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM probe)
+        UNION ALL
+        SELECT 'not_in_with_null' AS variant, COUNT(*) AS n
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM probe
+                                            UNION ALL SELECT NULL)
+        UNION ALL
+        SELECT 'not_exists' AS variant, COUNT(*) AS n
+        FROM orders o WHERE NOT EXISTS (
+          SELECT 1 FROM probe p WHERE p.c_custkey = o.o_custkey)
+        """
+    )

@@ -584,3 +584,53 @@ def ext_multimodal_audio(spark, sf_dir):
     return extract_audio_features(
         documents_as_assets(_t(spark, sf_dir, "documents"))
     )
+
+
+@register(
+    "ext_url_canonical",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://WWW.' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=x&ref=y#frag'
+                       WHEN doc_id % 3 = 1 THEN '/' ELSE '' END AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(url), '^https?://(www\.)?', ''),
+               '[?#].*$', ''),
+             '/+$', '') AS canon,
+           md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(url), '^https?://(www\.)?', ''),
+               '[?#].*$', ''),
+             '/+$', '')) AS canon_key
+    FROM u
+    """,
+    survey="ext_dedup_exact fn_string (URL canonicalization - the web-corpus dedup key)",
+)
+def ext_url_canonical(spark, sf_dir):
+    """URL canonicalization for web-corpus dedup: lowercase, strip scheme/
+    www/query/fragment/trailing slashes; md5 of the canonical form is the
+    dedup key (joins against ext_dedup_exact's group shape). URLs
+    synthesized deterministically (the corpus has none); the regex chain is
+    the real operator."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/?utm_source=x&ref=y#frag"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/"))
+        .otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("url")), r"^https?://(www\.)?", ""),
+            r"[?#].*$", ""),
+        r"/+$", "")
+    return (
+        d.select("doc_id", url.alias("url"))
+        .select("doc_id", "url", canon.alias("canon"), F.md5(canon).alias("canon_key"))
+    )
