@@ -238,3 +238,15 @@ def test_materialized_attr_predicate_pushes_to_scan(spark):
     assert "PushedFilters" in s
     pushed = s.split("PushedFilters:")[1].splitlines()[0]
     assert "attr_k" in pushed and "GreaterThanOrEqual" in pushed
+
+
+def test_survey_2c_fully_covered():
+    """Every SURVEY.md §2.C op-id must be a queries() key or cited in an
+    entry's survey tag — the build contract stays complete as the registry
+    evolves."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from scripts.check_survey_coverage import missing_op_ids
+
+    assert missing_op_ids() == []
