@@ -988,3 +988,52 @@ def sql_q18(spark, sf_dir):
         LIMIT 100
         """
     )
+
+
+@register(
+    "sql_q8",
+    """
+    WITH flat AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND l_suppkey = s_suppkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'AMERICA'
+        AND s_nationkey = n2.n_nationkey
+    )
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN supp_nation = 'BRAZIL' THEN volume
+                               ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+    survey="B1 join_inner join_broadcast agg_basic fn_date (TPC-H Q8 shape: market share)",
+)
+def sql_q8(spark, sf_dir):
+    """National market share: 7-table join, conditional aggregation, exact
+    decimal volume sums so the share ratio is order-insensitive."""
+    for t in ("lineitem", "orders", "customer", "supplier", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH flat AS (
+          SELECT year(o_orderdate) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS volume,
+                 n2.n_name AS supp_nation
+          FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
+          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND l_suppkey = s_suppkey
+            AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+            AND r_name = 'AMERICA'
+            AND s_nationkey = n2.n_nationkey
+        )
+        SELECT o_year,
+               round(CAST(SUM(CASE WHEN supp_nation = 'BRAZIL' THEN volume
+                                   ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                     / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+        FROM flat GROUP BY o_year
+        """
+    )
