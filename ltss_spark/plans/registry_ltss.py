@@ -1037,3 +1037,58 @@ def sql_q8(spark, sf_dir):
         FROM flat GROUP BY o_year
         """
     )
+
+
+@register(
+    "sql_q21",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > TIMESTAMP '1998-06-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > TIMESTAMP '1998-06-01')
+      AND s_nationkey = n_nationkey AND n_name = 'SAUDI ARABIA'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 100
+    """,
+    survey="B1 join_semi join_anti agg_basic (TPC-H Q21 shape: correlated EXISTS + NOT EXISTS)",
+)
+def sql_q21(spark, sf_dir):
+    """Suppliers who were the sole late shipper on an order (Q21 adapted
+    to the slim schema: 'late' = shipped after the cutoff; the fixture has
+    no receipt/commit dates): the hardest TPC-H decorrelation
+    shape — a correlated EXISTS and a correlated NOT EXISTS over the same
+    fact table become one semi-join and one anti-join against shared
+    aggregated subplans; no per-row re-execution."""
+    for t in ("supplier", "lineitem", "orders", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > TIMESTAMP '1998-06-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > TIMESTAMP '1998-06-01')
+          AND s_nationkey = n_nationkey AND n_name = 'SAUDI ARABIA'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 100
+        """
+    )
