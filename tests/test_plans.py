@@ -240,6 +240,31 @@ def test_materialized_attr_predicate_pushes_to_scan(spark):
     assert "attr_k" in pushed and "GreaterThanOrEqual" in pushed
 
 
+def test_driver_window_prioritizes_unverified_surface():
+    """The driver's per-round CORRECTNESS check covers ~the first 50
+    queries() entries. Round 1 verified the relational core, so the first
+    window must now hold the never-driver-verified surface (VERDICT r1
+    item 1): every ext_*/stream_*/sink_*, scan_stream, join_asof,
+    ts_gapfill, geo_distance, and the UDF trio."""
+    import ltss_spark.plans as plans
+
+    names = list(plans.queries().keys())
+    first50 = set(names[:50])
+    must = {
+        "join_asof", "ts_gapfill", "geo_distance",
+        "udf_scalar", "udaf", "udtf",
+        "scan_stream", "sink_append", "sink_partitioned",
+    }
+    must |= {n for n in names if n.startswith("ext_") or n.startswith("stream_")}
+    missing = must - first50
+    assert missing == set(), f"critical unverified ops outside window: {missing}"
+    # queries() and oracle_sql() must agree on ordering and keys
+    oracle_names = list(plans.oracle_sql().keys())
+    positions = {n: i for i, n in enumerate(names)}
+    assert oracle_names == sorted(oracle_names, key=positions.__getitem__)
+    assert set(oracle_names) <= set(names)
+
+
 def test_survey_2c_fully_covered():
     """Every SURVEY.md §2.C op-id must be a queries() key or cited in an
     entry's survey tag — the build contract stays complete as the registry
