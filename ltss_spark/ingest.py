@@ -17,7 +17,7 @@ becomes parallel micro-batches with PK dedup.
 
 from __future__ import annotations
 
-import re
+import fnmatch
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
@@ -33,18 +33,13 @@ LTSS_COLUMNS = ("time", "entity_id", "state", "attributes", "loc_lon", "loc_lat"
 # ---------------------------------------------------------------------------
 
 def glob_to_regex(pattern: str) -> str:
-    """HA entity globs: ``*`` -> ``.*``, ``?`` -> ``.``; everything else
-    literal. Mirrors the glob semantics documented at
-    /root/reference/README.md:84-101."""
-    out = []
-    for ch in pattern:
-        if ch == "*":
-            out.append(".*")
-        elif ch == "?":
-            out.append(".")
-        else:
-            out.append(re.escape(ch))
-    return "^" + "".join(out) + "$"
+    """HA entity globs (documented at /root/reference/README.md:84-101) are
+    compiled with ``fnmatch.translate`` upstream, so ``*`` -> ``.*``, ``?``
+    -> ``.`` and ``[seq]``/``[!seq]`` are character classes. We reuse
+    ``fnmatch.translate`` directly; its output (``(?s:...)\\Z`` plus a
+    leading ``^`` anchor added here, since ``rlike`` is a find, not a match)
+    is valid in both Python and Java regex engines."""
+    return "^" + fnmatch.translate(pattern)
 
 
 @dataclass(frozen=True)
@@ -68,8 +63,15 @@ class EntityFilter:
         - neither side configured -> keep everything;
         - include only -> keep iff in include entities/domains/globs;
         - exclude only -> keep unless in exclude entities/domains/globs;
-        - both -> listed include *entities* always win; otherwise a row must
-          match the include side and not the exclude entities/globs.
+        - both, include domains/globs present (HA case 4a) -> listed include
+          *entities* always win; otherwise a row must match an include
+          domain/glob and not the exclude entities/globs;
+        - both, but include has ONLY entities while exclude has
+          domains/globs (HA case 4b) -> the include list only rescues
+          entities caught by an exclude domain/glob; anything not excluded
+          is kept;
+        - both sides entity-lists only (HA case 4c) -> keep iff in
+          include entities (excludes ignored).
         """
         e = F.col(entity_col) if isinstance(entity_col, str) else entity_col
         domain = F.split(e, r"\.").getItem(0)
@@ -99,10 +101,26 @@ class EntityFilter:
         if inc is None:
             return ~exc
         listed = e.isin(*self.include_entities) if self.include_entities else F.lit(False)
-        exc_ent_glob = _match((), self.exclude_entities, self.exclude_globs)
-        if exc_ent_glob is None:
-            exc_ent_glob = F.lit(False)
-        return listed | (inc & ~exc_ent_glob)
+        if self.include_domains or self.include_globs:
+            # 4a: listed entities win; else must match an include domain/glob
+            # and evade the exclude entities/globs
+            inc_dom_glob = _match(self.include_domains, (), self.include_globs)
+            exc_ent_glob = _match((), self.exclude_entities, self.exclude_globs)
+            if exc_ent_glob is None:
+                exc_ent_glob = F.lit(False)
+            return listed | (inc_dom_glob & ~exc_ent_glob)
+        if self.exclude_domains or self.exclude_globs:
+            # 4b: include entities only rescue rows caught by an exclude
+            # domain/glob; everything not excluded passes
+            exc_dom_glob = _match(self.exclude_domains, (), self.exclude_globs)
+            exc_ent = (
+                e.isin(*self.exclude_entities)
+                if self.exclude_entities
+                else F.lit(False)
+            )
+            return F.when(exc_dom_glob, listed).otherwise(~exc_ent)
+        # 4c: both sides are plain entity lists — include list wins outright
+        return listed
 
 
 # ---------------------------------------------------------------------------
@@ -128,8 +146,12 @@ def sanitize_state(col: Column | str = "state") -> Column:
 
 def extract_location(attrs_col: Column | str = "attributes") -> tuple[Column, Column]:
     """A7 geo extraction (models.py:54-62): emit (lon, lat) doubles only when
-    BOTH coordinates are present in the attribute JSON, else NULLs — the
-    reference's 'if lat and lon' rule at models.py:62."""
+    BOTH coordinates are present in the attribute JSON, else NULLs.
+
+    Deliberate divergence from the reference: its ``if lon and lat``
+    (models.py:62) uses Python truthiness, so a 0.0 coordinate (equator /
+    prime meridian — a valid place) yields no location there. We use
+    IS NOT NULL, which keeps 0.0 coordinates."""
     c = F.col(attrs_col) if isinstance(attrs_col, str) else attrs_col
     lat = F.get_json_object(c, "$.latitude").cast("double")
     lon = F.get_json_object(c, "$.longitude").cast("double")
@@ -137,14 +159,34 @@ def extract_location(attrs_col: Column | str = "attributes") -> tuple[Column, Co
     return F.when(both, lon), F.when(both, lat)
 
 
+#: one JSON object member named latitude/longitude with a *scalar* value
+#: (string with escapes, or number/true/false/null). Inside valid JSON a
+#: quote within a string value is always escaped (\\"), so the quoted key
+#: cannot false-match inside a string payload.
+_LOC_MEMBER = (
+    r'"(?:latitude|longitude)"\s*:\s*'
+    r'(?:"(?:[^"\\]|\\.)*"|[^,}\]\[{"]+)'
+)
+
+
 def strip_location_keys(attrs_col: Column | str = "attributes") -> Column:
-    """A7's attribute-key removal (models.py:58-61 ``attrs.pop``): rebuild the
-    JSON payload without latitude/longitude once extracted. Implemented on a
-    MapType projection with ``map_filter`` — stays JVM-side."""
+    """A7's attribute-key removal (models.py:58-61 ``attrs.pop``): drop the
+    latitude/longitude members from the JSON payload once extracted, as a
+    pure text rewrite — every other member keeps its exact original
+    rendering (numbers stay numbers, nested objects/arrays untouched), so
+    ``get_json_object`` paths on the remaining attributes keep working.
+
+    Three global regex passes (member-with-trailing-comma, then
+    comma-then-member for a last member, then a lone member) keep the result
+    well-formed JSON. Limitation (documented divergence): the rewrite is
+    depth-blind, so a latitude/longitude key inside a *nested* object is
+    removed too; HA location coordinates are top-level floats, and a
+    nested-object *value* for these keys is not supported."""
     c = F.col(attrs_col) if isinstance(attrs_col, str) else attrs_col
-    as_map = F.from_json(c, "map<string,string>")
-    stripped = F.map_filter(as_map, lambda k, _: ~k.isin("latitude", "longitude"))
-    return F.when(c.isNotNull(), F.to_json(stripped))
+    out = F.regexp_replace(c, _LOC_MEMBER + r"\s*,\s*", "")
+    out = F.regexp_replace(out, r",\s*" + _LOC_MEMBER, "")
+    out = F.regexp_replace(out, _LOC_MEMBER, "")
+    return F.when(c.isNotNull(), out)
 
 
 def dedup_primary_key(df: DataFrame, tie_breaker: str | None = None) -> DataFrame:

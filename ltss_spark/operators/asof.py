@@ -170,28 +170,90 @@ def asof_join_nearest(
     """Nearest as-of: for each left row, the right row minimizing
     |right.on - left.on| within the group (ties break backward — the
     earlier right row wins, matching pandas ``merge_asof
-    (direction='nearest')``). Composition: backward + forward passes (each
-    one union + per-key window, see :func:`asof_join`), then a per-row
-    pick — still no joins beyond the two linear passes."""
+    (direction='nearest')``).
+
+    One union + ONE per-key window shuffle: both directions are computed
+    over the same partitioning/ordering with two RANGE frames
+    (unboundedPreceding..0 for backward, 0..unboundedFollowing for
+    forward — range frames include coincident-timestamp rows in both
+    directions), then a per-row pick. No re-merge join, so duplicate left
+    rows pass through 1:1 and left cardinality is always preserved; the
+    second frame reuses the first's sort, so the plan is one exchange +
+    one sort + two linear passes."""
     by_l = [by] if isinstance(by, str) else list(by)
     value_cols = value_cols or [
         c for c in right.columns if c not in set(by_l) | {on}
     ]
-    back = asof_join(left, right, on, by, value_cols, suffix="_b")
-    fwd = asof_join_forward(left, right, on, by, value_cols, suffix="_f")
-    join_keys = [*by_l, on, *[c for c in left.columns if c not in set(by_l) | {on}]]
-    merged = back.join(fwd, join_keys, "inner")
+    left_extras = [c for c in left.columns if c not in set(by_l) | {on}]
+    l_full = left.select(
+        *by_l,
+        F.col(on),
+        *[F.col(c) for c in left_extras],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+        F.lit(1).alias("__is_probe"),
+    )
+    r_full = right.select(
+        *by_l,
+        F.col(on),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extras],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.lit(0).alias("__is_probe"),
+    )
+    # numeric ordering key for the range frames; epoch-seconds double keeps
+    # microsecond timestamps exactly (< 2^53 micro-units)
+    unioned = l_full.unionByName(r_full).withColumn(
+        "__on_num", F.col(on).cast("double")
+    )
+    wb = (
+        Window.partitionBy(*by_l)
+        .orderBy("__on_num")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*by_l)
+        .orderBy("__on_num")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ev_on = F.when(F.col("__is_probe") == 0, F.col(on))
+    filled = unioned.select(
+        *by_l,
+        F.col(on),
+        *left_extras,
+        "__is_probe",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(wb).alias(f"__b_{c}")
+            for c in value_cols
+        ],
+        *[
+            F.first(F.col(f"__r_{c}"), ignorenulls=True).over(wf).alias(f"__f_{c}")
+            for c in value_cols
+        ],
+        F.last(ev_on, ignorenulls=True).over(wb).alias("__t_b"),
+        F.first(ev_on, ignorenulls=True).over(wf).alias("__t_f"),
+    )
+    probes = filled.filter(F.col("__is_probe") == 1)
     t = F.col(on)
-    bt, ft = F.col(f"{on}_b"), F.col(f"{on}_f")
-    d_b = F.when(bt.isNotNull(), t.cast("long") - bt.cast("long"))
-    d_f = F.when(ft.isNotNull(), ft.cast("long") - t.cast("long"))
-    use_back = F.when(ft.isNull(), F.lit(True)).when(bt.isNull(), F.lit(False)).otherwise(d_b <= d_f)
-    # value_cols keep their names in both passes — disambiguate by frame
+    bt, ft = F.col("__t_b"), F.col("__t_f")
+    d_b = F.when(bt.isNotNull(), t.cast("double") - bt.cast("double"))
+    d_f = F.when(ft.isNotNull(), ft.cast("double") - t.cast("double"))
+    use_back = (
+        F.when(ft.isNull(), F.lit(True))
+        .when(bt.isNull(), F.lit(False))
+        .otherwise(d_b <= d_f)
+    )
     picked = [
-        F.when(use_back, back[c]).otherwise(fwd[c]).alias(c) for c in value_cols
+        F.when(use_back, F.col(f"__b_{c}"))
+        .otherwise(F.col(f"__f_{c}"))
+        .alias(f"{c}{suffix}" if c in left.columns else c)
+        for c in value_cols
     ]
-    return merged.select(
-        *join_keys,
+    return probes.select(
+        *by_l,
+        F.col(on),
+        *left_extras,
         *picked,
         F.when(use_back, bt).otherwise(ft).alias(f"{on}{suffix}"),
     )

@@ -63,7 +63,7 @@ def ltss_states(spark, sf_dir):
     SELECT event_id, entity_id,
            CAST(CAST(user_id % 360 AS DOUBLE) - 180.0 + 0.5 AS DOUBLE) AS loc_lon,
            CAST(CAST(user_id % 178 AS DOUBLE) - 89.0 + 0.25 AS DOUBLE) AS loc_lat,
-           '{"k":"' || CAST(event_id % 100 AS VARCHAR) || '"}' AS attributes_stripped
+           '{"k": ' || CAST(event_id % 100 AS VARCHAR) || '}' AS attributes_stripped
     FROM geo JOIN events USING (event_id)
     """,
     survey="A7 B7 fn_json (geo extraction + attribute-key removal at ingest)",

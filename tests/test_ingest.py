@@ -80,6 +80,51 @@ def test_geo_extraction_single_coord_is_null(spark):
     assert "latitude" not in row.attrs
 
 
+def test_strip_location_is_lossless_for_other_members(spark):
+    """A7 attribute strip must not retype the surviving payload: numbers
+    stay numbers, booleans stay booleans, nested objects/arrays survive
+    verbatim (reference stores lossless JSONB, models.py:58-61), so
+    get_json_object paths keep working downstream."""
+    import json
+
+    attrs = (
+        '{"latitude": 57.7, "n": 42, "ok": true, '
+        '"nested": {"a": [1, 2], "b": "x"}, "longitude": 11.97}'
+    )
+    df = _events(spark, [(T0, "person.x", "home", attrs)])
+    row = df.select(
+        strip_location_keys().alias("attrs"),
+        F.get_json_object(strip_location_keys(), "$.nested.a[1]").alias("deep"),
+    ).first()
+    parsed = json.loads(row.attrs)
+    assert parsed == {"n": 42, "ok": True, "nested": {"a": [1, 2], "b": "x"}}
+    assert row.deep == "2"
+
+
+def test_strip_location_edge_shapes(spark):
+    """Strip stays well-formed JSON when the keys are first, last, lone,
+    or absent; string coordinates (device trackers send these) also go."""
+    cases = [
+        ('{"latitude": 1, "a": 2}', {"a": 2}),
+        ('{"a": 2, "longitude": 1}', {"a": 2}),
+        ('{"latitude": 1, "longitude": 2}', {}),
+        ('{"latitude": "57.7", "a": "x, y"}', {"a": "x, y"}),
+        ('{"a": 2}', {"a": 2}),
+        ("{}", {}),
+    ]
+    import json
+
+    df = _events(
+        spark, [(T0, f"e.{i}", "s", attrs) for i, (attrs, _) in enumerate(cases)]
+    )
+    got = {
+        r.entity_id: json.loads(r.attrs)
+        for r in df.select("entity_id", strip_location_keys().alias("attrs")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[f"e.{i}"] == want, f"case {i}"
+
+
 def test_pk_dedup_deterministic(spark):
     """B9: PK(time, entity_id) uniqueness with highest tie-breaker winning."""
     df = spark.createDataFrame(
@@ -168,9 +213,10 @@ def test_filter_both_exclude_refines_include_domain(spark):
 
 
 def test_glob_to_regex_matches_fnmatch_property():
-    """Property: our glob compiler agrees with Python's fnmatch (an
-    independent model of HA's glob semantics) on randomized patterns and
-    candidates — including regex metacharacters in literals."""
+    """Property: our glob compiler agrees with Python's fnmatch (the exact
+    model HA compiles entity globs with) on randomized patterns and
+    candidates — including regex metacharacters and [seq]/[!seq]
+    character classes."""
     import fnmatch
     import random
     import re
@@ -178,17 +224,62 @@ def test_glob_to_regex_matches_fnmatch_property():
     from ltss_spark.ingest import glob_to_regex
 
     rng = random.Random(31)
-    alphabet = "ab._*?+[]()d"
+    alphabet = "ab._*?+[]()d!"
     for _ in range(500):
         pat = "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 8)))
-        # fnmatch treats [seq] as a character class; HA globs (and ours)
-        # treat [ ] literally — skip patterns where the models diverge
-        if "[" in pat or "]" in pat:
-            continue
-        cand = "".join(rng.choice("ab._d") for _ in range(rng.randrange(0, 8)))
-        got = re.fullmatch(glob_to_regex(pat)[1:-1], cand) is not None
+        cand = "".join(rng.choice("ab._d!") for _ in range(rng.randrange(0, 8)))
+        got = re.search(glob_to_regex(pat), cand) is not None
         want = fnmatch.fnmatchcase(cand, pat)
         assert got == want, f"pattern={pat!r} candidate={cand!r} got={got} want={want}"
+
+
+def test_filter_glob_bracket_class(spark):
+    """fnmatch [seq] classes work through Spark's Java-regex rlike too."""
+    flt = EntityFilter(include_globs=("sensor.temp_[ak]*",))
+    assert _apply(spark, flt) == {"sensor.temp_kitchen", "sensor.temp_attic"}
+    flt = EntityFilter(include_globs=("sensor.temp_[!a]*",))
+    assert _apply(spark, flt) == {"sensor.temp_kitchen"}
+
+
+def test_filter_4b_exclude_domains_with_include_entities(spark):
+    """HA case 4b: include has ONLY entities while exclude has domains —
+    the include list rescues entities caught by the exclude domain, and
+    every entity not excluded at all is kept (not dropped)."""
+    flt = EntityFilter(
+        include_entities=("sensor.temp_attic",),
+        exclude_domains=("sensor",),
+    )
+    # sensor.* excluded except the rescued one; light/person untouched
+    assert _apply(spark, flt) == {
+        "sensor.temp_attic",
+        "light.kitchen",
+        "person.john",
+    }
+
+
+def test_filter_4b_exclude_entities_also_apply(spark):
+    """HA case 4b: rows not matching an exclude domain/glob still drop if
+    in exclude_entities."""
+    flt = EntityFilter(
+        include_entities=("sensor.temp_attic",),
+        exclude_globs=("sensor.temp_*",),
+        exclude_entities=("light.kitchen",),
+    )
+    assert _apply(spark, flt) == {
+        "sensor.temp_attic",
+        "sensor.weather_wind",
+        "person.john",
+    }
+
+
+def test_filter_4c_entity_lists_only(spark):
+    """HA case 4c: both sides plain entity lists — include list wins
+    outright, excludes ignored."""
+    flt = EntityFilter(
+        include_entities=("sensor.temp_attic", "light.kitchen"),
+        exclude_entities=("light.kitchen",),
+    )
+    assert _apply(spark, flt) == {"sensor.temp_attic", "light.kitchen"}
 
 
 def test_dedup_primary_key_invariants(spark):

@@ -516,3 +516,26 @@ def test_asof_nearest_matches_pandas_on_random_data(spark):
     pd.testing.assert_series_equal(
         got["val"], want["val"], check_dtype=False, check_names=False
     )
+
+
+def test_asof_nearest_preserves_duplicate_left_rows(spark):
+    """Left cardinality is preserved even when left rows are exact
+    duplicates on (by, on, extras) — n duplicates stay n rows, never n²
+    (ADVICE r1: the old back⋈fwd merge multiplied them)."""
+    base = dt.datetime(2024, 1, 1)
+    probes = [("a", base + dt.timedelta(seconds=10))] * 3 + [
+        ("a", base + dt.timedelta(seconds=40))
+    ]
+    events = [
+        ("a", base + dt.timedelta(seconds=0), 1.0),
+        ("a", base + dt.timedelta(seconds=60), 2.0),
+    ]
+    pdf_s = spark.createDataFrame(probes, "key string, ts timestamp")
+    edf = spark.createDataFrame(events, "key string, ts timestamp, val double")
+
+    from ltss_spark.operators.asof import asof_join_nearest
+
+    out = asof_join_nearest(pdf_s, edf, on="ts", by="key").collect()
+    assert len(out) == 4
+    vals = sorted(r.val for r in out)
+    assert vals == [1.0, 1.0, 1.0, 2.0]
