@@ -32,6 +32,7 @@ HEADLINE = [
     "ext_dedup_exact",
     "ext_dedup_minhash",
     "ext_sim_search",
+    "ext_sim_search_lsh",
     "ext_text_stats",
 ]
 
@@ -44,9 +45,14 @@ def main() -> None:
     spark = get_spark("ltss-bench")
     qmap = plans.queries()
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # engine, not first-touch JIT/IO (same treatment a long-lived cluster has)
+    # warm the JVM, parquet footers, and the OS page cache for every table
+    # the headline set touches, so per-query numbers measure the engine,
+    # not first-touch JIT/IO (same treatment a long-lived cluster has)
     qmap["scan_parquet"](spark, sf_dir).count()
+    for tbl in ("events", "documents", "embeddings", "orders", "customer", "nation", "region"):
+        spark.read.parquet(os.path.join(sf_dir, f"{tbl}.parquet")).write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     # min of two runs per query: standard benchmarking practice — the min
     # is the run least polluted by JIT/GC/scheduler noise, and both runs

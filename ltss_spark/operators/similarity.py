@@ -15,6 +15,8 @@ Two tiers:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -85,6 +87,43 @@ def _hyperplane(table: int, bit: int, dim: int) -> list[float]:
     return out
 
 
+def _sig_udf(tables: int, bits: int, dim: int):
+    """Arrow-batched hyperplane-sign signatures: vector -> array of
+    ``tables`` bit-string signatures (element t = table t's ``bits`` sign
+    bits).
+
+    The earlier pure-expression form (fold over zip_with per plane) was
+    correct but ran interpreted — higher-order functions don't enter
+    whole-stage codegen, and tables*bits*dim mult-adds per vector dominated
+    the query. Here each Arrow batch does ONE (N x dim) @ (dim x
+    tables*bits) numpy matmul and a vectorized bit-pack; the plane matrix
+    (a few KB, md5-derived so reproducible anywhere) ships with the
+    closure. Map-side only — the operator's shuffle shape is unchanged."""
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.empty((tables * bits, dim), dtype=np.float64)
+    for t in range(tables):
+        for b in range(bits):
+            mat[t * bits + b] = _hyperplane(t, b, dim)
+    mat_t = mat.T.copy()
+
+    @pandas_udf("array<string>")
+    def sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        vecs = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        chars = np.where(vecs @ mat_t >= 0, "1", "0").astype("U1")
+        packed = [
+            np.ascontiguousarray(chars[:, t * bits : (t + 1) * bits])
+            .view(f"<U{bits}")
+            .ravel()
+            for t in range(tables)
+        ]
+        return pd.Series(np.stack(packed, axis=1).tolist())
+
+    return sigs
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -109,51 +148,15 @@ def cosine_topk_lsh(
     far fewer candidate collisions, same recall. Verified against the exact
     operator in tests/test_operators.py.
     """
-    planes = [
-        [ _hyperplane(t, b, dim) for b in range(bits) ] for t in range(tables)
-    ]
-    # ONE nested literal (tables x bits x dim) walked by higher-order
-    # functions: the dot-product expression is built once and applied per
-    # element, instead of tables*bits inlined copies of a dim-literal
-    # array — the latter made codegen compile-time dominate the query.
-    planes_lit = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                F.array(
-                    *[F.array(*[F.lit(x) for x in planes[t][b]]) for b in range(bits)]
-                ).alias("planes"),
-            )
-            for t in range(tables)
-        ]
-    )
 
-    def table_sigs(vec: Column) -> Column:
-        def sig_for(tbl: Column) -> Column:
-            bits_arr = F.transform(
-                tbl.getField("planes"),
-                lambda plane: F.when(
-                    F.aggregate(
-                        F.zip_with(vec, plane, lambda v, p: v.cast("double") * p),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    >= 0,
-                    F.lit("1"),
-                ).otherwise(F.lit("0")),
-            )
-            return F.struct(
-                tbl.getField("table").alias("table"),
-                F.array_join(bits_arr, "").alias("sig"),
-            )
-
-        return F.transform(planes_lit, sig_for)
+    sig_udf = _sig_udf(tables, bits, dim)
 
     def with_sigs(df: DataFrame, ident: str) -> DataFrame:
         return df.select(
-            F.col(id_col).alias(ident), F.col(vec_col).alias(f"{ident}_vec"),
-            F.explode(table_sigs(F.col(vec_col))).alias("ts"),
-        ).select(ident, f"{ident}_vec", F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig"))
+            F.col(id_col).alias(ident),
+            F.col(vec_col).alias(f"{ident}_vec"),
+            F.posexplode(sig_udf(F.col(vec_col))).alias("table", "sig"),
+        )
 
     qs = with_sigs(queries, "query_id")
     cs = with_sigs(corpus, "candidate_id")
@@ -194,38 +197,69 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.3,
+    exact_limit: int | None = 100_000,
+    tables: int = 16,
+    bits: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
+    """Embedding-cosine near-duplicate pairs: (a, b), a < b, with
     cosine(a, b) >= threshold (rounded to 6 for cross-engine determinism).
+    Norms are computed ONCE per vector before any join (not once per pair).
 
-    Norms are computed ONCE per vector before the join (not once per pair).
-    This is the exact correctness baseline — a broadcast self-join that
-    scales as |V|^2 comparisons with only a linear shuffle. At 100 TB the
-    same verify step runs on LSH-bucketed candidates instead of the full
-    cross product (see cosine_topk_lsh / cosine_topk_ivf); the per-pair
-    arithmetic is identical.
+    Guarded scale switch (VERDICT r1): up to ``exact_limit`` vectors this
+    is the exact all-pairs baseline — a broadcast self-join, |V|^2
+    comparisons with only a linear shuffle, fine as a verify step. Above
+    the limit (or with ``exact_limit=None``/0 forced) candidates come from
+    hyperplane-sign LSH buckets (same signature machinery as
+    :func:`cosine_topk_lsh`) and only colliding pairs are scored — the
+    100 TB shape; recall follows 1-(1-p^bits)^tables, ~0.89 at the default
+    4x16 for cosine 0.3, higher for tighter thresholds.
     """
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
     )
+
+    def score(pairs: DataFrame) -> DataFrame:
+        return pairs.select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+            ).alias("cosine"),
+        ).filter(F.col("cosine") >= threshold)
+
     a = base.select(
         F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a")
     )
     b = base.select(
         F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
     )
+    if exact_limit and corpus.limit(exact_limit + 1).count() <= exact_limit:
+        return score(a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")))
+
+    sigs = base.select(
+        "id",
+        "vec",
+        "nrm",
+        F.posexplode(_sig_udf(tables, bits, dim)(F.col("vec"))).alias("table", "sig"),
+    )
+    sa = sigs.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"), "table", "sig",
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"), "table", "sig",
+    )
+    # equi-join on (table, sig) buckets; multi-table collisions are deduped
+    # AFTER scoring (groupBy ids) — re-scoring a duplicate pair is cheaper
+    # than shuffling 64-float arrays through a distinct
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+        score(sa.join(sb, ["table", "sig"]).filter(F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("cosine").alias("cosine"))
     )
 
 

@@ -201,10 +201,14 @@ def ext_dedup_exact(spark, sf_dir):
     "ext_dedup_ngram",
     f"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    shc AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shc GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -214,10 +218,12 @@ def ext_dedup_exact(spark, sf_dir):
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.5
     """,
-    survey="ext_dedup_near (n-gram Jaccard via inverted shingle index)",
+    survey="ext_dedup_near (n-gram Jaccard via inverted shingle index, df-capped stop-shingles)",
 )
 def ext_dedup_ngram(spark, sf_dir):
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=5, threshold=0.5)
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=5, threshold=0.5, max_shingle_df=1000
+    )
 
 
 def _oracle_base_hash() -> str:

@@ -105,6 +105,35 @@ def test_lsh_dedup_plans_have_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embed_dedup_scale_path_is_bucketed(spark):
+    """Above exact_limit, embedding_dup_pairs must switch to the LSH-bucket
+    equi-join — no all-pairs nested-loop anywhere in the plan (VERDICT r1:
+    a user can call this on a 100 TB corpus)."""
+    from ltss_spark.operators.similarity import embedding_dup_pairs
+    from ltss_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = _plan(embedding_dup_pairs(emb, exact_limit=1))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # and the guarded default at small |V| stays the exact baseline
+    plan_exact = _plan(embedding_dup_pairs(emb, exact_limit=100_000))
+    assert "BroadcastNestedLoopJoin" in plan_exact
+
+
+def test_ngram_hot_shingles_are_capped(spark):
+    """The inverted-index self-join must be preceded by the stop-shingle
+    df-cap (left-anti against the hot list) so one boilerplate shingle
+    can't make a bucket quadratic."""
+    from ltss_spark.operators.dedup import ngram_jaccard_pairs
+    from ltss_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(ngram_jaccard_pairs(docs, max_shingle_df=50))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_similarity_broadcasts_probe_side(spark):
     """Exact cosine top-k: the probe set must broadcast (nested-loop over a
     replicated few-row side), never shuffle the corpus."""
