@@ -27,6 +27,12 @@ from pyspark.sql import Column, DataFrame
 #: flattened to lon/lat doubles — Spark has no geometry type, SURVEY §1.1 B7)
 LTSS_COLUMNS = ("time", "entity_id", "state", "attributes", "loc_lon", "loc_lat")
 
+#: the location-less schema variant (reference models.py:35,42-44: without
+#: activate_location_extraction the table has NO location column and
+#: from_event never pops lat/lon out of attributes — mirrored by the
+#: reference's test_lite fixture, tests/pytest/test_databases.py:57-68)
+LTSS_COLUMNS_LITE = ("time", "entity_id", "state", "attributes")
+
 
 # ---------------------------------------------------------------------------
 # A3: include/exclude entity filter
@@ -253,16 +259,29 @@ def events_to_states(
     """A1->A3->A5-A8 pipeline over a DataFrame already shaped like HA events
     (columns: time_fired, entity_id, state, attributes). Used by both batch
     tests (FIXTURES.md F1) and the streaming path.
+
+    ``with_location=False`` is the reference's non-activated schema
+    (models.py:35,42-44 — irreversible opt-in in Postgres, a plain flag
+    here): the 4-column LTSS_COLUMNS_LITE shape, with lat/lon left inside
+    attributes exactly as they arrived (from_event only pops them when the
+    location column exists).
     """
     df = events.filter(valid_event_expr())
     if entity_filter is not None:
         df = df.filter(entity_filter.expr())
+    if not with_location:
+        return df.select(
+            F.col("time_fired").alias("time"),
+            F.col("entity_id"),
+            sanitize_state().alias("state"),
+            F.col("attributes"),
+        )
     lon, lat = extract_location()
     return df.select(
         F.col("time_fired").alias("time"),
         F.col("entity_id"),
         sanitize_state().alias("state"),
-        strip_location_keys().alias("attributes") if with_location else F.col("attributes"),
+        strip_location_keys().alias("attributes"),
         lon.alias("loc_lon"),
         lat.alias("loc_lat"),
     )

@@ -27,34 +27,100 @@ from ltss_spark.ingest import states_from_events
 from ltss_spark.sources.batch import normalize_event_times
 
 
+#: reference retry policy (__init__.py:121-139 connect, 201-244 insert):
+#: up to 10 tries, 3 s apart. Same defaults here, but configurable.
+DEFAULT_MAX_TRIES = 10
+DEFAULT_BACKOFF_S = 3.0
+
+
+def _write_jdbc(
+    batch: DataFrame, url: str, table: str, mode: str, options: dict
+) -> None:
+    """The one place a micro-batch meets a database — a seam the contract
+    tests replace to capture (url, table, mode, options) without a live DB
+    (the reference's equivalent wiring is tested against real containers,
+    tests/pytest/test_databases.py:20-45; this container has none)."""
+    writer = batch.write.mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.jdbc(url, table)
+
+
+def _write_parquet_epoch(batch: DataFrame, out_path: str, epoch_id: int) -> None:
+    """Idempotent file landing: each micro-batch owns the partition
+    directory ``epoch=<id>`` and OVERWRITES it, so a replayed epoch (sink
+    retry, checkpoint recovery) replaces its own output instead of
+    appending duplicates — the file-sink analogue of the reference's PK
+    upsert semantics (models.py:31-32). Month subpartitioning is preserved
+    beneath the epoch for pruning; readers see both as partition columns."""
+    out = batch.withColumn("month", F.date_format("time", "yyyy-MM"))
+    out.write.mode("overwrite").partitionBy("month").parquet(
+        f"{out_path}/epoch={int(epoch_id)}"
+    )
+
+
+def with_retries(
+    fn,
+    max_tries: int = DEFAULT_MAX_TRIES,
+    backoff_s: float = DEFAULT_BACKOFF_S,
+    sleep=None,
+):
+    """A10 transient-error policy (reference __init__.py:121-139,201-244:
+    ≤10 tries × 3 s before giving up): call ``fn`` until it succeeds or the
+    budget is spent, then re-raise the last error. Spark task retries cover
+    executor-side failures; this covers the driver-side foreachBatch body
+    (the JDBC commit itself). ``sleep`` is injectable for tests."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+
+    def wrapped(*args, **kwargs):
+        last = None
+        for attempt in range(1, max_tries + 1):
+            try:
+                return fn(*args, **kwargs)
+            except Exception as e:  # noqa: BLE001 — re-raised after budget
+                last = e
+                if attempt < max_tries:
+                    sleep(backoff_s)
+        raise last
+
+    return wrapped
+
+
 def make_sink(
     out_path: str | None = None,
     jdbc_url: str | None = None,
     jdbc_table: str = "ltss",
     jdbc_options: dict | None = None,
+    jdbc_mode: str = "append",
+    max_tries: int = DEFAULT_MAX_TRIES,
+    backoff_s: float = DEFAULT_BACKOFF_S,
 ):
-    """Build the ``foreachBatch`` body: parquet partitioned-by-month (the
-    test/file path) or JDBC append (the production database sink from
-    BASELINE's 'Structured Streaming + JDBC sink' shape — one batched
-    INSERT per micro-batch instead of the reference's row-at-a-time
-    ``session.add``, /root/reference/custom_components/ltss/__init__.py:
-    207-211). Exactly one of ``out_path`` / ``jdbc_url`` must be set.
+    """Build the ``foreachBatch`` body: epoch-idempotent parquet
+    partitioned by month (the test/file path) or JDBC append (the
+    production database sink from BASELINE's 'Structured Streaming + JDBC
+    sink' shape — one batched INSERT per micro-batch instead of the
+    reference's row-at-a-time ``session.add``,
+    /root/reference/custom_components/ltss/__init__.py:207-211). Both
+    paths carry the reference's retry budget (A10). Exactly one of
+    ``out_path`` / ``jdbc_url`` must be set.
     """
     if (out_path is None) == (jdbc_url is None):
         raise ValueError("exactly one of out_path / jdbc_url required")
 
     if jdbc_url is not None:
         def sink(batch: DataFrame, epoch_id: int) -> None:
-            writer = batch.write.mode("append")
-            for k, v in (jdbc_options or {}).items():
-                writer = writer.option(k, v)
-            writer.jdbc(jdbc_url, jdbc_table)
+            with_retries(_write_jdbc, max_tries, backoff_s)(
+                batch, jdbc_url, jdbc_table, jdbc_mode, jdbc_options or {}
+            )
 
         return sink
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
-        out = batch.withColumn("month", F.date_format("time", "yyyy-MM"))
-        out.write.mode("append").partitionBy("month").parquet(out_path)
+        with_retries(_write_parquet_epoch, max_tries, backoff_s)(
+            batch, out_path, epoch_id
+        )
 
     return sink
 

@@ -28,10 +28,17 @@ def test_streaming_ingest_equals_batch(spark):
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
-    # partitioned layout: month=... directories exist (hypertable-chunk analogue)
+    # partitioned layout: epoch=N/month=... (the epoch dir owns its output
+    # for idempotent replay; month is the hypertable-chunk analogue)
     import os
 
-    assert any(d.startswith("month=") for d in os.listdir(f"{base}/out"))
+    epochs = [d for d in os.listdir(f"{base}/out") if d.startswith("epoch=")]
+    assert epochs
+    assert any(
+        d.startswith("month=")
+        for e in epochs
+        for d in os.listdir(f"{base}/out/{e}")
+    )
 
 
 def test_streaming_window_counts_equal_batch(spark):
@@ -125,33 +132,132 @@ def test_shutdown_streams_drains_and_stops(spark):
     assert not any(a.id == q.id for a in spark.streams.active)
 
 
-def test_make_sink_jdbc_shape(spark, monkeypatch):
-    """The JDBC sink body issues one batched append per micro-batch (the
-    production 'Structured Streaming + JDBC sink' shape). No database in
-    the container, so capture the writer call instead of connecting."""
-    from pyspark.sql.readwriter import DataFrameWriter
-
-    from ltss_spark.streaming.ingest import make_sink
+def test_make_sink_jdbc_contract(spark, monkeypatch):
+    """Sink contract (reference __init__.py:207-211; its tests boot real
+    containers, tests/pytest/test_databases.py:20-45 — none here, so the
+    write seam is captured): one batched append per micro-batch with the
+    exact url/table/mode/options wiring the caller configured."""
+    import ltss_spark.streaming.ingest as si
 
     calls = []
-
-    def fake_jdbc(self, url, table, mode=None, properties=None):
-        calls.append((url, table))
-
-    monkeypatch.setattr(DataFrameWriter, "jdbc", fake_jdbc)
-    sink = make_sink(jdbc_url="jdbc:postgresql://db/ha", jdbc_table="ltss")
+    monkeypatch.setattr(
+        si,
+        "_write_jdbc",
+        lambda batch, url, table, mode, options: calls.append(
+            (batch.count(), url, table, mode, dict(options))
+        ),
+    )
+    sink = si.make_sink(
+        jdbc_url="jdbc:postgresql://db/ha",
+        jdbc_table="ltss",
+        jdbc_options={"batchsize": "5000", "isolationLevel": "READ_COMMITTED"},
+    )
     batch = spark.createDataFrame(
-        [(1, "a.b")], "event_id long, entity_id string"
+        [(1, "a.b"), (2, "c.d")], "event_id long, entity_id string"
     )
     sink(batch, epoch_id=0)
-    assert calls == [("jdbc:postgresql://db/ha", "ltss")]
+    assert calls == [
+        (
+            2,
+            "jdbc:postgresql://db/ha",
+            "ltss",
+            "append",
+            {"batchsize": "5000", "isolationLevel": "READ_COMMITTED"},
+        )
+    ]
 
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        make_sink()  # neither target
+        si.make_sink()  # neither target
     with _pytest.raises(ValueError):
-        make_sink(out_path="/tmp/x", jdbc_url="jdbc:y")  # both targets
+        si.make_sink(out_path="/tmp/x", jdbc_url="jdbc:y")  # both targets
+
+
+def test_sink_retry_budget_and_backoff():
+    """A10 retry policy (reference __init__.py:121-139,201-244: ≤10 tries
+    × 3 s): transient failures are retried with backoff sleeps, success
+    stops retrying, and a persistent failure re-raises after exactly the
+    configured budget."""
+    import pytest as _pytest
+
+    from ltss_spark.streaming.ingest import with_retries
+
+    # succeeds on 3rd try
+    attempts, sleeps = [], []
+    def flaky():
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    got = with_retries(flaky, max_tries=10, backoff_s=3.0, sleep=sleeps.append)()
+    assert got == "ok"
+    assert len(attempts) == 3
+    assert sleeps == [3.0, 3.0]
+
+    # persistent failure: exactly max_tries attempts, then the error
+    attempts.clear()
+    def dead():
+        attempts.append(1)
+        raise RuntimeError("down")
+
+    with _pytest.raises(RuntimeError, match="down"):
+        with_retries(dead, max_tries=4, backoff_s=0.5, sleep=sleeps.append)()
+    assert len(attempts) == 4
+
+
+def test_parquet_sink_idempotent_replay(spark, tmp_path):
+    """Replaying the same micro-batch (sink retry / checkpoint recovery)
+    must not duplicate rows — the file-sink analogue of the reference's
+    PK(time, entity_id) semantics (models.py:31-32): each epoch overwrites
+    its own partition directory."""
+    import datetime as dt
+
+    from ltss_spark.streaming.ingest import make_sink
+
+    out = str(tmp_path / "out")
+    sink = make_sink(out_path=out)
+    batch = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 5), "sensor.a", "1.0"),
+            (dt.datetime(2024, 2, 1, 5), "sensor.b", "2.0"),
+        ],
+        "time timestamp, entity_id string, state string",
+    )
+    sink(batch, epoch_id=7)
+    sink(batch, epoch_id=7)  # replay of the SAME epoch
+    landed = spark.read.parquet(out)
+    assert landed.count() == 2
+    assert landed.select("entity_id").distinct().count() == 2
+    # a different epoch appends normally
+    sink(batch, epoch_id=8)
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_events_to_states_lite_schema(spark):
+    """Reference non-activated-location variant (models.py:35,42-44;
+    test_lite fixture tests/pytest/test_databases.py:57-68): 4-column
+    schema, lat/lon NOT popped from attributes."""
+    import datetime as dt
+
+    from ltss_spark.ingest import LTSS_COLUMNS_LITE, events_to_states
+
+    df = spark.createDataFrame(
+        [
+            (
+                dt.datetime(2024, 1, 1),
+                "person.x",
+                "home",
+                '{"latitude": 57.7, "longitude": 11.97, "friendly": "X"}',
+            )
+        ],
+        "time_fired timestamp, entity_id string, state string, attributes string",
+    )
+    out = events_to_states(df, with_location=False)
+    assert tuple(out.columns) == LTSS_COLUMNS_LITE
+    row = out.first()
+    assert "latitude" in row.attributes and "longitude" in row.attributes
 
 
 def test_rollup_incremental_across_batches_and_compaction(spark):
