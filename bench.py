@@ -5,6 +5,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is fully materialized via a count-style action so the measured
 time includes scan + shuffle + aggregation, not plan construction.
+
+Every run is appended to BENCH_HISTORY.jsonl (keyed by sf) and compared
+against the per-query best of all prior same-sf runs: a query slower than
+REGRESSION_FACTOR x its historical best (with an absolute slack so noise on
+sub-second queries doesn't trip it) is a regression. The JSON line always
+prints first — the driver's contract — then a regression exits nonzero with
+the details on stderr. Set LTSS_BENCH_STRICT=0 to warn without failing.
 """
 
 from __future__ import annotations
@@ -15,6 +22,11 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+HISTORY_PATH = os.path.join(REPO_DIR, "BENCH_HISTORY.jsonl")
+REGRESSION_FACTOR = 1.5
+REGRESSION_SLACK_S = 0.4  # absolute floor: min-of-2 jitter on local[32]
 
 #: headline set: the ltss core read patterns + heaviest relational and
 #: extension operators — the queries a user of the reference runs daily
@@ -68,17 +80,66 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+
+    regressions = check_regressions(result)
+    append_history(result)
+    if regressions:
+        for name, (cur, best) in sorted(regressions.items()):
+            print(
+                f"REGRESSION {name}: {cur:.3f}s vs historical best {best:.3f}s"
+                f" (> {REGRESSION_FACTOR}x + {REGRESSION_SLACK_S}s slack)",
+                file=sys.stderr,
+            )
+        if os.environ.get("LTSS_BENCH_STRICT", "1") != "0":
+            sys.exit(1)
+
+
+def load_history(sf) -> list[dict]:
+    """All prior runs at the same scale factor (BENCH_r01 numbers were
+    seeded as the first line when the guard was introduced)."""
+    if not os.path.exists(HISTORY_PATH):
+        return []
+    runs = []
+    with open(HISTORY_PATH) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("sf") == sf:
+                runs.append(rec)
+    return runs
+
+
+def check_regressions(result: dict) -> dict[str, tuple[float, float]]:
+    best: dict[str, float] = {}
+    for rec in load_history(result["sf"]):
+        for name, sec in rec.get("queries", {}).items():
+            if name not in best or sec < best[name]:
+                best[name] = sec
+    out = {}
+    for name, cur in result["queries"].items():
+        if name in best and cur > best[name] * REGRESSION_FACTOR + REGRESSION_SLACK_S:
+            out[name] = (cur, best[name])
+    return out
+
+
+def append_history(result: dict) -> None:
+    rec = dict(result)
+    rec["ts"] = int(time.time())
+    with open(HISTORY_PATH, "a") as f:
+        f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":

@@ -2,11 +2,13 @@
 north_star): image/audio/video as opaque ``binary`` columns + typed
 metadata, processed by Arrow-batched Pandas UDFs over ``mapInPandas``.
 
-The container has no image/audio libraries, so the *decode* step is a
-clearly-marked stub (deterministic fake) — but the Spark-side contract is
-real and tested: schemas, batch iteration, partition-preserving transforms.
-On a real cluster only ``_decode_image_impl`` changes (swap the fake for
-PIL/torchvision); nothing in the plan shape does.
+Decode sits behind a runtime capability probe: when PIL is importable in
+the worker process, ``decode_image`` uses it; otherwise it falls back to a
+clearly-marked deterministic stub. This container has no imaging libraries,
+so the stub branch is what runs end-to-end here — but the Spark-side
+contract is identical on both branches and both are tested (the PIL branch
+via an injected fake module): schemas, batch iteration, partition-
+preserving transforms. Nothing in the plan shape depends on the branch.
 """
 
 from __future__ import annotations
@@ -40,18 +42,70 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _decode_image_impl(payload: bytes) -> tuple[int, int]:
-    """STUB — no imaging library in this container.
-
-    Deterministic fake: derives (width, height) from the payload hash so
-    the pipeline shape is testable end-to-end. Replace with e.g.
-    ``PIL.Image.open(io.BytesIO(payload)).size`` in production; the UDF
-    signature and plan do not change.
-    """
+def _decode_image_stub(payload: bytes) -> tuple[int, int]:
+    """STUB branch — used when no imaging library is importable (this
+    container). Deterministic fake: derives (width, height) from the
+    payload hash so the pipeline shape is testable end-to-end."""
     import hashlib
 
     h = hashlib.md5(payload or b"").digest()
     return 16 + h[0] % 64, 16 + h[1] % 64
+
+
+def _probe_imaging():
+    """Capability probe: returns a PIL-backed decode callable when PIL is
+    importable in THIS process, else None. Runs lazily inside each Python
+    worker (module state is per-process), so executors with PIL installed
+    decode for real while bare ones stub — no config flag to keep in sync
+    with the actual environment."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    def _pil_decode(payload: bytes) -> tuple[int | None, int | None]:
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                return int(im.size[0]), int(im.size[1])
+        except Exception:
+            # corrupt/undecodable payload: null dims, never a task failure
+            return None, None
+
+    return _pil_decode
+
+
+_DECODER = None
+_DECODER_RESOLVED = False
+
+
+def _resolve_decoder():
+    global _DECODER, _DECODER_RESOLVED
+    if not _DECODER_RESOLVED:
+        _DECODER = _probe_imaging()
+        _DECODER_RESOLVED = True
+    return _DECODER
+
+
+def _reset_probe() -> None:
+    """Test hook: force the next decode to re-run the capability probe."""
+    global _DECODER_RESOLVED
+    _DECODER_RESOLVED = False
+
+
+def imaging_available() -> bool:
+    """True when the PIL branch is active in this process."""
+    return _resolve_decoder() is not None
+
+
+def decode_image(payload: bytes) -> tuple[int | None, int | None]:
+    """(width, height) of an image payload: PIL when available, the
+    deterministic stub otherwise. Corrupt payloads on the PIL branch yield
+    (None, None) rather than failing the task."""
+    dec = _resolve_decoder()
+    if dec is not None:
+        return dec(payload or b"")
+    return _decode_image_stub(payload)
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
@@ -65,7 +119,7 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
         for pdf in batches:
             dims = pdf["payload"].map(
-                lambda p: _decode_image_impl(bytes(p) if p is not None else b"")
+                lambda p: decode_image(bytes(p) if p is not None else b"")
             )
             yield pd.DataFrame(
                 {
@@ -77,8 +131,9 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     "sha": pdf["payload"].map(
                         lambda p: hashlib.sha256(bytes(p) if p is not None else b"").hexdigest()
                     ),
-                    "width": dims.map(lambda d: d[0]).astype("int32"),
-                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    # nullable Int32: the PIL branch emits None for corrupt payloads
+                    "width": dims.map(lambda d: d[0]).astype("Int32"),
+                    "height": dims.map(lambda d: d[1]).astype("Int32"),
                 }
             )
 
@@ -122,14 +177,17 @@ def resize_images(assets: DataFrame, max_side: int = 32) -> DataFrame:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 p = bytes(payload) if payload is not None else b""
-                w, h = _decode_image_impl(p)
+                w, h = decode_image(p)
+                if w is None or h is None:  # undecodable on the PIL branch
+                    rows.append((aid, None, None, None, None, None))
+                    continue
                 scale = min(1.0, max_side / max(w, h))
                 ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
                 thumb = hashlib.sha256(p + f":{ow}x{oh}".encode()).hexdigest()
                 rows.append((aid, w, h, ow, oh, thumb))
             yield pd.DataFrame(
                 rows, columns=["asset_id", "width", "height", "out_w", "out_h", "thumb_sha"]
-            ).astype({"width": "int32", "height": "int32", "out_w": "int32", "out_h": "int32"})
+            ).astype({"width": "Int32", "height": "Int32", "out_w": "Int32", "out_h": "Int32"})
 
     return assets.mapInPandas(fn, schema=RESIZE_SCHEMA)
 

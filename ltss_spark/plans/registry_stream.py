@@ -155,6 +155,50 @@ def stream_stateful(spark, sf_dir):
     return streaming_user_totals(spark, sf_dir)
 
 
+def stage_late_arrivals(spark, sf_dir):
+    """HARNESS FIXTURE, not an operator: split the static events table into
+    three files processed as three micro-batches (maxFilesPerTrigger=1 +
+    explicit mtimes — Spark's file source orders by modification time): the
+    bulk of the on-time rows, then the latest row(s) to advance the
+    watermark, then the earliest row(s) alone as a straggler that the
+    watermark has already passed. Returns a bounded streaming DataFrame
+    whose third micro-batch is entirely late. Lives in the plans/ harness
+    layer so ltss_spark.streaming stays pure plan code."""
+    import os
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from ltss_spark.sources.batch import normalize_event_times
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = normalize_event_times(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+    src = f"{tempfile.gettempdir()}/ltss_late_{uuid.uuid4().hex}/src"
+    mn, mx = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    bulk = events.filter((F.col("ts") > mn) & (F.col("ts") < mx))
+    tail = events.filter(F.col("ts") == mx)  # advances the watermark
+    late = events.filter(F.col("ts") <= mn)  # straggler, arrives last
+    bulk.coalesce(1).write.parquet(f"{src}/a.parquet")
+    tail.coalesce(1).write.parquet(f"{src}/b.parquet")
+    late.coalesce(1).write.parquet(f"{src}/c.parquet")
+    now = 1_700_000_000
+    offsets = {"/a.parquet": 0, "/b.parquet": 600, "/c.parquet": 1200}
+    for root, _dirs, files in os.walk(src):
+        for f_ in files:
+            p = os.path.join(root, f_)
+            for marker, off in offsets.items():
+                if marker in p:
+                    os.utime(p, (now + off, now + off))
+    return (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*.parquet")
+    )
+
+
 @register(
     "stream_late_drop",
     """
@@ -168,7 +212,8 @@ def stream_stateful(spark, sf_dir):
 def stream_late_drop(spark, sf_dir):
     from ltss_spark.streaming.windows import streaming_counts_dropping_late
 
-    return streaming_counts_dropping_late(spark, sf_dir, bucket="1 hour")
+    raw = stage_late_arrivals(spark, sf_dir)
+    return streaming_counts_dropping_late(raw, bucket="1 hour")
 
 
 @register(

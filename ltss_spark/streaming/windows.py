@@ -19,8 +19,6 @@ are the foreachBatch path in ltss_spark.streaming.ingest.
 
 from __future__ import annotations
 
-import os
-import tempfile
 import uuid
 
 import pyspark.sql.functions as F
@@ -114,58 +112,28 @@ def streaming_dedup(spark: SparkSession, source_dir: str) -> DataFrame:
 
 
 def streaming_counts_dropping_late(
-    spark: SparkSession,
-    source_dir: str,
+    raw: DataFrame,
     bucket: str = "1 hour",
+    delay: str = "0 seconds",
 ) -> DataFrame:
-    """stream_late_drop: watermark-based late-row dropping, observable.
+    """stream_late_drop: watermark-based late-row dropping.
 
-    The events table is split into three files processed as three
-    micro-batches (maxFilesPerTrigger=1 + explicit mtimes): the bulk of the
-    on-time rows, then the latest row(s), then the earliest row(s) alone as
-    a straggler. The watermark EFFECTIVE in micro-batch N is the one
+    ``raw`` is any streaming DataFrame with event-time ``ts`` and
+    ``event_type``. The watermark EFFECTIVE in micro-batch N is the one
     computed after batch N-1 (one-batch lag — verified empirically on this
-    Spark version), so by batch 3 it stands at max(on-time ts) - 0s and the
-    straggler is older than it and is dropped (visible as
+    Spark version); rows older than it are dropped (visible as
     numRowsDroppedByWatermark). This is the streaming analogue of the
     reference's drop-bad-rows policy
     (/root/reference/custom_components/ltss/__init__.py:212-216): bounded
     staleness instead of unbounded buffering.
 
-    Returns hourly counts per event_type EXCLUDING the dropped straggler(s)
-    — update-mode emissions from the last batch are empty because its
-    entire input is late.
+    Returns final per-bucket counts EXCLUDING dropped stragglers. The
+    micro-batch choreography that makes the drop observable on a static
+    fixture (file splitting + mtime ordering) is harness code, not part of
+    this plan — see ltss_spark.plans.registry_stream.stage_late_arrivals.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = normalize_event_times(
-        spark.read.parquet(f"{source_dir}/events.parquet")
-    )
-    base = f"{tempfile.gettempdir()}/ltss_late_{uuid.uuid4().hex}"
-    src = f"{base}/src"
-    mn, mx = events.agg(F.min("ts"), F.max("ts")).collect()[0]
-    bulk = events.filter((F.col("ts") > mn) & (F.col("ts") < mx))
-    tail = events.filter(F.col("ts") == mx)  # advances the watermark
-    late = events.filter(F.col("ts") <= mn)  # straggler, arrives last
-    bulk.coalesce(1).write.parquet(f"{src}/a.parquet")
-    tail.coalesce(1).write.parquet(f"{src}/b.parquet")
-    late.coalesce(1).write.parquet(f"{src}/c.parquet")
-    now = 1_700_000_000
-    offsets = {"/a.parquet": 0, "/b.parquet": 600, "/c.parquet": 1200}
-    for root, _dirs, files in os.walk(src):
-        for f_ in files:
-            p = os.path.join(root, f_)
-            for marker, off in offsets.items():
-                if marker in p:
-                    os.utime(p, (now + off, now + off))
-
-    schema = events.schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{src}/*.parquet")
-    )
     agg = (
-        raw.withWatermark("ts", "0 seconds")
+        raw.withWatermark("ts", delay)
         .groupBy(F.window("ts", bucket).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("bucket_start"), "event_type", "n")

@@ -1,0 +1,49 @@
+"""bench.py regression guard: per-query history comparison (no Spark —
+pure logic over BENCH_HISTORY.jsonl records)."""
+
+import json
+
+import bench
+
+
+def _run(queries, sf=0.1):
+    return {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+    }
+
+
+def test_regression_guard_against_historical_best(tmp_path, monkeypatch):
+    hist = tmp_path / "hist.jsonl"
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(hist))
+
+    # no history: nothing can regress
+    assert bench.check_regressions(_run({"q1": 5.0})) == {}
+
+    bench.append_history(_run({"q1": 1.0, "q2": 2.0}))
+    bench.append_history(_run({"q1": 1.4, "q2": 1.8}))  # best: q1=1.0 q2=1.8
+
+    # within factor*best + slack: fine
+    assert bench.check_regressions(_run({"q1": 1.8, "q2": 2.0})) == {}
+    # beyond it: flagged against the BEST prior run, not the latest
+    got = bench.check_regressions(_run({"q1": 2.1, "q2": 2.0}))
+    assert got == {"q1": (2.1, 1.0)}
+    # new query with no baseline: never flagged
+    assert bench.check_regressions(_run({"q_new": 30.0})) == {}
+    # different sf does not share baselines
+    assert bench.check_regressions(_run({"q1": 9.0}, sf=0.01)) == {}
+
+    # history is append-only JSONL with timestamps
+    lines = [json.loads(x) for x in hist.read_text().splitlines()]
+    assert len(lines) == 2 and all("ts" in r for r in lines)
+
+
+def test_repo_history_seeded_for_driver_sf():
+    """The committed history must contain the r1 baseline at sf 0.1 so the
+    driver-run bench compares against something real."""
+    runs = bench.load_history(0.1)
+    assert runs, "BENCH_HISTORY.jsonl missing the sf0.1 baseline"
+    assert any("ltss_states" in r.get("queries", {}) for r in runs)

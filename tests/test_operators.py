@@ -143,6 +143,59 @@ def test_multimodal_plumbing_byte_exact(spark):
         assert 16 <= got.width < 80 and 16 <= got.height < 80
 
 
+def test_decode_image_capability_probe():
+    """Decode sits behind a runtime capability probe: the stub branch runs
+    in this PIL-less container; the PIL branch is exercised by injecting a
+    fake module (same contract: .size tuple, OSError on corrupt input maps
+    to null dims instead of a task failure)."""
+    import sys
+    import types
+
+    import ltss_spark.functions.multimodal as mm
+
+    saved = {k: sys.modules.get(k) for k in ("PIL", "PIL.Image")}
+    try:
+        # in-container branch: PIL absent -> deterministic stub
+        mm._reset_probe()
+        assert not mm.imaging_available()
+        assert mm.decode_image(b"abc") == mm._decode_image_stub(b"abc")
+
+        # PIL-present branch via fake module
+        class _FakeImage:
+            size = (640, 480)
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        image_mod = types.ModuleType("PIL.Image")
+
+        def _open(buf):
+            if buf.getvalue() == b"corrupt":
+                raise OSError("cannot identify image file")
+            return _FakeImage()
+
+        image_mod.open = _open
+        pil_mod = types.ModuleType("PIL")
+        pil_mod.Image = image_mod
+        sys.modules["PIL"] = pil_mod
+        sys.modules["PIL.Image"] = image_mod
+        mm._reset_probe()
+        assert mm.imaging_available()
+        assert mm.decode_image(b"\x89PNGdata") == (640, 480)
+        assert mm.decode_image(b"corrupt") == (None, None)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+        mm._reset_probe()
+    assert not mm.imaging_available()
+
+
 def test_ivf_exact_when_probing_all_lists(spark):
     """IVF with nprobe == n_centroids searches every inverted list, so it
     must reproduce brute force EXACTLY (same rows, same ranks)."""

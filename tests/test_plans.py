@@ -195,6 +195,10 @@ def test_registry_wide_plan_audit(spark):
         "udf_scalar", "udaf", "udtf",
         "ext_multimodal", "ext_multimodal_resize", "ext_multimodal_frames",
         "ext_multimodal_audio", "ts_lttb",
+        # deliberate Arrow-batched matmul for hyperplane signatures — the
+        # expression form ran interpreted (HOFs skip codegen), see
+        # operators/similarity.py:_sig_udf
+        "ext_sim_search_lsh",
     }
     BNL_OK = {
         "ext_sim_search", "ext_sim_search_lsh", "ext_sim_search_ivf",
