@@ -37,3 +37,29 @@ def haversine_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colu
 def in_bbox(lon: Column, lat: Column, west: float, south: float, east: float, north: float) -> Column:
     """Bounding-box predicate; plain range filters => full pushdown."""
     return lon.between(west, east) & lat.between(south, north)
+
+
+def to_wkt(lon: Column, lat: Column, precision: int = 6) -> Column:
+    """WKT interop string (SURVEY §1.1: lon/lat doubles PLUS a WKT string,
+    the shape PostGIS ``ST_AsText(location)`` returns for the reference's
+    POINT column, models.py:44). Fixed decimal precision so the string is
+    engine-independent (%g/repr formatting differs between JVMs and DBs);
+    NULL when either coordinate is NULL — mirroring the row having no
+    location."""
+    return F.when(
+        lon.isNotNull() & lat.isNotNull(),
+        F.format_string(f"POINT(%.{precision}f %.{precision}f)", lon, lat),
+    )
+
+
+def from_wkt(wkt: Column) -> tuple[Column, Column]:
+    """(lon, lat) doubles parsed back out of a ``POINT(x y)`` WKT string —
+    the inverse interop path (load a WKT export from PostGIS, get the
+    engine's native double columns). Non-POINT / malformed input yields
+    (NULL, NULL), matching the lenient ingest posture."""
+    lon = F.regexp_extract(wkt, r"^POINT\(([-+0-9.eE]+) [-+0-9.eE]+\)$", 1)
+    lat = F.regexp_extract(wkt, r"^POINT\([-+0-9.eE]+ ([-+0-9.eE]+)\)$", 1)
+    return (
+        F.when(lon != "", lon).cast("double"),
+        F.when(lat != "", lat).cast("double"),
+    )

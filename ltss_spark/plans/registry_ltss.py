@@ -50,6 +50,40 @@ def ltss_states(spark, sf_dir):
 
 
 @register(
+    "ltss_geo_wkt",
+    """
+    WITH geo AS (
+      SELECT event_id,
+             CAST(CAST(user_id % 360 AS DOUBLE) - 180.0 + 0.5 AS DOUBLE) AS loc_lon,
+             CAST(CAST(user_id % 178 AS DOUBLE) - 89.0 + 0.25 AS DOUBLE) AS loc_lat
+      FROM events
+    )
+    SELECT event_id,
+           printf('POINT(%.6f %.6f)', loc_lon, loc_lat) AS wkt,
+           loc_lon AS rt_lon,
+           loc_lat AS rt_lat
+    FROM geo
+    """,
+    survey="B7 geo_distance (WKT interop column: ST_AsText / ST_GeomFromText analogue)",
+)
+def ltss_geo_wkt(spark, sf_dir):
+    """WKT interop (SURVEY §1.1: store lon/lat doubles PLUS a WKT string
+    for tools that speak geometry text, the reference's POINT column via
+    ST_AsText, models.py:44): serialize coordinates to POINT(x y) and parse
+    them back — the oracle pins both the exact string format and the
+    lossless round-trip."""
+    from ltss_spark.operators.geo import from_wkt, to_wkt
+
+    e = _t(spark, sf_dir, "events")
+    lat = (F.col("user_id") % 178).cast("double") - 89.0 + 0.25
+    lon = (F.col("user_id") % 360).cast("double") - 180.0 + 0.5
+    rt_lon, rt_lat = from_wkt(F.col("wkt"))
+    return e.select("event_id", to_wkt(lon, lat).alias("wkt")).select(
+        "event_id", "wkt", rt_lon.alias("rt_lon"), rt_lat.alias("rt_lat")
+    )
+
+
+@register(
     "ltss_geo_ingest",
     """
     WITH geo AS (

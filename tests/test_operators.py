@@ -592,3 +592,45 @@ def test_asof_nearest_preserves_duplicate_left_rows(spark):
     assert len(out) == 4
     vals = sorted(r.val for r in out)
     assert vals == [1.0, 1.0, 1.0, 2.0]
+
+
+def test_wkt_roundtrip_and_edge_cases(spark):
+    """WKT interop (SURVEY §1.1): POINT serialization round-trips doubles
+    exactly at 6 decimals; a missing coordinate yields NULL wkt; malformed
+    or non-POINT strings parse to (NULL, NULL) instead of erroring."""
+    from ltss_spark.operators.geo import from_wkt, to_wkt
+
+    df = spark.createDataFrame(
+        [
+            (1, 11.97, 57.7),
+            (2, -180.0, -89.25),
+            (3, 0.0, 0.0),  # equator/prime meridian stays a real location
+            (4, None, 57.7),
+        ],
+        "id long, lon double, lat double",
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id", to_wkt(F.col("lon"), F.col("lat")).alias("wkt")
+        ).collect()
+    }
+    assert out[1].wkt == "POINT(11.970000 57.700000)"
+    assert out[3].wkt == "POINT(0.000000 0.000000)"
+    assert out[4].wkt is None
+
+    wkts = spark.createDataFrame(
+        [
+            ("POINT(11.970000 57.700000)",),
+            ("POINT(-1.5e2 4.25)",),
+            ("LINESTRING(0 0, 1 1)",),
+            ("garbage",),
+            (None,),
+        ],
+        "wkt string",
+    )
+    lon, lat = from_wkt(F.col("wkt"))
+    rows = wkts.select(lon.alias("lon"), lat.alias("lat")).collect()
+    assert (rows[0].lon, rows[0].lat) == (11.97, 57.7)
+    assert (rows[1].lon, rows[1].lat) == (-150.0, 4.25)
+    assert all(r.lon is None and r.lat is None for r in rows[2:])
