@@ -18,6 +18,7 @@ becomes parallel micro-batches with PK dedup.
 from __future__ import annotations
 
 import fnmatch
+import json
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
@@ -223,6 +224,40 @@ def dedup_primary_key(df: DataFrame, tie_breaker: str | None = None) -> DataFram
 # ---------------------------------------------------------------------------
 # The full event -> canonical-state transform
 # ---------------------------------------------------------------------------
+
+class AttributeEncoder(json.JSONEncoder):
+    """HA ``JSONEncoder`` parity for raw attribute dicts (the reference
+    serializes attributes with it as the engine's json_serializer,
+    __init__.py:263-267): datetime/date/time -> ISO-8601 string, set ->
+    list, objects exposing ``as_dict()`` -> their dict. Anything else
+    non-serializable still raises TypeError — callers map that to the
+    drop/dead-letter policy."""
+
+    def default(self, o):
+        import datetime as _dt
+
+        if isinstance(o, (_dt.datetime, _dt.date, _dt.time)):
+            return o.isoformat()
+        if isinstance(o, (set, frozenset)):
+            return sorted(o, key=repr)  # deterministic, HA emits list(o)
+        as_dict = getattr(o, "as_dict", None)
+        if callable(as_dict):
+            return as_dict()
+        return super().default(o)
+
+
+def encode_attributes(attrs) -> str | None:
+    """Attribute dict -> the canonical JSON string column, or None when the
+    dict is not JSON-serializable — the reference drops such events with a
+    warning (__init__.py:212-216); a None here flows into the dead-letter
+    divert (split_dead_letter) instead of vanishing. Runs producer-side
+    (event adapters feeding createDataFrame / a Kafka producer), not in the
+    Spark hot path — inside the engine attributes are already strings."""
+    try:
+        return json.dumps(attrs, cls=AttributeEncoder, separators=(",", ":"))
+    except (TypeError, ValueError):
+        return None
+
 
 def split_dead_letter(
     df: DataFrame,

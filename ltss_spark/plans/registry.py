@@ -132,6 +132,8 @@ _DRIVER_PRIORITY: list[str] = [
 # the priority block but before the round-1-green core, so any window wider
 # than 50 yields new information first.
 _DRIVER_SECOND: list[str] = [
+    "sink_bucketed",
+    "sink_compact",
     "ltss_geo_wkt",
     "ts_lttb",
     "join_asof_fwd",

@@ -468,6 +468,46 @@ def sink_partitioned_q(spark, sf_dir):
 
 
 @register(
+    "sink_bucketed",
+    f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           {oracle_dsum('o_totalprice', 2)} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    survey="sink_partitioned join_inner (bucket-by-key layout: shuffle-free co-located join)",
+)
+def sink_bucketed_q(spark, sf_dir):
+    """Bucket-by-key layout (SURVEY §7 100 TB posture): orders and customer
+    are written bucketed on custkey, then joined THROUGH the catalog tables
+    — with matching bucket specs Spark plans the join with no shuffle
+    exchange on either side (asserted in tests/test_plans.py). The oracle
+    is the same join over the raw tables: the layout must never change the
+    answer."""
+    import tempfile
+    import uuid
+
+    from ltss_spark.sources.batch import write_bucketed
+
+    tag = uuid.uuid4().hex[:12]
+    base = f"{tempfile.gettempdir()}/ltss_bucketed_{tag}"
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(o, f"orders_b_{tag}", "o_custkey", 8, path=f"{base}/o")
+    write_bucketed(c, f"cust_b_{tag}", "c_custkey", 8, path=f"{base}/c")
+    ob, cb = spark.table(f"orders_b_{tag}"), spark.table(f"cust_b_{tag}")
+    return (
+        ob.join(cb, ob["o_custkey"] == cb["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+@register(
     "stream_ingest",
     f"""
     WITH {_STATES_CTE}

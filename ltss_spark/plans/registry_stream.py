@@ -11,6 +11,8 @@ GROUP BY SQL.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from ltss_spark.plans.registry import register
 
 
@@ -58,6 +60,40 @@ def sink_append(spark, sf_dir):
     e.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(out)
     e.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(out)
     return spark.read.parquet(out)
+
+
+@register(
+    "sink_compact",
+    """
+    SELECT ts AS time, event_id, event_type, value,
+           strftime(ts, '%Y-%m') AS month
+    FROM events
+    """,
+    survey="sink_partitioned A12 (epoch small-file compaction preserves every row)",
+)
+def sink_compact_q(spark, sf_dir):
+    """Three micro-batch epochs land through the idempotent sink, then
+    compact_sink rewrites them month-partitioned with one file per month —
+    the values must be untouched (oracle: the full source), only the file
+    layout changes (file-count assertion in tests/test_streaming.py)."""
+    import tempfile
+    import uuid
+
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.streaming.ingest import compact_sink, make_sink
+
+    base = f"{tempfile.gettempdir()}/ltss_compact_{uuid.uuid4().hex}"
+    e = _t(spark, sf_dir, "events").select(
+        F.col("ts").alias("time"), "event_id", "event_type", "value"
+    )
+    sink = make_sink(out_path=f"{base}/raw")
+    for epoch in range(3):
+        sink(e.filter(F.col("event_id") % 3 == epoch), epoch_id=epoch)
+    compact_sink(spark, f"{base}/raw", f"{base}/compact")
+    out = spark.read.parquet(f"{base}/compact")
+    return out.select(
+        "time", "event_id", "event_type", "value", F.col("month").cast("string").alias("month")
+    )
 
 
 @register(

@@ -81,6 +81,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Bucketed table write (SURVEY §7 100 TB posture: "partition on time +
+    bucket-by-entity layout"): rows are hash-clustered into ``n_buckets``
+    files by ``bucket_col`` and sorted within each, and the layout is
+    recorded in the catalog. A join or aggregation keyed on ``bucket_col``
+    between tables bucketed the same way then runs with NO shuffle exchange
+    — each task zips bucket i with bucket i. At 100 TB this turns the
+    nightly fact-to-fact join from a full-network shuffle into a local
+    merge, the same trade TimescaleDB makes clustering chunks on the
+    (entity_id, time) index (models.py:78-80).
+
+    ``saveAsTable`` is required (bucket metadata lives in the catalog, not
+    the files); the session's in-memory catalog works — no Hive needed.
+    """
+    w = (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

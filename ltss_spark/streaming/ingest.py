@@ -125,6 +125,36 @@ def make_sink(
     return sink
 
 
+def compact_sink(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    files_per_month: int = 1,
+) -> None:
+    """Small-file compaction for the epoch-idempotent sink.
+
+    Each micro-batch owns an ``epoch=N`` directory (idempotent replay), so
+    a long-running stream accumulates #epochs × #months files; at 100 TB
+    the per-file open/footer cost comes to dominate reads long before the
+    data does. Compaction rewrites the landed rows month-partitioned with a
+    bounded file count — the parquet analogue of TimescaleDB's background
+    chunk-compression jobs (run offline, while the stream is stopped or on
+    a snapshot; the values are untouched, only the layout changes).
+
+    ``files_per_month`` > 1 salts the shuffle so one giant month doesn't
+    serialize into a single writer task.
+    """
+    df = spark.read.parquet(in_path).drop("epoch")
+    rest = [c for c in df.columns if c != "month"]
+    salt = F.pmod(F.hash(*rest), F.lit(files_per_month))
+    (
+        df.repartition(F.col("month"), salt)
+        .write.mode("overwrite")
+        .partitionBy("month")
+        .parquet(out_path)
+    )
+
+
 def run_ingest_availablenow(
     spark: SparkSession,
     source_dir: str,

@@ -341,3 +341,43 @@ def test_split_dead_letter_partition(spark):
     assert reasons[("c.z", "unknown")] == "unknown_state"
     assert reasons[(None, "unknown")] == "null_entity_id"
     assert valid.collect()[0].entity_id == "a.x"
+
+
+def test_encode_attributes_ha_special_types(spark):
+    """HA JSONEncoder parity (reference __init__.py:263-267): datetime ->
+    isoformat, set -> list, as_dict() objects -> dict; a non-serializable
+    dict encodes to None (the reference drops it with a warning,
+    __init__.py:212-216 — here None feeds the dead-letter divert). The
+    encoded string stays queryable with get_json_object downstream."""
+    import datetime as dt
+
+    from ltss_spark.ingest import encode_attributes
+
+    class Zone:
+        def as_dict(self):
+            return {"name": "home", "radius": 100}
+
+    s = encode_attributes(
+        {
+            "last_seen": dt.datetime(2024, 1, 2, 3, 4, 5),
+            "on_days": {"mon"},
+            "zone": Zone(),
+            "nested": {"a": [1, 2.5, None]},
+        }
+    )
+    assert '"last_seen":"2024-01-02T03:04:05"' in s
+    assert '"on_days":["mon"]' in s
+    assert '"zone":{"name":"home","radius":100}' in s
+
+    assert encode_attributes({"bad": object()}) is None
+
+    # downstream: typed access over the encoded string, JVM-side
+    df = spark.createDataFrame([(s,)], "attributes string")
+    row = df.select(
+        F.get_json_object("attributes", "$.last_seen").alias("seen"),
+        F.get_json_object("attributes", "$.zone.radius").cast("int").alias("radius"),
+        F.get_json_object("attributes", "$.nested.a[1]").cast("double").alias("a1"),
+    ).first()
+    assert row.seen == "2024-01-02T03:04:05"
+    assert row.radius == 100
+    assert row.a1 == 2.5

@@ -67,6 +67,36 @@ def test_partition_pruning_on_month(spark):
     assert "PartitionFilters" in s and "month" in s.split("PartitionFilters:")[1].splitlines()[0]
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    """Tables bucketed the same way on the join key must join with ZERO
+    exchanges — the co-located join that replaces a full-network shuffle at
+    100 TB. Broadcast is disabled so the assertion can't pass trivially."""
+    from ltss_spark.sources.batch import load_table, write_bucketed
+
+    tag = uuid.uuid4().hex[:12]
+    base = f"{tempfile.gettempdir()}/ltss_buck_{tag}"
+    o = load_table(spark, SF_SMOKE, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(o, f"o_t_{tag}", "o_custkey", 8, path=f"{base}/o")
+    write_bucketed(c, f"c_t_{tag}", "c_custkey", 8, path=f"{base}/c")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob, cb = spark.table(f"o_t_{tag}"), spark.table(f"c_t_{tag}")
+        joined = ob.join(cb, ob["o_custkey"] == cb["c_custkey"])
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # same co-location benefit for a keyed aggregation
+        agg = ob.groupBy("o_custkey").count()
+        assert "Exchange" not in _plan(agg)
+        # and the answer is unchanged by the layout
+        raw = o.join(c, o["o_custkey"] == c["c_custkey"])
+        assert joined.count() == raw.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_latest_state_is_single_aggregate(spark):
     """B3 latest-state must be ONE hash aggregation (max_by), not a window
     sort — the difference between O(1) state per group and a full per-entity

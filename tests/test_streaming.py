@@ -360,3 +360,40 @@ def test_rollup_incremental_across_batches_and_compaction(spark):
     compacted = read_rollup(spark, f"{base}/compact")
     assert compacted.exceptAll(want).count() == 0
     assert want.exceptAll(compacted).count() == 0
+
+
+def test_compact_sink_bounds_files_and_preserves_rows(spark, tmp_path):
+    """compact_sink: N epochs × M months of small files become
+    files_per_month per month; rows are byte-identical before/after."""
+    import datetime as dt
+    import glob
+
+    from ltss_spark.streaming.ingest import compact_sink, make_sink
+
+    raw, out = str(tmp_path / "raw"), str(tmp_path / "out")
+    sink = make_sink(out_path=raw)
+    rows = [
+        (dt.datetime(2024, m, d, 6), f"sensor.{d}", f"{m}.{d}")
+        for m in (1, 2)
+        for d in (1, 2, 3)
+    ]
+    batch = spark.createDataFrame(
+        rows, "time timestamp, entity_id string, state string"
+    )
+    for epoch in range(3):  # same rows re-landed = 3 epochs of files
+        sink(batch.filter(F.dayofmonth("time") == epoch + 1), epoch_id=epoch)
+
+    n_raw = len(glob.glob(f"{raw}/epoch=*/month=*/*.parquet"))
+    assert n_raw >= 6  # >=1 file per (epoch, month)
+
+    compact_sink(spark, raw, out, files_per_month=1)
+    files_by_month = {}
+    for p in glob.glob(f"{out}/month=*/*.parquet"):
+        files_by_month.setdefault(p.split("month=")[1].split("/")[0], []).append(p)
+    assert set(files_by_month) == {"2024-01", "2024-02"}
+    assert all(len(v) == 1 for v in files_by_month.values())
+
+    before = spark.read.parquet(raw).drop("epoch", "month")
+    after = spark.read.parquet(out).drop("month")
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
