@@ -47,6 +47,43 @@ def normalize_event_times(df: DataFrame, col: str = "ts") -> DataFrame:
 _TINY_BYTES = 256 * 1024
 
 
+def _splittable_cache(spark: SparkSession, path: str, n_bytes: int) -> str | None:
+    """LOCAL-FIXTURE mitigation: rewrite a single-file, single-row-group
+    parquet fixture once into an n-file copy under /tmp and return its
+    path, so every later scan starts with real splits instead of paying a
+    round-robin repartition SHUFFLE per action (~0.5 s per query at sf0.1 —
+    measured; the shuffle was the old rescue). Keyed by (path, mtime, size)
+    so a regenerated fixture invalidates; written to a unique dir then
+    atomically renamed, so concurrent sessions race safely (loser keeps the
+    winner's copy). Returns None on any failure — caller falls back to the
+    repartition rescue. Never triggers on a real multi-split table."""
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid
+
+    try:
+        st = os.stat(path)
+        key = hashlib.md5(
+            f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}".encode()
+        ).hexdigest()[:16]
+        cache = os.path.join(tempfile.gettempdir(), "ltss_fixture_cache", key)
+        marker = os.path.join(cache, "_SUCCESS")
+        if os.path.exists(marker):
+            return cache
+        tmp = f"{cache}.{uuid.uuid4().hex}"
+        n = max(2, spark.sparkContext.defaultParallelism)
+        spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(tmp)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        try:
+            os.rename(tmp, cache)
+        except OSError:  # another session won the race
+            shutil.rmtree(tmp, ignore_errors=True)
+        return cache if os.path.exists(marker) else None
+    except Exception:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """DataSource-V2 parquet scan: column pruning + predicate pushdown are
     free once downstream ops stay declarative (check ``PushedFilters`` /
@@ -54,31 +91,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Parallelism rescue: the driver's local fixtures are single-file,
     single-row-group parquet — unsplittable, so every scan would otherwise
-    feed exactly ONE task and serialize the whole downstream pipeline. When
-    the scan yields fewer partitions than the session's parallelism, add a
-    round-robin repartition (filters still push THROUGH the exchange to the
-    scan, so pushdown/pruning are unaffected). On a production table this
-    is a no-op: a 100 TB table has thousands of splits, and the branch
-    never triggers.
+    feed exactly ONE task and serialize the whole downstream pipeline. Such
+    a file is rewritten ONCE into a splittable /tmp copy (amortized across
+    all queries of the session and process-safe); if that fails, fall back
+    to a per-action round-robin repartition (filters still push THROUGH the
+    exchange to the scan, so pushdown/pruning are unaffected either way).
+    On a production table all of this is a no-op: a 100 TB table has
+    thousands of splits, and the branch never triggers.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
-    if name == "events":
-        df = normalize_event_times(df)
     # cheap layout check, no planning pass: a single file under
     # maxPartitionBytes always scans as one partition
     if os.path.isfile(path):
         try:
             n_bytes = os.path.getsize(path)
         except OSError:
-            return df
+            n_bytes = 0
         max_split = int(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
         )
         if _TINY_BYTES < n_bytes < max_split:
-            df = df.repartition(spark.sparkContext.defaultParallelism)
-    return df
+            cached = _splittable_cache(spark, path, n_bytes)
+            if cached is not None:
+                df = spark.read.parquet(cached)
+            else:
+                df = spark.read.parquet(path).repartition(
+                    spark.sparkContext.defaultParallelism
+                )
+            return normalize_event_times(df) if name == "events" else df
+    df = spark.read.parquet(path)
+    return normalize_event_times(df) if name == "events" else df
 
 
 def write_bucketed(
