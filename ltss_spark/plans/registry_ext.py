@@ -640,3 +640,75 @@ def ext_url_canonical(spark, sf_dir):
         d.select("doc_id", url.alias("url"))
         .select("doc_id", "url", canon.alias("canon"), F.md5(canon).alias("canon_key"))
     )
+
+
+def _cc_oracle(select: str) -> str:
+    """Recursive min-label propagation over the MinHash-LSH pair graph —
+    the DuckDB mirror of operators/graph.py connected_components (which
+    uses large/small-star on Spark; both compute the component MINIMUM, so
+    results are identical even though the algorithms differ). The recursive
+    UNION (set semantics) is the fixpoint; `label < e.v` prunes labels that
+    can never be a component min at the target node."""
+    return f"""
+    WITH RECURSIVE pairs AS ( {_minhash_oracle(12, 4)} ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT e.v AS u, r.label
+      FROM reach r JOIN edges e ON r.u = e.u
+      WHERE r.label < e.v
+    ),
+    comp AS (SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u),
+    assign AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    {select}
+    """
+
+
+@register(
+    "ext_dedup_cluster",
+    _cc_oracle("SELECT doc_id, cluster_id FROM assign"),
+    survey="ext_dedup_near (transitive closure of near-dup pairs: distributed connected components, large/small-star)",
+)
+def ext_dedup_cluster(spark, sf_dir):
+    """Near-dup CLUSTERS (not just pairs): connected components of the
+    MinHash-LSH pair graph via alternating large-star/small-star
+    (operators/graph.py) — duplicates are transitive, so survivor selection
+    needs components. cluster_id = min doc_id of the component."""
+    from ltss_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=5, num_hashes=12, bands=4)
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    return docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+    )
+
+
+@register(
+    "ext_dedup_pipeline",
+    _cc_oracle("""
+    , sizes AS (SELECT cluster_id, COUNT(*) AS n_members FROM assign GROUP BY cluster_id)
+    SELECT a.doc_id, a.cluster_id, s.n_members,
+           a.doc_id = a.cluster_id AS is_survivor
+    FROM assign a JOIN sizes s ON a.cluster_id = s.cluster_id
+    """),
+    survey="ext_dedup_near ext_dedup_exact (end-to-end dedup: pairs -> components -> deterministic survivor per cluster)",
+)
+def ext_dedup_pipeline(spark, sf_dir):
+    """End-to-end near-dedup pipeline: LSH candidate pairs -> connected
+    components -> cluster sizes + deterministic survivor flag (keep iff
+    doc_id == cluster minimum). The kept set (is_survivor) is the
+    deduplicated training corpus; n_members is the duplication factor."""
+    from ltss_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=5, num_hashes=12, bands=4)
+    return dedup_clusters(docs, pairs)

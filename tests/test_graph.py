@@ -1,0 +1,93 @@
+"""Connected-components clustering: differential tests vs a Python
+union-find reference on handmade and seeded-random graphs."""
+
+import random
+
+import pyspark.sql.functions as F
+
+from ltss_spark.operators.graph import connected_components, dedup_clusters
+
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min member id
+    comp = {}
+    for x in range(n_nodes):
+        r = find(x)
+        comp.setdefault(r, []).append(x)
+    return {x: min(members) for r, members in comp.items() for x in members}
+
+
+def _spark_components(spark, edges):
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+
+def test_cc_chain_and_islands(spark):
+    # chain 0-1-2-3-4 (diameter > 1 forces multiple star rounds),
+    # a separate pair, a triangle, and untouched nodes
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    got = _spark_components(spark, edges)
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_cc_long_chain_converges(spark):
+    # 40-node chain: plain label propagation would need 40 rounds,
+    # large/small-star must finish within the max_iter bound
+    edges = [(i, i + 1) for i in range(40)]
+    got = _spark_components(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 41
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        m = rng.randrange(20, 80)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        expect = _uf_components(n, edges)
+        touched = {x for e in edges for x in e}
+        expect = {x: c for x, c in expect.items() if x in touched}
+        got = _spark_components(spark, edges)
+        assert got == expect, f"trial {trial} mismatch"
+
+
+def test_cc_empty_edges(spark):
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_dedup_clusters_singletons_and_survivors(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (6, 7)], "doc_a long, doc_b long"
+    )
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert rows[0]["cluster_id"] == 0 and rows[3]["cluster_id"] == 0
+    assert rows[5]["cluster_id"] == 0 and rows[5]["n_members"] == 3
+    assert rows[6]["cluster_id"] == 6 and rows[7]["cluster_id"] == 6
+    for singleton in (1, 2, 4):
+        r = rows[singleton]
+        assert r["cluster_id"] == singleton and r["n_members"] == 1 and r["is_survivor"]
+    assert rows[0]["is_survivor"] and not rows[3]["is_survivor"]
+    # exactly one survivor per cluster
+    survivors = [r for r in rows.values() if r["is_survivor"]]
+    assert len(survivors) == len({r["cluster_id"] for r in rows.values()})
