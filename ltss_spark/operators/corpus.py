@@ -1,0 +1,155 @@
+"""Corpus-management operators for training-data pipelines: benchmark
+contamination checks, deterministic dataset splits, stratified sampling,
+and intra-document repetition scoring.
+
+Design for 100 TB:
+- contamination is an inverted-index SEMI-join on the shingle key (one hash
+  shuffle each side), never a doc x doc comparison; Spark can additionally
+  inject a bloom-filter pushdown on the build side at runtime (AQE);
+- splits and buckets are pure md5 expressions — no shuffle, no state, stable
+  under re-runs and across engines (the split of a doc never depends on
+  which other docs are present);
+- stratified sampling is one window per stratum keyed by an md5 order — a
+  single shuffle on the stratum key, deterministic survivors (no RNG whose
+  result depends on partitioning);
+- repetition stats are per-row array expressions — embarrassingly parallel,
+  whole-stage codegen, zero shuffle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ltss_spark.operators.dedup import normalize_text, shingles
+
+
+def _gram_array(text_col, k: int):
+    """All k-token windows of the normalized text as an array — WITH
+    duplicates (unlike dedup.shingles, which dedups per doc: repetition
+    scoring needs the multiplicity)."""
+    toks = F.split(normalize_text(text_col), " ")
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.when(
+                i + k <= F.size(toks),
+                F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+                ),
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+
+
+def contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per eval document: how much of it appears verbatim (k-gram level) in
+    the training corpus — the standard benchmark-contamination test run
+    before training. Returns (doc_id, n_shingles, n_contaminated,
+    containment) where containment = contaminated / total shingles.
+
+    Plan: distinct train shingles SEMI-join eval shingles on the shingle
+    key, then one per-doc aggregation. Cost scales with |shingles|, not
+    |train| x |eval|.
+    """
+    tr = shingles(train, text_col, id_col, k).select("shingle").distinct()
+    ev = shingles(eval_docs, text_col, id_col, k)
+    totals = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        ev.join(tr, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("containment"),
+        )
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/validation/test assignment by content-free id
+    hash: bucket = first 4 hex chars of md5(id) mod 100. Pure expression —
+    no shuffle, stable under re-runs, independent of corpus composition
+    (adding documents never reassigns existing ones)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(F.col("bucket") < train_pct, F.lit("train"))
+        .when(F.col("bucket") < train_pct + val_pct, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(F.col(id_col), bucket.alias("bucket")).select(
+        id_col, "bucket", split.alias("split")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    fraction: float = 0.2,
+) -> DataFrame:
+    """Deterministic per-stratum sample: within each stratum, order rows by
+    md5(id) (a stable pseudo-random order) and keep ceil(n * fraction).
+    Exactly reproducible across engines and cluster layouts — unlike
+    ``df.sample``, whose output depends on partitioning. One shuffle (the
+    stratum window)."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy(stratum_col))
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(stratum_col),
+            F.row_number().over(w).alias("sample_rank"),
+            F.ceil(n * F.lit(fraction)).cast("long").alias("quota"),
+        )
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select(id_col, stratum_col, "sample_rank")
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Intra-document repetition (the Gopher/RefinedWeb quality signal):
+    fraction of duplicate k-grams inside each document. Returns (doc_id,
+    n_grams, n_distinct, rep_ratio). Per-row array expressions only — no
+    shuffle, no explode."""
+    grams = _gram_array(F.col(text_col), k)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), grams.alias("__g")
+    ).select(
+        "doc_id",
+        F.size("__g").alias("n_grams"),
+        F.size(F.array_distinct("__g")).alias("n_distinct"),
+        F.round(
+            1 - F.size(F.array_distinct("__g")) / F.size("__g"), 6
+        ).alias("rep_ratio"),
+    ).filter(F.col("n_grams") > 0)

@@ -712,3 +712,111 @@ def ext_dedup_pipeline(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, k=5, num_hashes=12, bands=4)
     return dedup_clusters(docs, pairs)
+
+
+def _oracle_hex4(expr: str) -> str:
+    """First 4 hex chars of md5(expr) as a BIGINT (exact, 16 bits)."""
+    digit = f"(strpos('0123456789abcdef', substr(md5({expr}), {{j}}, 1)) - 1)"
+    return "(" + " + ".join(
+        f"{digit.format(j=j)} * {16 ** (4 - j)}" for j in range(1, 5)
+    ) + ")"
+
+
+@register(
+    "ext_contamination",
+    f"""
+    WITH {_SHINGLES_CTE},
+    tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 != 0),
+    ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_cont FROM ev
+      WHERE shingle IN (SELECT shingle FROM tr) GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(h.n_cont, 0) AS n_contaminated,
+           round(COALESCE(h.n_cont, 0) / t.n_shingles, 6) AS containment
+    FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    survey="ext_dedup_near fn_string (benchmark-contamination check: eval k-gram containment in the train corpus)",
+)
+def ext_contamination(spark, sf_dir):
+    """Benchmark contamination: every 10th doc plays the eval set, the rest
+    the training corpus; containment = fraction of the eval doc's 5-gram
+    shingles found verbatim anywhere in training (inverted-index semi-join,
+    operators/corpus.py)."""
+    from ltss_spark.operators.corpus import contamination
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination(
+        d.filter(F.col("doc_id") % 10 != 0), d.filter(F.col("doc_id") % 10 == 0), k=5
+    )
+
+
+@register(
+    "ext_hash_split",
+    f"""
+    SELECT doc_id,
+           {_oracle_hex4("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+           CASE WHEN {_oracle_hex4("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+                WHEN {_oracle_hex4("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    survey="ext_text_stats fn_string (deterministic train/val/test split: content-free md5 bucketing, shuffle-free)",
+)
+def ext_hash_split(spark, sf_dir):
+    """Deterministic 90/5/5 split by md5(doc_id) bucket — stable under
+    re-runs and corpus growth (operators/corpus.py); pure expression, no
+    shuffle at any scale."""
+    from ltss_spark.operators.corpus import hash_split
+
+    return hash_split(_t(spark, sf_dir, "documents"), train_pct=90, val_pct=5)
+
+
+@register(
+    "ext_sample_group",
+    """
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank,
+             CAST(ceil(COUNT(*) OVER (PARTITION BY lang) * 0.2) AS BIGINT) AS quota
+      FROM documents
+    ) WHERE sample_rank <= quota
+    """,
+    survey="win_rank ext_text_stats (deterministic stratified sampling: md5-ordered per-stratum quota)",
+)
+def ext_sample_group(spark, sf_dir):
+    """Stratified 20% sample per language, deterministic (md5 order, not
+    df.sample whose output depends on partitioning) — operators/corpus.py."""
+    from ltss_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), stratum_col="lang", fraction=0.2
+    )
+
+
+@register(
+    "ext_repetition",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(t[u.i:u.i + 2], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+      WHERE len(t[u.i:u.i + 2]) = 3
+    )
+    SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT gram) AS n_distinct,
+           round(1 - COUNT(DISTINCT gram) / COUNT(*), 6) AS rep_ratio
+    FROM g GROUP BY doc_id
+    """,
+    survey="ext_text_stats fn_array (intra-doc repetition: duplicate 3-gram fraction, the Gopher/RefinedWeb signal)",
+)
+def ext_repetition(spark, sf_dir):
+    """Intra-document repetition score: duplicate 3-gram fraction per doc,
+    computed as per-row array expressions (no shuffle, no explode) —
+    operators/corpus.py."""
+    from ltss_spark.operators.corpus import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), k=3)
