@@ -47,11 +47,18 @@ def cosine_topk(
     query, self-matches excluded, score rounded to 6 and ties broken by
     candidate_id (determinism for the oracle hash).
     """
+    # norms once per row BEFORE the join (1 fold per pair instead of 3 —
+    # the fold runs interpreted, so this is the per-pair hot cost); the
+    # division is per-pair IEEE arithmetic either way, results identical
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_nrm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_nrm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("candidate_id") != F.col("query_id"))
@@ -60,7 +67,7 @@ def cosine_topk(
             "candidate_id",
             F.round(
                 _dot(F.col("q_vec"), F.col("c_vec"))
-                / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+                / (F.col("q_nrm") * F.col("c_nrm")),
                 6,
             ).alias("cosine"),
         )
@@ -152,9 +159,12 @@ def cosine_topk_lsh(
     sig_udf = _sig_udf(tables, bits, dim)
 
     def with_sigs(df: DataFrame, ident: str) -> DataFrame:
+        # norm computed once per input row, BEFORE the posexplode fans the
+        # row out 'tables' times and before any join multiplies it further
         return df.select(
             F.col(id_col).alias(ident),
             F.col(vec_col).alias(f"{ident}_vec"),
+            _norm(F.col(vec_col)).alias(f"{ident}_nrm"),
             F.posexplode(sig_udf(F.col(vec_col))).alias("table", "sig"),
         )
 
@@ -171,7 +181,7 @@ def cosine_topk_lsh(
             "candidate_id",
             F.round(
                 _dot(F.col("query_id_vec"), F.col("candidate_id_vec"))
-                / (_norm(F.col("query_id_vec")) * _norm(F.col("candidate_id_vec"))),
+                / (F.col("query_id_nrm") * F.col("candidate_id_nrm")),
                 6,
             ).alias("cosine"),
         )
