@@ -96,3 +96,33 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.max(F.length(t)).alias("max_chars"),
         )
     )
+
+
+#: PII patterns, deliberately RE2-safe (no backrefs/lookaround) so the SAME
+#: pattern strings run in Spark (java.util.regex) and DuckDB (RE2) — the
+#: redaction is oracle-checkable. Order matters: emails contain dots that
+#: the IP pattern must not see first.
+PII_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("PHONE", r"\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"),
+    ("IP", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+)
+
+
+def pii_redact(col: Column) -> Column:
+    """Replace emails, phone numbers, and IPv4 addresses with typed
+    placeholder tokens ([EMAIL], [PHONE], [IP]) — the standard scrub
+    applied to web text before training. Pure regexp_replace chain: JVM
+    codegen, shuffle-free, linear in text size at any scale."""
+    out = col
+    for tag, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{tag}]")
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-type PII match counts (audit signal for the scrub)."""
+    return {
+        f"n_{tag.lower()}": F.regexp_count(col, F.lit(pat))
+        for tag, pat in PII_PATTERNS
+    }

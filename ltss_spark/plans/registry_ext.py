@@ -820,3 +820,69 @@ def ext_repetition(spark, sf_dir):
     from ltss_spark.operators.corpus import repetition_stats
 
     return repetition_stats(_t(spark, sf_dir, "documents"), k=3)
+
+
+_PII_INJECT_SQL = """
+      text || CASE WHEN doc_id % 4 = 0
+                     THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+                   WHEN doc_id % 4 = 1 THEN ' call +1 555-123-4567 now'
+                   WHEN doc_id % 4 = 2
+                     THEN ' server at 192.168.' || CAST(doc_id % 250 AS VARCHAR) || '.42 up'
+                   ELSE '' END
+"""
+
+
+def _pii_oracle() -> str:
+    from ltss_spark.operators.text import PII_PATTERNS
+
+    red = "raw"
+    for tag, pat in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '[{tag}]', 'g')"
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(raw, '{pat}')) AS n_{tag.lower()}"
+        for tag, pat in PII_PATTERNS
+    )
+    return f"""
+    WITH injected AS (SELECT doc_id, {_PII_INJECT_SQL} AS raw FROM documents)
+    SELECT doc_id, {red} AS redacted,
+           {counts}
+    FROM injected
+    """
+
+
+@register(
+    "ext_pii_redact",
+    _pii_oracle(),
+    survey="fn_string ext_text_stats (PII scrub: typed placeholder redaction + per-type audit counts, RE2-safe patterns)",
+)
+def ext_pii_redact(spark, sf_dir):
+    """PII redaction for training corpora: emails/phones/IPv4 replaced with
+    typed placeholders, plus per-type match counts (the audit trail a scrub
+    job must emit). PII is synthesized deterministically (the corpus has
+    none); the regexp chain is the real operator and the patterns are
+    RE2-safe so the identical strings run in the DuckDB oracle
+    (operators/text.py PII_PATTERNS)."""
+    from ltss_spark.operators.text import PII_PATTERNS, pii_counts, pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" reach me at user"), F.col("doc_id").cast("string"),
+                     F.lit("@mail.example.org")),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit(" call +1 555-123-4567 now"))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit(" server at 192.168."),
+                     (F.col("doc_id") % 250).cast("string"), F.lit(".42 up")),
+        )
+        .otherwise(F.lit("")),
+    )
+    counts = pii_counts(F.col("raw"))
+    return d.select("doc_id", raw.alias("raw")).select(
+        "doc_id",
+        pii_redact(F.col("raw")).alias("redacted"),
+        *[c.cast("long").alias(name) for name, c in counts.items()],
+    )

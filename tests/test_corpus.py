@@ -70,3 +70,31 @@ def test_repetition_exact(spark):
     assert got[1]["rep_ratio"] == round(1 - 3 / 7, 6)
     assert got[2]["rep_ratio"] == 0.0
     assert 3 not in got
+
+
+def test_pii_redact_and_counts(spark):
+    from ltss_spark.operators.text import pii_counts, pii_redact
+
+    d = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "dial +1 555-123-4567 or 44 123-456-7890 x"),
+            (3, "host 10.0.255.3 and 192.168.1.1"),
+            (4, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = pii_counts(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in d.select(
+            "doc_id",
+            pii_redact(F.col("text")).alias("red"),
+            *[c.alias(n) for n, c in counts.items()],
+        ).collect()
+    }
+    assert got[1]["red"] == "mail [EMAIL] now" and got[1]["n_email"] == 1
+    assert got[2]["red"] == "dial [PHONE] or [PHONE] x" and got[2]["n_phone"] == 2
+    assert got[3]["red"] == "host [IP] and [IP]" and got[3]["n_ip"] == 2
+    assert got[4]["red"] == "nothing here"
+    assert all(got[4][k] == 0 for k in ("n_email", "n_phone", "n_ip"))

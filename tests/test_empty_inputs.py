@@ -71,3 +71,25 @@ def test_ingest_transform_empty(spark):
     assert dedup_primary_key(s, tie_breaker="event_id").count() == 0
     valid, dead = split_dead_letter(s)
     assert valid.count() == 0 and dead.count() == 0
+
+
+def test_corpus_ops_empty(spark):
+    from ltss_spark.operators.corpus import (
+        contamination,
+        hash_split,
+        repetition_stats,
+        stratified_sample,
+    )
+
+    e = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert contamination(e, e).count() == 0
+    assert hash_split(e).count() == 0
+    assert stratified_sample(e).count() == 0
+    assert repetition_stats(e).count() == 0
+    # empty train side with non-empty eval: zero containment, not a crash
+    ev = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon", "en")],
+        "doc_id long, text string, lang string",
+    )
+    row = contamination(e, ev).collect()[0]
+    assert row["containment"] == 0.0
