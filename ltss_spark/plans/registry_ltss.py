@@ -1166,3 +1166,24 @@ def sql_q21(spark, sf_dir):
         LIMIT 100
         """
     )
+
+
+@register(
+    "sink_zorder",
+    "SELECT event_id, ts, user_id, value FROM events",
+    survey="sink_partitioned sort (Z-order/Morton data layout: 2-D min-max file skipping, Delta OPTIMIZE ZORDER shape)",
+)
+def sink_zorder_q(spark, sf_dir):
+    """Round-trips events through a Z-ORDERED parquet layout on (ts, value)
+    (sources/batch.py zorder_write: sampled quantile buckets -> Morton
+    interleave -> one range partition + in-partition sort). Contents are
+    byte-identical to the input (the oracle checks that); the VALUE of the
+    rewrite is per-file min/max tightness on BOTH dimensions — asserted in
+    tests/test_zorder.py, where a 2-D range predicate skips files that a
+    single-column sort must read."""
+    from ltss_spark.sources.batch import zorder_write
+
+    out = f"{tempfile.gettempdir()}/ltss_zorder_{uuid.uuid4().hex}"
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    zorder_write(e, out, cols=("ts", "value"), bits=8, n_files=8)
+    return spark.read.parquet(out).select("event_id", "ts", "user_id", "value")

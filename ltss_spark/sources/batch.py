@@ -178,3 +178,66 @@ def write_partitioned(
         if "entity_id" in df.columns
         else bucketed
     ).write.mode(mode).partitionBy("month").parquet(path)
+
+
+def _interleave_bits(a, b, bits: int):
+    """Morton/Z value of two bucket ids: bit j of `a` lands at position 2j,
+    bit j of `b` at 2j+1. Pure integer arithmetic — codegen-friendly."""
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, j).bitwiseAND(F.lit(1)), 2 * j)
+            + F.shiftleft(F.shiftright(b, j).bitwiseAND(F.lit(1)), 2 * j + 1)
+        )
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    bits: int = 8,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) data layout on two range-queried columns —
+    the Delta OPTIMIZE ZORDER shape re-built on plain parquet. Rows close
+    in BOTH dimensions land in the same files, so parquet min/max stats
+    skip files for two-dimensional range predicates (time x value,
+    lon x lat) where a single-column sort only helps its leading column.
+
+    Scale posture: per-column bucket boundaries come from
+    ``approxQuantile`` (one sampling pass, boundaries collected to the
+    driver — 2^bits scalars, not data); each row then maps to its bucket
+    via comparisons against the broadcast literal boundary array (map-side,
+    no shuffle), and the single range-partition + in-partition sort on the
+    z-value is the one exchange a layout rewrite inherently needs. NULLs
+    sort to bucket 0. The z-value is layout metadata only — it is not
+    written into the files, so readers see the exact input schema.
+    """
+    ca, cb = cols
+    n_buckets = 1 << bits
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    # timestamps/ints z-order by their double image (epoch seconds for
+    # timestamps); the cast column exists only for the stats pass
+    nums = df.select(
+        F.col(ca).cast("double").alias("__a"), F.col(cb).cast("double").alias("__b")
+    )
+    bounds_a = nums.stat.approxQuantile("__a", qs, 0.01)
+    bounds_b = nums.stat.approxQuantile("__b", qs, 0.01)
+
+    def bucket(c: str, bounds: list[float]) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in bounds])
+        return F.size(F.filter(arr, lambda b: F.col(c).cast("double") >= b)).cast("long")
+
+    z = _interleave_bits(bucket(ca, bounds_a), bucket(cb, bounds_b), bits)
+    out = df.withColumn("__z", z)
+    n = n_files or max(2, df.sparkSession.sparkContext.defaultParallelism)
+    (
+        out.repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -1,0 +1,74 @@
+"""Z-order layout: round-trip fidelity + the actual point — min/max file
+skipping on BOTH dimensions of a 2-D range predicate, which no
+single-column sort provides."""
+
+import glob
+import os
+import tempfile
+import uuid
+
+import duckdb
+import pyspark.sql.functions as F
+
+from ltss_spark.sources.batch import load_table, zorder_write
+
+SF = "/root/testdata/sf0.001"
+
+
+def _file_boxes(path):
+    """Per part-file (min,max) of ts-as-epoch and value."""
+    boxes = []
+    con = duckdb.connect()
+    for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+        r = con.sql(
+            f"SELECT epoch(min(ts)), epoch(max(ts)), min(value), max(value) "
+            f"FROM '{f}'"
+        ).fetchone()
+        boxes.append(r)
+    return boxes
+
+
+def _touched(boxes, ts_rng=None, v_rng=None):
+    n = 0
+    for t0, t1, v0, v1 in boxes:
+        ok = True
+        if ts_rng is not None:
+            ok = ok and not (t1 < ts_rng[0] or t0 > ts_rng[1])
+        if v_rng is not None:
+            ok = ok and not (v1 < v_rng[0] or v0 > v_rng[1])
+        n += ok
+    return n
+
+
+def test_zorder_roundtrip_and_two_dim_skipping(spark):
+    e = load_table(spark, SF, "events").select("event_id", "ts", "value")
+    zdir = f"{tempfile.gettempdir()}/zorder_{uuid.uuid4().hex}"
+    sdir = f"{tempfile.gettempdir()}/tsorted_{uuid.uuid4().hex}"
+    zorder_write(e, zdir, cols=("ts", "value"), bits=8, n_files=8)
+    # the single-column alternative: range-partitioned + sorted on ts only
+    e.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.parquet(sdir)
+
+    back = spark.read.parquet(zdir)
+    assert back.count() == e.count()
+    assert sorted(r["event_id"] for r in back.collect()) == sorted(
+        r["event_id"] for r in e.collect()
+    )
+
+    zb, sb = _file_boxes(zdir), _file_boxes(sdir)
+    assert len(zb) == 8 and len(sb) == 8
+
+    t0, t1, v0, v1 = duckdb.sql(
+        f"SELECT epoch(min(ts)), epoch(max(ts)), min(value), max(value) "
+        f"FROM '{SF}/events.parquet'"
+    ).fetchone()
+    # first decile of ts (a mid-range predicate straddles the top Morton
+    # split and is the curve's worst case), middle decile of value
+    ts_rng = (t0, t0 + 0.1 * (t1 - t0))
+    v_rng = (v0 + 0.45 * (v1 - v0), v0 + 0.55 * (v1 - v0))
+
+    # a value-only predicate must skip z-ordered files; the ts-sorted layout
+    # spreads every value range across ALL its files
+    assert _touched(zb, v_rng=v_rng) < len(zb)
+    assert _touched(sb, v_rng=v_rng) == len(sb)
+    # and the z-layout still skips on ts too: locality on BOTH dims
+    assert _touched(zb, ts_rng=ts_rng) < len(zb)
