@@ -249,3 +249,38 @@ def lttb_downsample(
         .mapInPandas(per_partition, schema=out_schema)
     )
     return short.unionByName(long)
+
+
+def ohlc(
+    df: DataFrame,
+    time_col: str = "ts",
+    value_col: str = "value",
+    by: tuple[str, ...] = ("event_type",),
+    bucket: str = "day",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Candlestick rollup (TimescaleDB ``candlestick_agg`` analogue,
+    docs.timescale.com hyperfunctions): open/high/low/close + exact-decimal
+    volume per (group, time bucket).
+
+    ONE hash aggregation — open/close are ``min_by``/``max_by`` over the
+    (time, tiebreak) struct key, so there is no window/sort pass; partial
+    aggregation (map-side combine) applies, which is what makes this cheap
+    at 100 TB: the shuffle carries one partial candle per group per
+    partition, not the raw ticks. The tiebreak column makes equal-timestamp
+    ticks deterministic across engines and runs.
+    """
+    from ltss_spark.functions.numeric import dsum
+
+    key = F.struct(F.col(time_col), F.col(tiebreak))
+    v = F.col(value_col)
+    return df.groupBy(
+        *by, F.date_trunc(bucket, F.col(time_col)).alias("bucket_start")
+    ).agg(
+        F.min_by(v, key).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, key).alias("close"),
+        dsum(v, 2).alias("volume"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )

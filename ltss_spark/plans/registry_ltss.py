@@ -1187,3 +1187,33 @@ def sink_zorder_q(spark, sf_dir):
     e = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
     zorder_write(e, out, cols=("ts", "value"), bits=8, n_files=8)
     return spark.read.parquet(out).select("event_id", "ts", "user_id", "value")
+
+
+@register(
+    "ts_ohlc",
+    f"""
+    WITH keyed AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket_start, value,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|'
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+      FROM events
+    )
+    SELECT event_type, bucket_start,
+           arg_min(value, k) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, k) AS close,
+           {oracle_dsum('value', 2)} AS volume,
+           COUNT(*) AS n_ticks
+    FROM keyed GROUP BY 1, 2
+    """,
+    survey="agg_first_last agg_minmax_by fn_date (candlestick_agg analogue: OHLC + exact volume, one hash agg)",
+)
+def ts_ohlc_q(spark, sf_dir):
+    """Daily OHLC candles per event type over the events stream
+    (operators/timeseries.py ohlc). The DuckDB tiebreak key is a
+    fixed-width (timestamp, id) string whose ordering equals Spark's
+    struct comparison — equal-time ticks resolve identically."""
+    from ltss_spark.operators.timeseries import ohlc
+
+    return ohlc(_t(spark, sf_dir, "events"), bucket="day")

@@ -289,3 +289,24 @@ def stream_rollup(spark, sf_dir):
         spark, sf_dir, base=f"{base}/log", checkpoint=f"{base}/ckpt"
     )
     return read_rollup(spark, f"{base}/log")
+
+
+@register(
+    "stream_join",
+    """
+    SELECT c.user_id, c.event_id AS left_id, c.ts AS left_ts,
+           p.event_id AS right_id, p.ts AS right_ts
+    FROM events c JOIN events p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    survey="join_inner stream_watermark (stream-stream interval join, finite state via two-sided watermark)",
+)
+def stream_join(spark, sf_dir):
+    """Click->purchase attribution as a real stream-stream inner join: both
+    sides watermarked, event-time bounded both directions so the state
+    store evicts (streaming/windows.py streaming_interval_join)."""
+    from ltss_spark.streaming.windows import streaming_interval_join
+
+    return streaming_interval_join(spark, sf_dir)

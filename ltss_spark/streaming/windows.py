@@ -144,3 +144,52 @@ def streaming_counts_dropping_late(
         out.groupBy("bucket_start", "event_type")
         .agg(F.max("n").alias("n"))
     )
+
+
+def streaming_interval_join(
+    spark: SparkSession,
+    source_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """stream_join: STREAM-STREAM inner join — right-side events attributed
+    to a left-side event of the same user within ``within`` after it (the
+    click->purchase attribution shape).
+
+    Both sides carry a watermark and the join condition bounds event time
+    in BOTH directions, so Spark can size the join state buffer and evict
+    rows the watermark has passed — the requirement for an unbounded
+    stream-stream join to run with finite state (Structured Streaming
+    docs: "inner joins with watermarking + event-time constraints"). At
+    100 TB/day the state held is one watermark-window per side, not the
+    stream history.
+    """
+    left = (
+        bounded_events_stream(spark, source_dir)
+        .filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("left_ts"),
+            F.col("event_id").alias("left_id"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    right = (
+        bounded_events_stream(spark, source_dir)
+        .filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("right_ts"),
+            F.col("event_id").alias("right_id"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("user_id", "left_id", "left_ts", "right_id", "right_ts")
+    return run_to_memory(joined, "append", "stream_join")
