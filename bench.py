@@ -46,6 +46,7 @@ HEADLINE = [
     "ext_sim_search",
     "ext_sim_search_lsh",
     "ext_text_stats",
+    "ext_dedup_cluster",
 ]
 
 

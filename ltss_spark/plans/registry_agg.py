@@ -910,3 +910,29 @@ def filter_not_in(spark, sf_dir):
           SELECT 1 FROM probe p WHERE p.c_custkey = o.o_custkey)
         """
     )
+
+
+@register(
+    "agg_percentile",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    survey="agg_basic fn_math (exact interpolated percentiles per group — the p50/p95 dashboard shape)",
+)
+def agg_percentile(spark, sf_dir):
+    """Exact linear-interpolated percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`, both the standard R-7 interpolation; rounded
+    to 6 for last-ulp determinism). Exact percentile sorts each group's
+    values — fine keyed by low-cardinality groups; unbounded-cardinality
+    keys should use `percentile_approx` (registered as agg_approx)."""
+    e = _t(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.lit([0.5, 0.95]))
+    return e.groupBy("event_type").agg(
+        F.round(F.element_at(pct, 1), 6).alias("p50"),
+        F.round(F.element_at(pct, 2), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
