@@ -28,3 +28,15 @@ from ltss_spark.operators.timeseries import (  # noqa: F401
     time_bucket_agg,
     time_in_state,
 )
+from ltss_spark.operators.corpus import (  # noqa: F401
+    contamination,
+    hash_split,
+    repetition_stats,
+    stratified_sample,
+)
+from ltss_spark.operators.graph import (  # noqa: F401
+    connected_components,
+    dedup_clusters,
+)
+from ltss_spark.operators.text import pii_counts, pii_redact  # noqa: F401
+from ltss_spark.operators.timeseries import ohlc  # noqa: F401

@@ -936,3 +936,30 @@ def agg_percentile(spark, sf_dir):
         F.round(F.element_at(pct, 2), 6).alias("p95"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_sketch_rollup",
+    None,  # Datasketches HLL has no DuckDB twin — estimate bounds pinned in pytest
+    survey="agg_approx agg_basic (mergeable HLL sketch rollup: pre-aggregate per day, union at query)",
+)
+def agg_sketch_rollup(spark, sf_dir):
+    """The mergeable-sketch pattern that makes distinct counts tractable at
+    100 TB: build one HLL sketch per (event_type, day) partition — the
+    expensive pass touches each row once, map-side combinable — then answer
+    "distinct users per event_type" by UNIONING the tiny daily sketches
+    (bytes each) instead of re-scanning. Accuracy bound asserted in
+    tests/test_operators.py (within 5% of exact). This is how a daily
+    materialization serves ad-hoc distinct queries over arbitrary date
+    ranges without a second scan of the facts."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.hll_sketch_agg(F.col("user_id"), 12).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )

@@ -1217,3 +1217,65 @@ def ts_ohlc_q(spark, sf_dir):
     from ltss_spark.operators.timeseries import ohlc
 
     return ohlc(_t(spark, sf_dir, "events"), bucket="day")
+
+
+@register(
+    "ts_heartbeat",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 15 MINUTE
+                  THEN 1 ELSE 0 END AS new_iv
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, ts,
+             SUM(new_iv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS iv
+      FROM o
+    ),
+    ivs AS (
+      SELECT user_id, iv, MIN(ts) AS iv_start, MAX(ts) AS iv_end
+      FROM g GROUP BY user_id, iv
+    )
+    SELECT user_id,
+           COUNT(*) AS n_live_intervals,
+           CAST(SUM(CAST(epoch(iv_end) - epoch(iv_start) AS DECIMAL(38,6))) AS DOUBLE) AS uptime_sec,
+           MAX(iv_end) AS last_seen
+    FROM ivs GROUP BY user_id
+    """,
+    survey="win_cumulative agg_first_last fn_date (heartbeat_agg analogue: liveness intervals from heartbeats)",
+)
+def ts_heartbeat_q(spark, sf_dir):
+    """TimescaleDB heartbeat_agg analogue: treat each user's events as
+    heartbeats with a 15-minute liveness window; merge beats closer than
+    the window into live intervals, report interval count, total uptime,
+    and last_seen. Two windows + two hash aggs, all keyed by user —
+    one shuffle at scale (the same plan shape as session windows)."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    new_iv = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 900),
+        1,
+    ).otherwise(0)
+    g = e.select("user_id", "ts", "event_id", new_iv.alias("new_iv")).select(
+        "user_id",
+        "ts",
+        F.sum("new_iv").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("iv"),
+    )
+    ivs = g.groupBy("user_id", "iv").agg(
+        F.min("ts").alias("iv_start"), F.max("ts").alias("iv_end")
+    )
+    return ivs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_live_intervals"),
+        F.sum(
+            (F.col("iv_end").cast("double") - F.col("iv_start").cast("double"))
+            .cast("decimal(38,6)")
+        ).cast("double").alias("uptime_sec"),
+        F.max("iv_end").alias("last_seen"),
+    )

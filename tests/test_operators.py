@@ -634,3 +634,26 @@ def test_wkt_roundtrip_and_edge_cases(spark):
     assert (rows[0].lon, rows[0].lat) == (11.97, 57.7)
     assert (rows[1].lon, rows[1].lat) == (-150.0, 4.25)
     assert all(r.lon is None and r.lat is None for r in rows[2:])
+
+
+def test_hll_sketch_rollup_accuracy(spark):
+    """The unioned daily sketches must estimate distinct users within HLL
+    error (lgConfigK=12 -> ~1.6% rse; assert 5%) of the exact count."""
+    import ltss_spark.plans as plans
+
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in plans.queries()["agg_sketch_rollup"](spark, SF_SMOKE).collect()
+    }
+    from ltss_spark.sources.batch import load_table
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
