@@ -153,3 +153,107 @@ def repetition_stats(
             1 - F.size(F.array_distinct("__g")) / F.size("__g"), 6
         ).alias("rep_ratio"),
     ).filter(F.col("n_grams") > 0)
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus index — the production
+    operating mode at 100 TB: the historical corpus is represented only by
+    its fingerprint set (one md5 per doc, maintained incrementally), never
+    re-scanned. Two steps, each one shuffle:
+    1. intra-batch: keep the min-id doc per fingerprint within the batch;
+    2. cross-corpus: anti-join batch fingerprints against the seen set.
+    Returns surviving (doc_id, fp) — the rows to append to both the corpus
+    and the fingerprint index."""
+    from ltss_spark.operators.dedup import normalize_text
+
+    fp = F.md5(normalize_text(F.col(text_col)))
+    batch = new_docs.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))
+    intra = batch.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return intra.join(
+        seen_fps.select("fp"), "fp", "left_anti"
+    ).select("doc_id", "fp")
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_rep_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.01,
+) -> DataFrame:
+    """Composed keep/drop decision with an explicit reject reason — the
+    C4/RefinedWeb-style filter chain as ONE projection pass (no shuffle):
+    too-short, too-repetitive (duplicate 3-grams), or stopword-free
+    (gibberish signal). First failing rule names the reason; survivors get
+    reason 'kept'. Every signal is a column expression on the same row, so
+    the filter costs one scan regardless of how many rules stack."""
+    from ltss_spark.operators.dedup import normalize_text
+    from ltss_spark.operators.text import stopword_ratio, token_count
+
+    t = F.col(text_col)
+    toks = token_count(t)
+    grams = _gram_array(t, 3)
+    rep = F.when(
+        F.size(grams) > 0,
+        1 - F.size(F.array_distinct(grams)) / F.size(grams),
+    ).otherwise(F.lit(1.0))
+    sw = stopword_ratio(t)
+    reason = (
+        F.when(toks < min_tokens, F.lit("too_short"))
+        .when(F.round(rep, 6) > max_rep_ratio, F.lit("repetitive"))
+        .when(F.round(sw, 6) < min_stopword_ratio, F.lit("no_stopwords"))
+        .otherwise(F.lit("kept"))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("n_tokens"),
+        F.round(rep, 6).alias("rep_ratio"),
+        F.round(sw, 6).alias("stopword_ratio"),
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    context_tokens: int = 2048,
+) -> DataFrame:
+    """Deterministic sequence packing: assign documents to fixed-size
+    training bins of ``context_tokens`` by running-cumsum in a stable
+    md5 pseudo-random order WITHIN each stratum. bin_id = floor(cumsum /
+    context), offset = cumsum - n_tokens - bin start. One window per
+    stratum (single shuffle on the stratum key) — no global sort; the
+    greedy-sequential packer this approximates cannot scale past one node,
+    while the cumsum formulation is a textbook parallel prefix. Documents
+    longer than the context are flagged (would be split downstream)."""
+    from ltss_spark.operators.text import token_count
+
+    toks = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        toks.alias("n_tokens"),
+        F.sum(toks).over(w).alias("cum"),
+    )
+    return base.select(
+        "doc_id",
+        "stratum",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / context_tokens).alias("bin_id"),
+        ((F.col("cum") - F.col("n_tokens")) % context_tokens).alias("bin_offset"),
+        (F.col("n_tokens") > context_tokens).alias("oversize"),
+    )

@@ -886,3 +886,108 @@ def ext_pii_redact(spark, sf_dir):
         pii_redact(F.col("raw")).alias("redacted"),
         *[c.cast("long").alias(name) for name, c in counts.items()],
     )
+
+
+@register(
+    "ext_dedup_incremental",
+    f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+    seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 != 0),
+    batch AS (
+      SELECT MIN(doc_id) AS doc_id, fp
+      FROM fp WHERE doc_id % 5 = 0 GROUP BY fp
+    )
+    SELECT doc_id, fp FROM batch
+    WHERE fp NOT IN (SELECT fp FROM seen)
+    """,
+    survey="ext_dedup_exact join_anti (incremental dedup: new batch vs historical fingerprint index, never re-scans the corpus)",
+)
+def ext_dedup_incremental(spark, sf_dir):
+    """The production dedup mode: every 5th doc plays the incoming batch,
+    the rest the historical corpus represented ONLY by its fingerprint
+    index; survivors = intra-batch min-id per fingerprint, anti-joined
+    against the index (operators/corpus.py incremental_dedup)."""
+    from ltss_spark.operators.corpus import incremental_dedup
+    from ltss_spark.operators.dedup import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") % 5 != 0).select(
+        F.md5(normalize_text(F.col("text"))).alias("fp")
+    ).distinct()
+    return incremental_dedup(d.filter(F.col("doc_id") % 5 == 0), seen)
+
+
+@register(
+    "ext_quality_filter",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT gram) AS n_distinct
+      FROM (
+        SELECT doc_id, array_to_string(t[u.i:u.i + 2], ' ') AS gram
+        FROM (SELECT doc_id, {_TOKS} AS t FROM documents) toks2,
+             UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+        WHERE len(t[u.i:u.i + 2]) = 3
+      ) GROUP BY doc_id
+    ),
+    m AS (
+      SELECT d.doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             COALESCE(round(1 - g.n_distinct / g.n_grams, 6), 1.0) AS rep_ratio,
+             round(len(list_filter(toks, x -> x IN ({_STOP_LIST})))
+                   / len(toks), 6) AS stopword_ratio
+      FROM d LEFT JOIN g ON d.doc_id = g.doc_id
+    )
+    SELECT doc_id, n_tokens, rep_ratio, stopword_ratio,
+           CASE WHEN n_tokens < 50 THEN 'too_short'
+                WHEN rep_ratio > 0.2 THEN 'repetitive'
+                WHEN stopword_ratio < 0.01 THEN 'no_stopwords'
+                ELSE 'kept' END AS reason,
+           (CASE WHEN n_tokens < 50 THEN 'too_short'
+                 WHEN rep_ratio > 0.2 THEN 'repetitive'
+                 WHEN stopword_ratio < 0.01 THEN 'no_stopwords'
+                 ELSE 'kept' END) = 'kept' AS keep
+    FROM m
+    """,
+    survey="ext_text_stats fn_conditional (C4/RefinedWeb-style composed quality filter with reject reasons, one scan)",
+)
+def ext_quality_filter(spark, sf_dir):
+    """Keep/drop decision per document with the FIRST failing rule as the
+    reject reason (length, intra-doc repetition, stopword presence) — all
+    signals computed in one projection pass (operators/corpus.py
+    quality_filter)."""
+    from ltss_spark.operators.corpus import quality_filter
+
+    return quality_filter(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ext_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, CAST(len({_TOKS}) AS INT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang AS stratum, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM t
+    )
+    SELECT doc_id, stratum, n_tokens,
+           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
+           CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset,
+           n_tokens > 2048 AS oversize
+    FROM c
+    """,
+    survey="win_cumulative ext_text_stats (deterministic sequence packing: parallel-prefix bin assignment per stratum)",
+)
+def ext_pack_sequences(spark, sf_dir):
+    """Training-context packing: documents assigned to 2048-token bins by
+    running cumsum in stable md5 order within each language stratum — the
+    scalable (parallel-prefix) stand-in for greedy sequential packing
+    (operators/corpus.py pack_sequences)."""
+    from ltss_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), context_tokens=2048)

@@ -98,3 +98,64 @@ def test_pii_redact_and_counts(spark):
     assert got[3]["red"] == "host [IP] and [IP]" and got[3]["n_ip"] == 2
     assert got[4]["red"] == "nothing here"
     assert all(got[4][k] == 0 for k in ("n_email", "n_phone", "n_ip"))
+
+
+def test_incremental_dedup_semantics(spark):
+    from ltss_spark.operators.corpus import incremental_dedup
+
+    batch = _docs(
+        spark,
+        [
+            (10, "brand new document text", "en"),
+            (11, "brand new document text", "en"),  # intra-batch dup of 10
+            (12, "already in the corpus", "en"),  # cross-corpus dup
+            (13, "another fresh one", "en"),
+        ],
+    )
+    seen = _docs(spark, [(1, "already in the corpus", "en")]).select(
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("fp")
+    )
+    got = sorted(r["doc_id"] for r in incremental_dedup(batch, seen).collect())
+    assert got == [10, 13]
+
+
+def test_quality_filter_reasons(spark):
+    from ltss_spark.operators.corpus import quality_filter
+
+    long_good = " ".join(
+        f"the word{i} and item{i} of thing{i}" for i in range(12)
+    )  # >50 tokens, stopwords present, low repetition
+    repetitive = " ".join(["the same thing again"] * 20)  # 80 tokens, 3-gram dups
+    no_stop = " ".join(f"w{i}" for i in range(60))
+    d = _docs(
+        spark,
+        [
+            (1, long_good, "en"),
+            (2, "tiny doc", "en"),
+            (3, repetitive, "en"),
+            (4, no_stop, "en"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in quality_filter(d).collect()}
+    assert got[1]["reason"] == "kept" and got[1]["keep"]
+    assert got[2]["reason"] == "too_short" and not got[2]["keep"]
+    assert got[3]["reason"] == "repetitive"
+    assert got[4]["reason"] == "no_stopwords"
+
+
+def test_pack_sequences_invariants(spark):
+    from ltss_spark.operators.corpus import pack_sequences
+
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(40)), "en") for i in range(30)]
+    got = pack_sequences(_docs(spark, rows), context_tokens=100).collect()
+    assert len(got) == 30
+    for r in got:
+        assert 0 <= r["bin_offset"] < 100
+        assert not r["oversize"]
+    # bins fill in order: every bin id in [0, max] is used
+    bins = sorted({r["bin_id"] for r in got})
+    assert bins == list(range(bins[-1] + 1))
+    # conservation: total tokens == 30 * 40, last bin partial
+    assert sum(r["n_tokens"] for r in got) == 1200
