@@ -344,3 +344,41 @@ def test_survey_2c_fully_covered():
     from scripts.check_survey_coverage import missing_op_ids
 
     assert missing_op_ids() == []
+
+
+def test_corpus_op_plan_shapes(spark):
+    """The scale claims in operators/corpus.py, verified on physical plans:
+    quality_filter and hash_split are shuffle-free single-pass projections;
+    pack_sequences shuffles exactly once (the stratum window); the
+    contamination semi-join and incremental anti-join stay hash/broadcast
+    joins (no nested loop, no cartesian)."""
+    from ltss_spark.operators.corpus import (
+        contamination,
+        hash_split,
+        incremental_dedup,
+        pack_sequences,
+        quality_filter,
+    )
+    from ltss_spark.sources.batch import load_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    qf = _plan(quality_filter(docs))
+    assert "Exchange" not in qf, "quality_filter must not shuffle"
+    assert "BatchEvalPython" not in qf and "ArrowEvalPython" not in qf
+
+    hs = _plan(hash_split(docs))
+    assert "Exchange" not in hs, "hash_split must not shuffle"
+
+    ps = _plan(pack_sequences(docs))
+    assert ps.count("Exchange") <= 2, "pack_sequences: one stratum shuffle"
+    assert "CartesianProduct" not in ps
+
+    import pyspark.sql.functions as F
+
+    seen = docs.select(F.md5("text").alias("fp"))
+    inc = _plan(incremental_dedup(docs, seen))
+    assert "CartesianProduct" not in inc and "NestedLoop" not in inc
+
+    ct = _plan(contamination(docs, docs.limit(10)))
+    assert "CartesianProduct" not in ct and "NestedLoop" not in ct
