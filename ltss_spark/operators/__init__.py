@@ -31,6 +31,9 @@ from ltss_spark.operators.timeseries import (  # noqa: F401
 from ltss_spark.operators.corpus import (  # noqa: F401
     contamination,
     hash_split,
+    incremental_dedup,
+    pack_sequences,
+    quality_filter,
     repetition_stats,
     stratified_sample,
 )
