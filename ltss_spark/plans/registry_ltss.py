@@ -1279,3 +1279,38 @@ def ts_heartbeat_q(spark, sf_dir):
         ).cast("double").alias("uptime_sec"),
         F.max("iv_end").alias("last_seen"),
     )
+
+
+@register(
+    "ltss_retention",
+    """
+    SELECT event_id, ts, value, strftime(ts, '%Y-%m') AS month
+    FROM events
+    WHERE strftime(ts, '%Y-%m') >= '2024-01'
+    """,
+    survey="sink_partitioned filter_basic (drop_chunks retention analogue: partition-level TTL, no data rewrite)",
+)
+def ltss_retention_q(spark, sf_dir):
+    """TimescaleDB drop_chunks / retention-policy analogue: expire whole
+    time partitions by DELETING PARTITION DIRECTORIES — file-listing
+    metadata work, never a scan-and-rewrite of surviving rows. The oracle
+    checks the surviving set equals a time-predicate filter; the unit test
+    asserts the dropped partition's files are gone from disk. At 100 TB a
+    month's retention is one directory unlink per partition, the same cost
+    profile as drop_chunks."""
+    import shutil
+
+    out = f"{tempfile.gettempdir()}/ltss_retain_{uuid.uuid4().hex}"
+    e = _t(spark, sf_dir, "events").withColumn(
+        "month", F.date_format("ts", "yyyy-MM")
+    ).select("event_id", "ts", "value", "month")
+    e.write.mode("overwrite").partitionBy("month").parquet(out)
+    # retention: drop every chunk older than the cutoff — directory ops only
+    import os
+
+    for d in os.listdir(out):
+        if d.startswith("month=") and d.split("=", 1)[1] < "2024-01":
+            shutil.rmtree(os.path.join(out, d))
+    return spark.read.parquet(out).select(
+        "event_id", "ts", "value", F.col("month").cast("string").alias("month")
+    )

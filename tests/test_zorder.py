@@ -72,3 +72,32 @@ def test_zorder_roundtrip_and_two_dim_skipping(spark):
     assert _touched(sb, v_rng=v_rng) == len(sb)
     # and the z-layout still skips on ts too: locality on BOTH dims
     assert _touched(zb, ts_rng=ts_rng) < len(zb)
+
+
+def test_retention_drops_partition_dirs(spark):
+    """Retention must remove expired month directories (metadata-only) and
+    leave surviving partitions byte-identical."""
+    import datetime as dt
+    import shutil
+
+    ym = [(2023, 11), (2023, 12), (2024, 1)]
+    rows = [
+        (i, dt.datetime(*ym[i % 3], 5, 12, 0, i), float(i)) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = f"{tempfile.gettempdir()}/retain_{uuid.uuid4().hex}"
+    df.withColumn("month", F.date_format("ts", "yyyy-MM")).write.partitionBy(
+        "month"
+    ).parquet(out)
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("month=")
+    ) == ["month=2023-11", "month=2023-12", "month=2024-01"]
+    for d in os.listdir(out):
+        if d.startswith("month=") and d.split("=", 1)[1] < "2024-01":
+            shutil.rmtree(os.path.join(out, d))
+    back = spark.read.parquet(out)
+    assert sorted(d for d in os.listdir(out) if d.startswith("month=")) == [
+        "month=2024-01"
+    ]
+    kept = sorted(r["event_id"] for r in back.collect())
+    assert kept == sorted(i for i in range(30) if i % 3 == 2)
