@@ -91,3 +91,32 @@ def test_dedup_clusters_singletons_and_survivors(spark):
     # exactly one survivor per cluster
     survivors = [r for r in rows.values() if r["is_survivor"]]
     assert len(survivors) == len({r["cluster_id"] for r in rows.values()})
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _EDGES = st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=40,
+    )
+
+    @given(edges=_EDGES)
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_cc_property_matches_union_find(spark, edges):
+        """Any random multigraph (self-loops, duplicates, both orientations)
+        must produce exactly the union-find component labeling."""
+        edges = [(a, b) for a, b in edges if a != b]
+        expect = _uf_components(31, edges)
+        touched = {x for e in edges for x in e}
+        expect = {x: c for x, c in expect.items() if x in touched}
+        assert _spark_components(spark, edges) == expect
+
+except ImportError:  # hypothesis not installed — seeded trials above still run
+    pass
