@@ -1314,3 +1314,58 @@ def ltss_retention_q(spark, sf_dir):
     return spark.read.parquet(out).select(
         "event_id", "ts", "value", F.col("month").cast("string").alias("month")
     )
+
+
+@register(
+    "ltss_state_periods",
+    f"""
+    WITH {_STATES_CTE},
+    ordered AS (
+      SELECT entity_id, state, time, event_id,
+             lag(state) OVER (PARTITION BY entity_id ORDER BY time, event_id)
+               AS prev_state
+      FROM states
+    ),
+    changes AS (
+      SELECT entity_id, state, time, event_id FROM ordered
+      WHERE prev_state IS NULL OR state IS DISTINCT FROM prev_state
+    )
+    SELECT entity_id, state, time AS valid_from,
+           lead(time) OVER w AS valid_to,
+           (lead(time) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY entity_id ORDER BY time, event_id)
+    """,
+    survey="win_lag_lead B5 (SCD2 state history: validity intervals from the change stream, change-collapsed)",
+)
+def ltss_state_periods_q(spark, sf_dir):
+    """SCD2-style state history: one row per state PERIOD per entity
+    (valid_from/valid_to half-open intervals, open-ended for the current
+    state), consecutive identical states collapsed — the interval form
+    behind 'how long was the heater on' queries (generalizes
+    ltss_timeinstate). One window per entity key = one shuffle.
+
+    The lead runs AFTER collapsing, so each period ends exactly when the
+    next DIFFERENT state begins — periods tile each entity's timeline with
+    no gaps or overlaps (asserted in tests/test_operators.py)."""
+    from pyspark.sql import Window as W
+
+    from ltss_spark.ingest import states_from_events
+
+    states = states_from_events(_t(spark, sf_dir, "events"))
+    w = W.partitionBy("entity_id").orderBy("time", "event_id")
+    ordered = states.select(
+        "entity_id", "state", "time", "event_id",
+        F.lag("state").over(w).alias("prev_state"),
+    )
+    changed = ordered.filter(
+        F.col("prev_state").isNull()
+        | ~F.col("state").eqNullSafe(F.col("prev_state"))
+    )
+    return changed.select(
+        "entity_id",
+        "state",
+        F.col("time").alias("valid_from"),
+        F.lead("time").over(w).alias("valid_to"),
+        F.lead("time").over(w).isNull().alias("is_current"),
+    )

@@ -657,3 +657,23 @@ def test_hll_sketch_rollup_accuracy(spark):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_state_periods_tile_the_timeline(spark):
+    """SCD2 periods per entity: consecutive rows must chain exactly
+    (valid_to == next valid_from), no consecutive duplicate states, one
+    open-ended current period per entity."""
+    import ltss_spark.plans as plans
+
+    rows = plans.queries()["ltss_state_periods"](spark, SF_SMOKE).collect()
+    by_entity = {}
+    for r in rows:
+        by_entity.setdefault(r["entity_id"], []).append(r)
+    assert by_entity
+    for ent, prds in by_entity.items():
+        prds.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in prds) == 1
+        assert prds[-1]["is_current"] and prds[-1]["valid_to"] is None
+        for a, b in zip(prds, prds[1:]):
+            assert a["valid_to"] == b["valid_from"], ent
+            assert a["state"] != b["state"], ent
