@@ -991,3 +991,19 @@ def ext_pack_sequences(spark, sf_dir):
     from ltss_spark.operators.corpus import pack_sequences
 
     return pack_sequences(_t(spark, sf_dir, "documents"), context_tokens=2048)
+
+
+@register(
+    "ext_sim_search_pq",
+    None,  # ADC is approximate — recall-after-rescore bound pinned in pytest
+    survey="ext_sim_search (product quantization + asymmetric distance + exact rescore, FAISS-IVFPQ scoring shape)",
+)
+def ext_sim_search_pq(spark, sf_dir):
+    """PQ-compressed ANN: corpus encoded to 16 centroid codes per vector
+    (16x read-volume cut vs raw float32), scanned with per-query ADC
+    lookup tables, top-50 re-scored exactly (operators/similarity.py
+    cosine_topk_pq)."""
+    from ltss_spark.operators.similarity import cosine_topk_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_pq(emb, emb.filter(F.col("vec_id") < 3), k=5)

@@ -677,3 +677,24 @@ def test_state_periods_tile_the_timeline(spark):
         for a, b in zip(prds, prds[1:]):
             assert a["valid_to"] == b["valid_from"], ent
             assert a["state"] != b["state"], ent
+
+
+def test_pq_search_recall_after_rescore(spark):
+    """PQ/ADC candidates re-scored exactly must recover most of the true
+    top-5 (recall@5 >= 0.8 with rerank=50 over the sf0.001 corpus), and
+    every returned cosine must equal the exact operator's value for that
+    pair (the rescore is exact by construction)."""
+    from ltss_spark.operators.similarity import cosine_topk, cosine_topk_pq
+    from ltss_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(emb, qs, k=5).collect()
+    approx = cosine_topk_pq(emb, qs, k=5, rerank=50).collect()
+    exact_pairs = {(r["query_id"], r["candidate_id"]): r["cosine"] for r in exact}
+    approx_pairs = {(r["query_id"], r["candidate_id"]): r["cosine"] for r in approx}
+    hit = sum(p in exact_pairs for p in approx_pairs)
+    assert hit / len(exact_pairs) >= 0.8, (hit, len(exact_pairs))
+    for p, c in approx_pairs.items():
+        if p in exact_pairs:
+            assert c == exact_pairs[p], p
