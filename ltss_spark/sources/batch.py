@@ -32,13 +32,22 @@ TABLES = (
 
 
 def normalize_event_times(df: DataFrame, col: str = "ts") -> DataFrame:
-    """The driver's events table stores TIMESTAMP(NANOS); Spark has no nanos
-    type, so it is read as a nanosecond long (legacy.parquet.nanosAsLong)
-    and converted here: integer-divide to micros (truncation — exactly what
-    DuckDB's ns->us cast does) then timestamp_micros. No-op if already a
-    timestamp."""
-    if col in df.columns and dict(df.dtypes)[col] == "bigint":
+    """Normalize the driver's events timestamp to a session-TZ TIMESTAMP.
+
+    The driver has shipped two encodings across rounds: TIMESTAMP(NANOS)
+    (no Spark type — read as a nanosecond long via legacy.parquet.nanosAsLong
+    and integer-divided to micros, exactly DuckDB's ns->us cast) and plain
+    micros with isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Both land on
+    TIMESTAMP here: with the session pinned to UTC the NTZ wall clock IS the
+    UTC instant, so the cast is value-identical to what the oracle sees.
+    No-op if already TIMESTAMP."""
+    if col not in df.columns:
+        return df
+    dtype = dict(df.dtypes)[col]
+    if dtype == "bigint":
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -229,6 +229,9 @@ def test_registry_wide_plan_audit(spark):
         # expression form ran interpreted (HOFs skip codegen), see
         # operators/similarity.py:_sig_udf
         "ext_sim_search_lsh",
+        # same trade for PQ encode: argmin over centroid distances as an
+        # Arrow numpy kernel (operators/similarity.py:_pq_encode_udf)
+        "ext_sim_search_pq",
     }
     BNL_OK = {
         "ext_sim_search", "ext_sim_search_lsh", "ext_sim_search_ivf",
