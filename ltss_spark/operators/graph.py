@@ -96,10 +96,21 @@ def connected_components(
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
-    edges = _large_star(edges).localCheckpoint()
+    # EAGER checkpoint of the incoming pair set: every star self-unions its
+    # input, so without this the (potentially expensive — LSH band joins)
+    # upstream pipeline would be computed twice inside the first round's job.
+    # One extra small job buys exactly-once evaluation of the candidate
+    # generator.
+    edges = edges.localCheckpoint()
+    # LAZY localCheckpoint per round: lineage is cut every round (each star
+    # references its input 2-3x, so an uncut plan grows exponentially with
+    # rounds), but the checkpoint blocks are written by the checksum
+    # aggregate's own job — ONE job per round where an eager checkpoint +
+    # checksum pair costs two.
+    edges = _large_star(edges).localCheckpoint(eager=False)
     prev = _edge_checksum(edges)
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _edge_checksum(edges)
         if cur == prev:
             break
