@@ -43,3 +43,7 @@ from ltss_spark.operators.graph import (  # noqa: F401
 )
 from ltss_spark.operators.text import pii_counts, pii_redact  # noqa: F401
 from ltss_spark.operators.timeseries import ohlc  # noqa: F401
+from ltss_spark.operators.compress import (  # noqa: F401
+    compress_states,
+    decompress_states,
+)

@@ -1369,3 +1369,41 @@ def ltss_state_periods_q(spark, sf_dir):
         F.lead("time").over(w).alias("valid_to"),
         F.lead("time").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "ltss_compress",
+    f"""
+    WITH {_STATES_CTE},
+    deduped AS (
+      SELECT *, row_number() OVER (PARTITION BY time, entity_id
+                                   ORDER BY event_id DESC) AS rn
+      FROM states
+      WHERE entity_id IS NOT NULL AND state IS NOT NULL AND state <> 'unknown'
+    )
+    SELECT time, entity_id, state, attributes FROM deduped WHERE rn = 1
+    """,
+    survey="fn_array agg_collect (TimescaleDB native-compression analogue: segmentby/orderby columnar codec, hash-verified by exact round trip)",
+)
+def ltss_compress_q(spark, sf_dir):
+    """Columnar segment compression round trip (operators/compress.py): the
+    canonical state table packed into one row per (entity, month) segment —
+    delta-encoded micros + per-column dictionaries, TimescaleDB's
+    ``compress_segmentby => 'entity_id', compress_orderby => 'time'`` shape
+    (the reference promotes its table to exactly such a hypertable,
+    /root/reference/custom_components/ltss/__init__.py:336-344) — then
+    decompressed. The oracle is the UNCOMPRESSED table, so the hash check
+    proves the codec is lossless end-to-end. Compress: one shuffle (the
+    segment groupBy). Decompress: posexplode + one bounded per-segment
+    window."""
+    from ltss_spark.ingest import valid_event_expr
+    from ltss_spark.operators.compress import compress_states, decompress_states
+
+    states = dedup_primary_key(
+        states_from_events(_t(spark, sf_dir, "events")).filter(valid_event_expr()),
+        tie_breaker="event_id",
+    ).select("time", "entity_id", "state", "attributes")
+    packed = compress_states(states, value_cols=("state", "attributes"))
+    return decompress_states(packed, value_cols=("state", "attributes")).select(
+        "time", "entity_id", "state", "attributes"
+    )

@@ -698,3 +698,56 @@ def test_pq_search_recall_after_rescore(spark):
     for p, c in approx_pairs.items():
         if p in exact_pairs:
             assert c == exact_pairs[p], p
+
+
+def test_compress_roundtrip_edge_cases(spark):
+    """Codec round trip on hostile shapes: 1-row segments (the sequence(2,1)
+    descend guard), duplicate (entity, time) rows (sort tiebreak on values),
+    month-boundary split, NULL-free dictionaries."""
+    import datetime as dt
+
+    from ltss_spark.operators.compress import compress_states, decompress_states
+
+    rows = [
+        # singleton segment
+        ("a", dt.datetime(2024, 1, 5, 0, 0, 0), "on", "{}"),
+        # duplicate timestamps within one segment, different values
+        ("b", dt.datetime(2024, 1, 1, 12, 0, 0), "x", "{\"k\":1}"),
+        ("b", dt.datetime(2024, 1, 1, 12, 0, 0), "y", "{\"k\":2}"),
+        ("b", dt.datetime(2024, 1, 1, 12, 0, 1), "x", "{\"k\":1}"),
+        # same entity split across two month chunks
+        ("b", dt.datetime(2024, 2, 1, 0, 0, 0), "z", "{}"),
+    ]
+    df = spark.createDataFrame(rows, "entity_id string, time timestamp, state string, attributes string")
+    c = compress_states(df, value_cols=("state", "attributes"))
+    assert c.count() == 3  # (a,1), (b,1), (b,2)
+    d = decompress_states(c, value_cols=("state", "attributes")).select(
+        "entity_id", "time", "state", "attributes"
+    )
+    sym = df.exceptAll(d).count() + d.exceptAll(df).count()
+    assert sym == 0
+    # dictionary really dictionary-encodes: segment (b, 2024-01) has 3 rows
+    # but only 2 distinct states
+    seg = c.filter("segment = 'b' AND chunk = '2024-01'").collect()[0]
+    assert seg["n"] == 3 and len(seg["state_dict"]) == 2
+    assert len(seg["delta_us"]) == 2  # n-1 gaps
+
+
+def test_compress_plan_single_exchange(spark):
+    """Compress is ONE shuffle (the segment groupBy) and stays expression-
+    only; decompress adds exactly the per-segment window's shuffle."""
+    from ltss_spark.operators.compress import compress_states, decompress_states
+    from ltss_spark.sources.batch import load_table
+    from ltss_spark.ingest import states_from_events
+
+    states = states_from_events(load_table(spark, SF_SMOKE, "events")).select(
+        "time", "entity_id", "state"
+    )
+    c = compress_states(states)
+    plan = c._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # scan-rescue repartition + groupBy
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+    d = decompress_states(c)
+    dplan = d._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in dplan
