@@ -202,11 +202,18 @@ def asof_join_nearest(
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
         F.lit(0).alias("__is_probe"),
     )
-    # numeric ordering key for the range frames; epoch-seconds double keeps
-    # microsecond timestamps exactly (< 2^53 micro-units)
-    unioned = l_full.unionByName(r_full).withColumn(
-        "__on_num", F.col(on).cast("double")
+    # numeric ordering key for the range frames. Timestamps become micros
+    # LONGS — exact. An epoch-seconds double (micros/1e6) would carry ~0.5µs
+    # representation error at current epochs: enough to flip the documented
+    # backward tie-break on near-equidistant neighbors, and past epoch 2^32s
+    # distinct micros would collide outright.
+    is_ts = str(left.schema[on].dataType).startswith("Timestamp")
+    _num = (
+        (lambda c: F.unix_micros(c.cast("timestamp")))
+        if is_ts
+        else (lambda c: c.cast("double"))
     )
+    unioned = l_full.unionByName(r_full).withColumn("__on_num", _num(F.col(on)))
     wb = (
         Window.partitionBy(*by_l)
         .orderBy("__on_num")
@@ -237,8 +244,8 @@ def asof_join_nearest(
     probes = filled.filter(F.col("__is_probe") == 1)
     t = F.col(on)
     bt, ft = F.col("__t_b"), F.col("__t_f")
-    d_b = F.when(bt.isNotNull(), t.cast("double") - bt.cast("double"))
-    d_f = F.when(ft.isNotNull(), ft.cast("double") - t.cast("double"))
+    d_b = F.when(bt.isNotNull(), _num(t) - _num(bt))
+    d_f = F.when(ft.isNotNull(), _num(ft) - _num(t))
     use_back = (
         F.when(ft.isNull(), F.lit(True))
         .when(bt.isNull(), F.lit(False))

@@ -21,26 +21,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from ltss_spark.operators.dedup import normalize_text, shingles
+from ltss_spark.operators.dedup import gram_windows, normalize_text, shingles
 
 
-def _gram_array(text_col, k: int):
-    """All k-token windows of the normalized text as an array — WITH
-    duplicates (unlike dedup.shingles, which dedups per doc: repetition
-    scoring needs the multiplicity)."""
-    toks = F.split(normalize_text(text_col), " ")
-    return F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-            lambda i: F.when(
-                i + k <= F.size(toks),
-                F.concat_ws(
-                    " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-                ),
-            ),
-        ),
-        lambda g: g.isNotNull(),
-    )
+def _tokens(text_col):
+    return F.split(normalize_text(text_col), " ")
 
 
 def contamination(
@@ -141,11 +126,11 @@ def repetition_stats(
     """Intra-document repetition (the Gopher/RefinedWeb quality signal):
     fraction of duplicate k-grams inside each document. Returns (doc_id,
     n_grams, n_distinct, rep_ratio). Per-row array expressions only — no
-    shuffle, no explode."""
-    grams = _gram_array(F.col(text_col), k)
+    shuffle, no explode. Tokens are materialized in a first projection so
+    the shared gram builder reads them in place (dedup.gram_windows)."""
     return docs.select(
-        F.col(id_col).alias("doc_id"), grams.alias("__g")
-    ).select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("__toks")
+    ).select("doc_id", gram_windows("__toks", k).alias("__g")).select(
         "doc_id",
         F.size("__g").alias("n_grams"),
         F.size(F.array_distinct("__g")).alias("n_distinct"),
@@ -192,29 +177,43 @@ def quality_filter(
     too-short, too-repetitive (duplicate 3-grams), or stopword-free
     (gibberish signal). First failing rule names the reason; survivors get
     reason 'kept'. Every signal is a column expression on the same row, so
-    the filter costs one scan regardless of how many rules stack."""
-    from ltss_spark.operators.dedup import normalize_text
+    the filter costs one scan regardless of how many rules stack; tokens
+    and the gram array are materialized in staged projections so neither is
+    rebuilt per reference (dedup.gram_windows)."""
     from ltss_spark.operators.text import stopword_ratio, token_count
 
     t = F.col(text_col)
-    toks = token_count(t)
-    grams = _gram_array(t, 3)
-    rep = F.when(
-        F.size(grams) > 0,
-        1 - F.size(F.array_distinct(grams)) / F.size(grams),
-    ).otherwise(F.lit(1.0))
-    sw = stopword_ratio(t)
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(t).alias("n_tokens"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        _tokens(t).alias("__toks"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "stopword_ratio",
+        gram_windows("__toks", 3).alias("__g"),
+    )
+    rep = F.round(
+        F.when(
+            F.size("__g") > 0,
+            1 - F.size(F.array_distinct("__g")) / F.size("__g"),
+        ).otherwise(F.lit(1.0)),
+        6,
+    )
     reason = (
-        F.when(toks < min_tokens, F.lit("too_short"))
-        .when(F.round(rep, 6) > max_rep_ratio, F.lit("repetitive"))
-        .when(F.round(sw, 6) < min_stopword_ratio, F.lit("no_stopwords"))
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("rep_ratio") > max_rep_ratio, F.lit("repetitive"))
+        .when(F.col("stopword_ratio") < min_stopword_ratio, F.lit("no_stopwords"))
         .otherwise(F.lit("kept"))
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        toks.alias("n_tokens"),
-        F.round(rep, 6).alias("rep_ratio"),
-        F.round(sw, 6).alias("stopword_ratio"),
+    return staged.select(
+        "doc_id", "n_tokens", rep.alias("rep_ratio"), "stopword_ratio"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "rep_ratio",
+        "stopword_ratio",
         reason.alias("reason"),
         (reason == "kept").alias("keep"),
     )

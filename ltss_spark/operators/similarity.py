@@ -118,15 +118,26 @@ def _sig_udf(tables: int, bits: int, dim: int):
     def sigs(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        vecs = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        chars = np.where(vecs @ mat_t >= 0, "1", "0").astype("U1")
-        packed = [
-            np.ascontiguousarray(chars[:, t * bits : (t + 1) * bits])
-            .view(f"<U{bits}")
-            .ravel()
-            for t in range(tables)
-        ]
-        return pd.Series(np.stack(packed, axis=1).tolist())
+        # NULL or wrong-length vectors get an EMPTY signature list: they
+        # fall out of the posexplode and can never collide — the same
+        # "null matches nothing" semantics the pure-expression form had,
+        # instead of np.stack crashing the whole task
+        vals = v.tolist()
+        valid = [i for i, x in enumerate(vals) if x is not None and len(x) == dim]
+        out: list[list[str]] = [[] for _ in vals]
+        if valid:
+            vecs = np.stack([np.asarray(vals[i], dtype=np.float64) for i in valid])
+            chars = np.where(vecs @ mat_t >= 0, "1", "0").astype("U1")
+            packed = [
+                np.ascontiguousarray(chars[:, t * bits : (t + 1) * bits])
+                .view(f"<U{bits}")
+                .ravel()
+                for t in range(tables)
+            ]
+            rows = np.stack(packed, axis=1).tolist()
+            for i, sig in zip(valid, rows):
+                out[i] = sig
+        return pd.Series(out)
 
     return sigs
 
@@ -211,20 +222,29 @@ def embedding_dup_pairs(
     tables: int = 16,
     bits: int = 4,
     dim: int = 64,
+    method: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b), a < b, with
     cosine(a, b) >= threshold (rounded to 6 for cross-engine determinism).
     Norms are computed ONCE per vector before any join (not once per pair).
 
-    Guarded scale switch (VERDICT r1): up to ``exact_limit`` vectors this
-    is the exact all-pairs baseline — a broadcast self-join, |V|^2
-    comparisons with only a linear shuffle, fine as a verify step. Above
-    the limit (or with ``exact_limit=None``/0 forced) candidates come from
-    hyperplane-sign LSH buckets (same signature machinery as
-    :func:`cosine_topk_lsh`) and only colliding pairs are scored — the
-    100 TB shape; recall follows 1-(1-p^bits)^tables, ~0.89 at the default
-    4x16 for cosine 0.3, higher for tighter thresholds.
+    ``method`` pins the candidate strategy:
+
+    - ``'exact'`` — all-pairs broadcast self-join, |V|^2 comparisons with a
+      linear shuffle. The verify/oracle baseline: complete at any size, and
+      what the registered ``ext_dedup_embed`` entry uses so its DuckDB
+      all-pairs oracle stays valid at EVERY scale factor.
+    - ``'lsh'`` — hyperplane-sign LSH buckets (same signature machinery as
+      :func:`cosine_topk_lsh`); only colliding pairs are scored — the
+      100 TB shape. Approximate: recall follows 1-(1-p^bits)^tables, ~0.89
+      at the default 4x16 for cosine 0.3, higher for tighter thresholds.
+    - ``'auto'`` (default) — exact up to ``exact_limit`` vectors, LSH
+      above. Callers who need the complete-pairs contract regardless of
+      corpus size must pass ``method='exact'`` explicitly; auto is a
+      SCALE guard, not a semantics guarantee (VERDICT r1).
     """
+    if method not in ("auto", "exact", "lsh"):
+        raise ValueError(f"method must be auto|exact|lsh, got {method!r}")
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -246,7 +266,12 @@ def embedding_dup_pairs(
     b = base.select(
         F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
     )
-    if exact_limit and corpus.limit(exact_limit + 1).count() <= exact_limit:
+    use_exact = method == "exact" or (
+        method == "auto"
+        and exact_limit
+        and corpus.limit(exact_limit + 1).count() <= exact_limit
+    )
+    if use_exact:
         return score(a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")))
 
     sigs = base.select(
@@ -279,18 +304,23 @@ def stride_codebook(
     vec_col: str = "embedding",
     n_centroids: int = 16,
 ) -> DataFrame:
-    """Deterministic seed codebook: every stride-th vector by id — a single
-    filtered scan, no global sort. Columns (centroid_id, cent_vec, cent_nrm)."""
-    n = corpus.count()
-    stride = max(1, n // n_centroids)
-    return (
+    """Deterministic seed codebook: the ``n_centroids`` vectors with the
+    smallest xxhash64(id) — a TakeOrdered top-k (map-side partial, no full
+    sort shuffle), valid for string/UUID/sparse ids where modular
+    arithmetic on the id would under-sample or fail to resolve. Columns
+    (centroid_id, cent_vec, cent_nrm)."""
+    sampled = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent_vec"))
-        .filter((F.col("cid") % stride == 0) & (F.col("cid") / stride < n_centroids))
-        .select(
-            (F.col("cid") / stride + 1).cast("int").alias("centroid_id"),
-            "cent_vec",
-            _norm(F.col("cent_vec")).alias("cent_nrm"),
-        )
+        .filter(F.col("cent_vec").isNotNull())
+        .withColumn("__h", F.xxhash64(F.col("cid").cast("string")))
+        .orderBy("__h", "cid")
+        .limit(n_centroids)
+    )
+    w = Window.orderBy("__h", "cid")
+    return sampled.select(
+        F.row_number().over(w).cast("int").alias("centroid_id"),
+        "cent_vec",
+        _norm(F.col("cent_vec")).alias("cent_nrm"),
     )
 
 
@@ -450,14 +480,20 @@ def pq_codebooks(
     driver and shipped to executors as plan literals, exactly like a
     broadcast dimension."""
     d_sub = dim // m
-    n = corpus.count()
-    stride = max(1, n // kc)
+    # id-type-agnostic deterministic sample: the kc rows with the smallest
+    # xxhash64(id) — a TakeOrdered top-k (map-side partial, no full sort),
+    # valid for string/UUID/sparse ids where the previous `id % stride`
+    # arithmetic silently under-sampled or failed to resolve
     rows = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
-        .filter((F.col("cid") % stride == 0) & (F.col("cid") / stride < kc))
-        .orderBy("cid")
+        .filter(F.col("v").isNotNull() & (F.size("v") == dim))
+        .withColumn("__h", F.xxhash64(F.col("cid").cast("string")))
+        .orderBy("__h", "cid")
+        .limit(kc)
         .collect()
     )
+    if not rows:
+        raise ValueError("pq_codebooks: corpus has no valid vectors to sample")
     return [
         [[float(x) for x in r["v"][mm * d_sub : (mm + 1) * d_sub]] for r in rows]
         for mm in range(m)
@@ -481,7 +517,10 @@ def pq_encode(
     from pyspark.sql.functions import pandas_udf
 
     m = len(codebooks)
+    if m == 0 or not codebooks[0] or not codebooks[0][0]:
+        raise ValueError("pq_encode: empty codebooks (was the corpus empty?)")
     d_sub = len(codebooks[0][0])
+    dim = m * d_sub
     books = np.asarray(codebooks, dtype=np.float64)  # (m, kc, d_sub)
 
     @pandas_udf("array<int>")
@@ -494,6 +533,11 @@ def pq_encode(
         d2 = ((subs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
         return pd.Series(d2.argmin(axis=2).astype("int32").tolist())
 
+    # NULL / wrong-length vectors are unencodable — excluded here rather
+    # than crashing the Arrow kernel's np.stack
+    corpus = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
     out = corpus.select(
         F.col(id_col).alias("candidate_id"),
         F.col(vec_col).alias("c_vec"),
@@ -540,13 +584,25 @@ def cosine_topk_pq(
     """
     codebooks = pq_codebooks(corpus, id_col, vec_col, m, kc, dim)
     # encode ONCE and reuse across the per-query scans — in production the
-    # codes are materialized to storage next to the corpus; caching is the
-    # in-session equivalent (codes are m small ints per vector)
-    encoded = pq_encode(corpus, codebooks, id_col, vec_col).cache()
+    # codes are materialized to storage next to the corpus; a lazy
+    # localCheckpoint is the in-session equivalent (codes are m small ints
+    # per vector). Unlike .cache(), checkpoint blocks are released by the
+    # ContextCleaner when the plan is garbage-collected, so repeated calls
+    # in a long-lived session don't accumulate pinned executor storage.
+    encoded = pq_encode(corpus, codebooks, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     d_sub = dim // m
     q_rows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).collect()
+    if not q_rows:
+        return encoded.select(
+            F.col("candidate_id").alias("query_id"),
+            "candidate_id",
+            F.lit(0.0).alias("cosine"),
+            F.lit(1).alias("rank"),
+        ).limit(0)
 
     outs = []
     for qr in q_rows:

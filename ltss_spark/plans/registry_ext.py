@@ -409,7 +409,12 @@ def ext_sim_search_lsh(spark, sf_dir):
     survey="ext_dedup_near fn_array (embedding-cosine near-dup, exact baseline)",
 )
 def ext_dedup_embed(spark, sf_dir):
-    return embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+    # method='exact' pinned: the oracle is the all-pairs SQL, so the Spark
+    # side must never auto-switch to the approximate LSH path at a larger
+    # scale factor (the library default 'auto' does exactly that)
+    return embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, method="exact"
+    )
 
 
 @register(

@@ -1258,9 +1258,15 @@ def ts_heartbeat_q(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact micros arithmetic: cast('long') would truncate to whole seconds
+    # while the oracle's INTERVAL comparison is micros-exact, diverging on
+    # gaps in (900, 901)s — and the driver's events carry micros precision
     new_iv = F.when(
         F.lag("ts").over(w).isNull()
-        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 900),
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            > 900 * 1_000_000
+        ),
         1,
     ).otherwise(0)
     g = e.select("user_id", "ts", "event_id", new_iv.alias("new_iv")).select(

@@ -233,8 +233,9 @@ def zorder_write(
     nums = df.select(
         F.col(ca).cast("double").alias("__a"), F.col(cb).cast("double").alias("__b")
     )
-    bounds_a = nums.stat.approxQuantile("__a", qs, 0.01)
-    bounds_b = nums.stat.approxQuantile("__b", qs, 0.01)
+    # one sampling job for both columns (two single-column calls would scan
+    # the input twice just for the stats pass)
+    bounds_a, bounds_b = nums.stat.approxQuantile(["__a", "__b"], qs, 0.01)
 
     def bucket(c: str, bounds: list[float]) -> Column:
         arr = F.array(*[F.lit(float(x)) for x in bounds])

@@ -111,8 +111,17 @@ def make_sink(
 
     if jdbc_url is not None:
         def sink(batch: DataFrame, epoch_id: int) -> None:
+            # append-mode JDBC is NOT idempotent under retry by itself: a
+            # partially-committed micro-batch re-appends already-landed
+            # partitions on the next try. Replay safety is the database's
+            # PK's job — exactly the reference's mechanism (PK(time,
+            # entity_id), models.py:31-32, rejects the duplicate rows) —
+            # and every row is stamped with its epoch so a PK-less target
+            # can still dedup (`row_number() OVER (PARTITION BY ...
+            # ORDER BY batch_epoch)`) or audit a replay after the fact.
+            stamped = batch.withColumn("batch_epoch", F.lit(int(epoch_id)))
             with_retries(_write_jdbc, max_tries, backoff_s)(
-                batch, jdbc_url, jdbc_table, jdbc_mode, jdbc_options or {}
+                stamped, jdbc_url, jdbc_table, jdbc_mode, jdbc_options or {}
             )
 
         return sink

@@ -93,3 +93,51 @@ def test_corpus_ops_empty(spark):
     )
     row = contamination(e, ev).collect()[0]
     assert row["containment"] == 0.0
+
+
+def _vec(seed, d=8):
+    return [float((seed * 31 + i * 7) % 10) - 4.5 for i in range(d)]
+
+
+def test_lsh_null_and_ragged_embeddings_ignored(spark):
+    """NULL or wrong-length vectors must fall out of the LSH candidate set
+    (empty signature list), not crash the Arrow kernel's np.stack."""
+    from ltss_spark.operators.similarity import cosine_topk_lsh, embedding_dup_pairs
+
+    rows = [(1, _vec(1)), (2, _vec(1)), (3, None), (4, _vec(2)[:5])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk_lsh(
+        corpus, corpus.filter("vec_id = 1"), k=3, tables=4, bits=2, dim=8
+    ).collect()
+    ids = {r["candidate_id"] for r in out}
+    assert 2 in ids and 3 not in ids and 4 not in ids
+    pairs = embedding_dup_pairs(
+        corpus, threshold=0.9, method="lsh", tables=4, bits=2, dim=8
+    ).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+
+
+def test_pq_empty_queries_and_invalid_vectors(spark):
+    from ltss_spark.operators.similarity import cosine_topk_pq
+
+    rows = [(i, _vec(i)) for i in range(1, 9)] + [(9, None)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    empty_q = corpus.filter("vec_id < 0")
+    out = cosine_topk_pq(corpus, empty_q, k=3, m=4, kc=4, dim=8)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "candidate_id", "cosine", "rank"]
+    # null-embedding candidate is excluded, query still gets its top-k
+    got = cosine_topk_pq(
+        corpus, corpus.filter("vec_id = 1"), k=3, m=4, kc=4, dim=8, rerank=8
+    ).collect()
+    assert len(got) == 3 and all(r["candidate_id"] != 9 for r in got)
+
+
+def test_dup_pairs_method_validation(spark):
+    import pytest
+
+    from ltss_spark.operators.similarity import embedding_dup_pairs
+
+    corpus = spark.createDataFrame([(1, _vec(1))], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        embedding_dup_pairs(corpus, method="fuzzy")

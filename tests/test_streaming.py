@@ -144,7 +144,7 @@ def test_make_sink_jdbc_contract(spark, monkeypatch):
         si,
         "_write_jdbc",
         lambda batch, url, table, mode, options: calls.append(
-            (batch.count(), url, table, mode, dict(options))
+            (batch.count(), url, table, mode, dict(options), batch.columns)
         ),
     )
     sink = si.make_sink(
@@ -155,7 +155,7 @@ def test_make_sink_jdbc_contract(spark, monkeypatch):
     batch = spark.createDataFrame(
         [(1, "a.b"), (2, "c.d")], "event_id long, entity_id string"
     )
-    sink(batch, epoch_id=0)
+    sink(batch, epoch_id=7)
     assert calls == [
         (
             2,
@@ -163,6 +163,10 @@ def test_make_sink_jdbc_contract(spark, monkeypatch):
             "ltss",
             "append",
             {"batchsize": "5000", "isolationLevel": "READ_COMMITTED"},
+            # every row carries its epoch: replayed micro-batches are
+            # dedup-able/auditable even though append-mode JDBC itself is
+            # not idempotent (PK rejection is the reference's mechanism)
+            ["event_id", "entity_id", "batch_epoch"],
         )
     ]
 
