@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyspark.sql.functions as F  # noqa: E402
 
 
-def replicated_docs(spark, sf_dir, factor, base_dir):
+def replicated_docs(spark, sf_dir, factor, base_dir, tag=""):
     """factor copies of documents, re-ided and token-tagged per replica."""
     from ltss_spark.sources.batch import load_table
 
@@ -41,7 +41,52 @@ def replicated_docs(spark, sf_dir, factor, base_dir):
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
-    path = os.path.join(base_dir, f"docs_x{factor}")
+    path = os.path.join(base_dir, f"docs{tag}_x{factor}")
+    out.repartition(spark.sparkContext.defaultParallelism).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def replicated_states(spark, sf_dir, factor, base_dir, tag=""):
+    """factor copies of the canonical state table, entity-tagged per
+    replica so segment count (and segment SIZE) grows linearly."""
+    from ltss_spark.ingest import states_from_events
+    from ltss_spark.sources.batch import load_table
+
+    states = states_from_events(load_table(spark, sf_dir, "events")).select(
+        "time", "entity_id", "state", "attributes"
+    )
+    parts = [
+        states.withColumn("entity_id", F.concat("entity_id", F.lit(f"_r{i}")))
+        for i in range(factor)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    path = os.path.join(base_dir, f"states{tag}_x{factor}")
+    out.repartition(spark.sparkContext.defaultParallelism).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def replicated_embeddings(spark, sf_dir, factor, base_dir, tag=""):
+    """factor re-ided copies of embeddings. Identical vectors are fine for
+    the top-k probes: the query set is FIXED, so candidate volume grows
+    linearly with the corpus regardless of inter-replica similarity."""
+    from ltss_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    parts = [
+        emb.select((F.col("vec_id") + F.lit(i * n)).alias("vec_id"), "embedding")
+        for i in range(factor)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    path = os.path.join(base_dir, f"emb{tag}_x{factor}")
     out.repartition(spark.sparkContext.defaultParallelism).write.mode(
         "overwrite"
     ).parquet(path)
@@ -54,9 +99,11 @@ def main():
 
     from pyspark.sql import SparkSession
 
+    from ltss_spark.operators.compress import compress_states
     from ltss_spark.operators.corpus import repetition_stats
     from ltss_spark.operators.dedup import exact_dedup_groups, minhash_lsh_pairs
     from ltss_spark.operators.graph import connected_components
+    from ltss_spark.operators.similarity import cosine_topk_lsh, pq_codebooks, pq_encode
     from ltss_spark.session import pin_session_for_oracle
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -80,12 +127,25 @@ def main():
 
     base = os.path.join(tempfile.gettempdir(), f"scale_probe_{uuid.uuid4().hex}")
     results = {"sf_dir": sf_dir, "factors": {}}
-    warm = replicated_docs(spark, sf_dir, 1, base)
+    # warm/fixed copies live under their own paths: the factor loop
+    # re-writes <name>_x1 with overwrite, which would delete the files the
+    # still-lazy warm plans (probe_q!) reference
+    warm = replicated_docs(spark, sf_dir, 1, base, tag="_warm")
     # untimed warmup: JVM/codegen/broadcast machinery out of the 1x numbers
     minhash_lsh_pairs(warm).count()
     connected_components(minhash_lsh_pairs(warm)).count()
     exact_dedup_groups(warm).count()
     repetition_stats(warm).count()
+
+    # fixed across factors: the probe queries and the PQ codebooks (trained
+    # once — codebook size does not grow with the corpus)
+    emb1 = replicated_embeddings(spark, sf_dir, 1, base, tag="_warm")
+    probe_q = emb1.filter(F.col("vec_id") < 3)
+    books = pq_codebooks(emb1)
+    states1 = replicated_states(spark, sf_dir, 1, base, tag="_warm")
+    compress_states(states1, value_cols=("state",)).count()
+    cosine_topk_lsh(emb1, probe_q).count()
+    pq_encode(emb1, books).count()
 
     for factor in (1, 2, 4, 8):
         docs = replicated_docs(spark, sf_dir, factor, base)
@@ -101,6 +161,17 @@ def main():
         )
         row["repetition_rows"], row["repetition_sec"] = timed(
             lambda: repetition_stats(docs).count()
+        )
+        states = replicated_states(spark, sf_dir, factor, base)
+        row["compress_segments"], row["compress_sec"] = timed(
+            lambda: compress_states(states, value_cols=("state",)).count()
+        )
+        emb = replicated_embeddings(spark, sf_dir, factor, base)
+        row["lsh_topk_rows"], row["lsh_topk_sec"] = timed(
+            lambda: cosine_topk_lsh(emb, probe_q).count()
+        )
+        row["pq_encoded_rows"], row["pq_encode_sec"] = timed(
+            lambda: pq_encode(emb, books).count()
         )
         results["factors"][str(factor)] = row
         print(json.dumps({factor: row}))
