@@ -47,3 +47,4 @@ from ltss_spark.operators.compress import (  # noqa: F401
     compress_states,
     decompress_states,
 )
+from ltss_spark.operators.corpus import mixture_sample  # noqa: F401

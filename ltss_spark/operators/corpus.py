@@ -256,3 +256,53 @@ def pack_sequences(
         ((F.col("cum") - F.col("n_tokens")) % context_tokens).alias("bin_offset"),
         (F.col("n_tokens") > context_tokens).alias("oversize"),
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    total: int = 1000,
+) -> DataFrame:
+    """Domain-mixture resampling: select ~``total`` documents so stratum s
+    contributes ``floor(weights[s] * total)`` rows — the data-mixing step
+    that turns a raw crawl into a training mix with pinned domain/language
+    proportions (the Pile/Dolma-style mixture table). Strata absent from
+    ``weights`` contribute nothing; a stratum with fewer rows than its
+    quota contributes everything it has (the shortfall is NOT redistributed
+    — redistribution would make every stratum's selection depend on every
+    other's census, breaking the property that adding documents to one
+    domain never changes another domain's sample).
+
+    Selection within a stratum is the md5(id) order — deterministic,
+    engine-portable, independent of partitioning, and stable under corpus
+    growth (a new document only enters if it hashes below the incumbent
+    boundary). One shuffle (the per-stratum window); the weights table is a
+    plan literal, never a join side.
+    """
+    quota = F.coalesce(
+        *[
+            c
+            for s, w in sorted(weights.items())
+            for c in (
+                F.when(
+                    F.col(stratum_col) == s, F.lit(int(w * total)).cast("long")
+                ),
+            )
+        ],
+        F.lit(0).cast("long"),
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(stratum_col),
+            F.row_number().over(w).alias("sample_rank"),
+            quota.alias("quota"),
+        )
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select(id_col, stratum_col, "sample_rank", "quota")
+    )

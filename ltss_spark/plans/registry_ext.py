@@ -1012,3 +1012,33 @@ def ext_sim_search_pq(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk_pq(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
+@register(
+    "ext_mixture_sample",
+    """
+    SELECT doc_id, lang, sample_rank, quota FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank,
+             CAST(CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
+                            WHEN 'zh' THEN 20 WHEN 'fr' THEN 5
+                            WHEN 'es' THEN 5 ELSE 0 END AS BIGINT) AS quota
+      FROM documents
+    ) WHERE sample_rank <= quota
+    """,
+    survey="win_rank ext_text_stats (domain-mixture resampling: per-stratum weighted quotas, Pile/Dolma mixing step)",
+)
+def ext_mixture_sample(spark, sf_dir):
+    """Training-mix construction: resample the corpus to pinned language
+    proportions (en 50% / de 20% / zh 20% / fr 5% / es 5% of a 100-doc
+    mix), deterministic md5 order per stratum (operators/corpus.py
+    mixture_sample). One shuffle; weights are plan literals."""
+    from ltss_spark.operators.corpus import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        weights={"en": 0.5, "de": 0.2, "zh": 0.2, "fr": 0.05, "es": 0.05},
+        total=100,
+    )

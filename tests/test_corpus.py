@@ -159,3 +159,28 @@ def test_pack_sequences_invariants(spark):
     assert bins == list(range(bins[-1] + 1))
     # conservation: total tokens == 30 * 40, last bin partial
     assert sum(r["n_tokens"] for r in got) == 1200
+
+
+def test_mixture_sample_quotas_and_stability(spark):
+    """Quotas honored exactly when available, shortfall NOT redistributed,
+    unlisted strata excluded, and growing one stratum never changes
+    another stratum's selection."""
+    from ltss_spark.operators.corpus import mixture_sample
+
+    rows = [(i, "en" if i < 40 else ("de" if i < 46 else "xx")) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_sample(docs, {"en": 0.5, "de": 0.5}, total=20).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_lang["en"]) == 10          # full quota
+    assert len(by_lang["de"]) == 6           # capped by availability
+    assert "xx" not in by_lang               # unlisted stratum excluded
+    # stability: add more 'de' docs; the 'en' selection must not move
+    more = docs.union(
+        spark.createDataFrame([(100 + i, "de") for i in range(20)], "doc_id long, lang string")
+    )
+    out2 = mixture_sample(more, {"en": 0.5, "de": 0.5}, total=20).collect()
+    en2 = {r["doc_id"] for r in out2 if r["lang"] == "en"}
+    assert en2 == by_lang["en"]
+    assert len([r for r in out2 if r["lang"] == "de"]) == 10  # now fillable
