@@ -48,3 +48,4 @@ from ltss_spark.operators.compress import (  # noqa: F401
     decompress_states,
 )
 from ltss_spark.operators.corpus import mixture_sample  # noqa: F401
+from ltss_spark.operators.similarity import cosine_topk_ivfpq, cosine_topk_pq  # noqa: F401

@@ -604,49 +604,56 @@ def cosine_topk_pq(
             F.lit(1).alias("rank"),
         ).limit(0)
 
-    outs = []
-    for qr in q_rows:
-        qv = [float(x) for x in qr["q_vec"]]
-        q_nrm = sum(x * x for x in qv) ** 0.5
-        # ADC lookup table: approximate dot per (subspace, centroid)
-        lut = [
-            [
-                sum(
-                    qv[mm * d_sub + j] * codebooks[mm][c][j] for j in range(d_sub)
-                )
-                for c in range(len(codebooks[mm]))
-            ]
-            for mm in range(m)
+    outs = [
+        _adc_rescored(encoded, qr, codebooks, m, d_sub, rerank) for qr in q_rows
+    ]
+    return _topk_of_union(outs, k)
+
+
+def _adc_rescored(encoded, qr, codebooks, m, d_sub, rerank):
+    """One query's ADC scan over a PQ-encoded candidate frame + exact
+    rescore of the top ``rerank``: the shared scoring core of
+    :func:`cosine_topk_pq` (full scan) and :func:`cosine_topk_ivfpq`
+    (scan restricted to the probed inverted lists)."""
+    qv = [float(x) for x in qr["q_vec"]]
+    q_nrm = sum(x * x for x in qv) ** 0.5
+    # ADC lookup table: approximate dot per (subspace, centroid)
+    lut = [
+        [
+            sum(qv[mm * d_sub + j] * codebooks[mm][c][j] for j in range(d_sub))
+            for c in range(len(codebooks[mm]))
         ]
-        approx_dot = None
-        for mm in range(m):
-            term = F.element_at(
-                F.array(*[F.lit(v) for v in lut[mm]]),
-                F.col(f"code{mm}") + 1,
-            )
-            approx_dot = term if approx_dot is None else approx_dot + term
-        scored = encoded.filter(F.col("candidate_id") != qr["query_id"]).select(
-            F.lit(qr["query_id"]).alias("query_id"),
-            "candidate_id",
-            "c_vec",
-            "c_nrm",
-            (approx_dot / (F.lit(q_nrm) * F.col("c_nrm"))).alias("adc"),
+        for mm in range(m)
+    ]
+    approx_dot = None
+    for mm in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut[mm]]),
+            F.col(f"code{mm}") + 1,
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("adc").desc(), F.col("candidate_id").asc()
-        )
-        cand = scored.withColumn("r", F.row_number().over(w)).filter(
-            F.col("r") <= rerank
-        )
-        q_lit = F.array(*[F.lit(x) for x in qv])
-        exact = cand.select(
-            "query_id",
-            "candidate_id",
-            F.round(
-                _dot(q_lit, F.col("c_vec")) / (F.lit(q_nrm) * F.col("c_nrm")), 6
-            ).alias("cosine"),
-        )
-        outs.append(exact)
+        approx_dot = term if approx_dot is None else approx_dot + term
+    scored = encoded.filter(F.col("candidate_id") != qr["query_id"]).select(
+        F.lit(qr["query_id"]).alias("query_id"),
+        "candidate_id",
+        "c_vec",
+        "c_nrm",
+        (approx_dot / (F.lit(q_nrm) * F.col("c_nrm"))).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("candidate_id").asc()
+    )
+    cand = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= rerank)
+    q_lit = F.array(*[F.lit(x) for x in qv])
+    return cand.select(
+        "query_id",
+        "candidate_id",
+        F.round(
+            _dot(q_lit, F.col("c_vec")) / (F.lit(q_nrm) * F.col("c_nrm")), 6
+        ).alias("cosine"),
+    )
+
+
+def _topk_of_union(outs, k):
     allq = outs[0]
     for o in outs[1:]:
         allq = allq.unionAll(o)
@@ -658,3 +665,100 @@ def cosine_topk_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "candidate_id", "cosine", "rank")
     )
+
+
+def cosine_topk_ivfpq(
+    corpus,
+    queries,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    kc: int = 16,
+    dim: int = 64,
+    rerank: int = 50,
+):
+    """The full FAISS-IVFPQ composition: an IVF coarse quantizer bounds
+    WHICH candidates are scanned (nprobe/n_centroids of the corpus), PQ
+    codes bound HOW MUCH is read per candidate (m bytes instead of dim
+    floats), and the exact rescore of the top ``rerank`` restores
+    precision — the canonical 100 TB ANN shape, where the two bounds
+    multiply: scan volume ~ |V| * nprobe/n_centroids * m/(4*dim) of the
+    raw-corpus baseline.
+
+    Plan: corpus is PQ-encoded and coarse-assigned ONCE (one broadcast
+    join + per-row argmax, lazily checkpointed); each probe filters the
+    encoded frame to its nprobe lists (partition-prunable by centroid_id
+    when the encoded table is written partitioned by list, as FAISS shards
+    by list) and runs the shared ADC scan + exact rescore. With
+    nprobe == n_centroids the result is EXACTLY cosine_topk_pq (tested).
+    """
+    coarse = stride_codebook(corpus, id_col, vec_col, n_centroids)
+    coarse_rows = coarse.collect()
+    codebooks = pq_codebooks(corpus, id_col, vec_col, m, kc, dim)
+    enc = pq_encode(corpus, codebooks, id_col, vec_col)
+    # one nearest coarse centroid per candidate: broadcast the (tiny)
+    # codebook and keep the argmax row — same shape as cosine_topk_ivf
+    assigned = (
+        enc.join(F.broadcast(coarse), how="cross")
+        .select(
+            "*",
+            (
+                _dot(F.col("c_vec"), F.col("cent_vec"))
+                / (F.col("c_nrm") * F.col("cent_nrm"))
+            ).alias("cent_cos"),
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("candidate_id").orderBy(
+                    F.col("cent_cos").desc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("crank") == 1)
+        .drop("crank", "cent_cos", "cent_vec", "cent_nrm")
+    )
+    encoded = assigned.localCheckpoint(eager=False)
+    d_sub = dim // m
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    if not q_rows:
+        return encoded.select(
+            F.col("candidate_id").alias("query_id"),
+            "candidate_id",
+            F.lit(0.0).alias("cosine"),
+            F.lit(1).alias("rank"),
+        ).limit(0)
+
+    def _probed(qr):
+        qv = [float(x) for x in qr["q_vec"]]
+        q_nrm = sum(x * x for x in qv) ** 0.5 or 1.0
+        sims = sorted(
+            (
+                (
+                    sum(a * b for a, b in zip(qv, r["cent_vec"]))
+                    / (q_nrm * r["cent_nrm"]),
+                    -r["centroid_id"],
+                )
+                for r in coarse_rows
+            ),
+            reverse=True,
+        )
+        return [int(-c) for _, c in sims[:nprobe]]
+
+    outs = [
+        _adc_rescored(
+            encoded.filter(F.col("centroid_id").isin(_probed(qr))),
+            qr,
+            codebooks,
+            m,
+            d_sub,
+            rerank,
+        )
+        for qr in q_rows
+    ]
+    return _topk_of_union(outs, k)

@@ -1042,3 +1042,20 @@ def ext_mixture_sample(spark, sf_dir):
         weights={"en": 0.5, "de": 0.2, "zh": 0.2, "fr": 0.05, "es": 0.05},
         total=100,
     )
+
+
+@register(
+    "ext_sim_search_ivfpq",
+    None,  # approximate — equality-at-nprobe=C and recall bounds in pytest
+    survey="ext_sim_search (IVF coarse lists x PQ/ADC codes + exact rescore — the full FAISS-IVFPQ 100TB shape)",
+)
+def ext_sim_search_ivfpq(spark, sf_dir):
+    """IVF+PQ composed ANN: nprobe/n_centroids bounds which candidates are
+    scanned, m-byte PQ codes bound the read per candidate, exact rescore
+    restores precision (operators/similarity.py cosine_topk_ivfpq)."""
+    from ltss_spark.operators.similarity import cosine_topk_ivfpq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivfpq(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, n_centroids=16, nprobe=8
+    )

@@ -751,3 +751,35 @@ def test_compress_plan_single_exchange(spark):
     d = decompress_states(c)
     dplan = d._jdf.queryExecution().executedPlan().toString()
     assert "Window" in dplan
+
+
+def test_ivfpq_exact_match_pq_at_full_probe(spark):
+    """With nprobe == n_centroids the IVF stage filters nothing, so IVFPQ
+    must return EXACTLY the flat-PQ result (same codebooks, same ADC, same
+    rescore)."""
+    from ltss_spark.operators.similarity import cosine_topk_ivfpq, cosine_topk_pq
+    from ltss_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    pq = cosine_topk_pq(emb, q, k=5, rerank=30)
+    ivfpq = cosine_topk_ivfpq(emb, q, k=5, n_centroids=8, nprobe=8, rerank=30)
+    assert sorted(map(tuple, pq.collect())) == sorted(map(tuple, ivfpq.collect()))
+
+
+def test_ivfpq_partial_probe_recall(spark):
+    """Partial probing keeps usable recall vs the exact operator (the list
+    filter only loses candidates whose coarse cell the query skipped)."""
+    from ltss_spark.operators.similarity import cosine_topk, cosine_topk_ivfpq
+    from ltss_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=5).collect()
+    approx = cosine_topk_ivfpq(
+        emb, q, k=5, n_centroids=8, nprobe=4, rerank=50
+    ).collect()
+    truth = {(r["query_id"], r["candidate_id"]) for r in exact}
+    got = {(r["query_id"], r["candidate_id"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"recall {recall}"

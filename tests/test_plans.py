@@ -232,9 +232,11 @@ def test_registry_wide_plan_audit(spark):
         # same trade for PQ encode: argmin over centroid distances as an
         # Arrow numpy kernel (operators/similarity.py:_pq_encode_udf)
         "ext_sim_search_pq",
+        "ext_sim_search_ivfpq",
     }
     BNL_OK = {
         "ext_sim_search", "ext_sim_search_lsh", "ext_sim_search_ivf",
+        "ext_sim_search_ivfpq",  # broadcast coarse-codebook cross join
         "ext_dedup_embed", "join_theta", "ts_gapfill", "ts_interpolate",
         "join_asof",
     }
