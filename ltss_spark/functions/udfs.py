@@ -60,17 +60,25 @@ def grouped_median(
     operator exists to prove the exact-UDAF surface.
     """
 
+    # the checksum column falls back to the value column when the frame has
+    # no event_id — a hardcoded pdf['event_id'] would KeyError on any other
+    # table despite key_col/value_col advertising generality
+    id_col = "event_id" if "event_id" in df.columns else value_col
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 key_col: [pdf[key_col].iloc[0]],
                 "n": [len(pdf)],
                 "median_value": [round(float(pdf[value_col].median()), 6)],
-                "id_checksum": [int(pdf["event_id"].sum())],
+                "id_checksum": [int(pdf[id_col].sum())],
             }
         )
 
-    out_schema = f"{key_col} string, n bigint, median_value double, id_checksum bigint"
+    key_type = dict(df.dtypes)[key_col]
+    out_schema = (
+        f"{key_col} {key_type}, n bigint, median_value double, id_checksum bigint"
+    )
     return df.groupBy(key_col).applyInPandas(fn, schema=out_schema)
 
 

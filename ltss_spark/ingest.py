@@ -160,8 +160,12 @@ def extract_location(attrs_col: Column | str = "attributes") -> tuple[Column, Co
     prime meridian — a valid place) yields no location there. We use
     IS NOT NULL, which keeps 0.0 coordinates."""
     c = F.col(attrs_col) if isinstance(attrs_col, str) else attrs_col
-    lat = F.get_json_object(c, "$.latitude").cast("double")
-    lon = F.get_json_object(c, "$.longitude").cast("double")
+    # try_cast, NOT cast: under Spark 4's default ANSI mode a plain cast
+    # throws on a non-numeric attribute ("latitude": "unknown" — real HA
+    # data), killing the whole batch/micro-batch; the contract here is
+    # NULL for anything unparseable
+    lat = F.get_json_object(c, "$.latitude").try_cast("double")
+    lon = F.get_json_object(c, "$.longitude").try_cast("double")
     both = lat.isNotNull() & lon.isNotNull()
     return F.when(both, lon), F.when(both, lat)
 

@@ -39,9 +39,15 @@ def time_bucket_gapfill(
     # window().start is the epoch-aligned bucket floor for ANY interval —
     # the general time_bucket, not just date_trunc's calendar units
     bucket_start = F.window(F.col(time_col), bucket).getField("start")
+    # lazy localCheckpoint: bounds, the key census, and the grid join all
+    # consume this aggregation, and Catalyst does not reuse a subplan across
+    # those three shapes (measured: 3 scans + 6 HashAggregates, zero
+    # ReusedExchange) — materializing it once makes the raw-input groupBy,
+    # the dominant cost at scale, run exactly once
     bucketed = (
         df.groupBy(*key_cols, bucket_start.alias("bucket_ts"))
         .agg(agg.alias("agg_value"))
+        .localCheckpoint(eager=False)
     )
     bounds = bucketed.agg(
         F.min("bucket_ts").alias("mn"), F.max("bucket_ts").alias("mx")

@@ -59,7 +59,10 @@ def from_wkt(wkt: Column) -> tuple[Column, Column]:
     (NULL, NULL), matching the lenient ingest posture."""
     lon = F.regexp_extract(wkt, r"^POINT\(([-+0-9.eE]+) [-+0-9.eE]+\)$", 1)
     lat = F.regexp_extract(wkt, r"^POINT\([-+0-9.eE]+ ([-+0-9.eE]+)\)$", 1)
+    # try_cast: the regex class admits strings like '1.2.3' that are not
+    # numbers; under default ANSI mode a plain cast would throw instead of
+    # honoring the documented (NULL, NULL) contract
     return (
-        F.when(lon != "", lon).cast("double"),
-        F.when(lat != "", lat).cast("double"),
+        F.when(lon != "", lon).try_cast("double"),
+        F.when(lat != "", lat).try_cast("double"),
     )

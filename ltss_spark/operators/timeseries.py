@@ -116,11 +116,19 @@ def counter_delta(
     restarted; the post-reset value is the increase since the reset).
     Returns per-entity totals: total_increase, n_resets, n_samples.
 
+    NULL samples are IGNORED, matching TimescaleDB counter_agg (which never
+    sees NULL points): a 100 -> NULL -> 120 sequence contributes +20, not a
+    broken lag chain that silently drops the increase. n_samples counts the
+    non-NULL samples; entities with no numeric sample produce no row.
+    total_increase is 0 (not NULL) for single-sample entities, consistent
+    with n_resets.
+
     One per-entity window (lag) + one hash aggregation — linear per key,
     no self-join.
     """
     order = ["time"] + ([tie_breaker] if tie_breaker else [])
     w = Window.partitionBy("entity_id").orderBy(*order)
+    valued = states.filter(value.isNotNull())
     prev = F.lag(value).over(w)
     delta = value - prev
     inc = (
@@ -128,13 +136,13 @@ def counter_delta(
         .when(delta >= 0, delta)                    # normal increase
         .otherwise(value)                           # reset: count from zero
     )
-    per_row = states.select(
+    per_row = valued.select(
         "entity_id",
         inc.alias("inc"),
         (delta < 0).cast("int").alias("is_reset"),
     )
     return per_row.groupBy("entity_id").agg(
-        F.round(F.sum("inc"), 6).alias("total_increase"),
+        F.round(F.coalesce(F.sum("inc"), F.lit(0.0)), 6).alias("total_increase"),
         F.coalesce(F.sum("is_reset"), F.lit(0)).cast("bigint").alias("n_resets"),
         F.count(F.lit(1)).alias("n_samples"),
     )
@@ -212,7 +220,13 @@ def lttb_downsample(
             area = np.abs(
                 (t[a] - avg_t) * (v[lo:hi] - v[a]) - (t[a] - t[lo:hi]) * (avg_v - v[a])
             )
-            a = lo + int(np.nanargmax(area))
+            # a bucket can be all-NaN (NULL values, or v[a] itself NaN):
+            # np.nanargmax would raise 'All-NaN slice encountered' and kill
+            # the task — fall back to the bucket's first point
+            if np.all(np.isnan(area)):
+                a = int(lo)
+            else:
+                a = lo + int(np.nanargmax(area))
             picked.append(a)
         picked.append(n - 1)
         return pdf.iloc[picked][[key_col, time_col, value_col]]
@@ -230,8 +244,14 @@ def lttb_downsample(
         ]
         yield pd.concat(out, ignore_index=True)
 
-    out_schema = f"{key_col} string, {time_col} timestamp, {value_col} double"
-    sel = states.select(key_col, time_col, F.col(value_col).cast("double").alias(value_col))
+    # key type comes from the input (a hardcoded 'string' would break any
+    # numeric key and make unionByName merge mismatched types); value uses
+    # try_cast so a non-numeric state yields NULL instead of an ANSI throw
+    key_type = dict(states.dtypes)[key_col]
+    out_schema = f"{key_col} {key_type}, {time_col} timestamp, {value_col} double"
+    sel = states.select(
+        key_col, time_col, F.col(value_col).try_cast("double").alias(value_col)
+    )
     # route: series already at or under the target pass through JVM-only
     # (LTTB keeps every point); Python sees only series that actually
     # shrink. A dashboard query over raw data has few such series left

@@ -803,6 +803,7 @@ def ltss_attr_materialize(spark, sf_dir):
     typed AS (
       SELECT entity_id, time, event_id, TRY_CAST(state AS DOUBLE) AS v
       FROM states
+      WHERE TRY_CAST(state AS DOUBLE) IS NOT NULL
     ),
     lagged AS (
       SELECT entity_id, v,
@@ -818,7 +819,7 @@ def ltss_attr_materialize(spark, sf_dir):
       FROM lagged
     )
     SELECT entity_id,
-           round(SUM(inc), 6) AS total_increase,
+           round(COALESCE(SUM(inc), 0), 6) AS total_increase,
            CAST(COALESCE(SUM(is_reset), 0) AS BIGINT) AS n_resets,
            COUNT(*) AS n_samples
     FROM per_row GROUP BY entity_id

@@ -203,6 +203,14 @@ def run_ingest_availablenow(
         )
 
     sink = make_sink(out_path=out_path, jdbc_url=jdbc_url, jdbc_table=jdbc_table)
+    if checkpoint is None:
+        # a None option value reaches the JVM as a null path and fails at
+        # start(); an explicit fresh temp dir keeps the no-arg call usable
+        # (production callers pass a durable location for exactly-once
+        # recovery across restarts)
+        import tempfile
+
+        checkpoint = tempfile.mkdtemp(prefix="ltss_ckpt_")
     q = (
         states.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
@@ -220,30 +228,19 @@ def streaming_bucket_counts(
 ) -> DataFrame:
     """stream_window_tumbling: event-time tumbling counts over the bounded
     stream, collected through a memory sink. Returns the finished result as
-    a batch DataFrame (bucket_start, event_type, n)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{source_dir}/events.parquet").schema
-    raw = normalize_event_times(
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(source_dir)
-    )
+    a batch DataFrame (bucket_start, event_type, n). Source and sink reuse
+    the windows-module helpers (uuid-named memory table — a process-salted
+    hash name could collide and silently share a table between queries)."""
+    from ltss_spark.streaming.windows import bounded_events_stream, run_to_memory
+
+    raw = bounded_events_stream(spark, source_dir)
     agg = (
         raw.withWatermark("ts", watermark)
         .groupBy(F.window("ts", bucket).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("bucket_start"), "event_type", "n")
     )
-    name = f"stream_bucket_{abs(hash((source_dir, bucket))) % 10**8}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return run_to_memory(agg, "complete", "stream_bucket")
 
 
 def shutdown_streams(spark: SparkSession, timeout_s: int = 30) -> int:

@@ -381,3 +381,23 @@ def test_encode_attributes_ha_special_types(spark):
     assert row.seen == "2024-01-02T03:04:05"
     assert row.radius == 100
     assert row.a1 == 2.5
+
+
+def test_extract_location_non_numeric_is_null_not_ansi_crash(spark):
+    """ANSI mode: a malformed coordinate attribute must yield NULL location,
+    not throw CAST_INVALID_INPUT and kill the batch."""
+    from ltss_spark.ingest import extract_location
+
+    df = spark.createDataFrame(
+        [
+            ('{"latitude": "unknown", "longitude": "1.0"}',),
+            ('{"latitude": {"nested": 1}, "longitude": "2.0"}',),
+            ('{"latitude": "3.5", "longitude": "4.5"}',),
+        ],
+        "attributes string",
+    )
+    lon, lat = extract_location("attributes")
+    rows = df.select(lon.alias("lon"), lat.alias("lat")).collect()
+    assert rows[0].lon is None and rows[0].lat is None
+    assert rows[1].lon is None and rows[1].lat is None
+    assert rows[2].lon == 4.5 and rows[2].lat == 3.5

@@ -783,3 +783,62 @@ def test_ivfpq_partial_probe_recall(spark):
     got = {(r["query_id"], r["candidate_id"]) for r in approx}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5, f"recall {recall}"
+
+
+def test_from_wkt_malformed_numbers_yield_nulls(spark):
+    """Regex-passing but unparseable coordinates ('1.2.3') must produce
+    (NULL, NULL) under ANSI mode, per the documented lenient contract."""
+    from ltss_spark.operators.geo import from_wkt
+
+    df = spark.createDataFrame(
+        [("POINT(1.2.3 4.5)",), ("POINT(e 1)",), ("POINT(1.0 2.0)",)], "wkt string"
+    )
+    lon, lat = from_wkt(F.col("wkt"))
+    rows = df.select(lon.alias("lon"), lat.alias("lat")).collect()
+    assert rows[0].lon is None and rows[1].lon is None
+    assert rows[2].lon == 1.0 and rows[2].lat == 2.0
+
+
+def test_lttb_survives_null_values_and_numeric_keys(spark):
+    """NULL values must not crash np.nanargmax (all-NaN bucket), and a
+    bigint key column must round-trip (schema derived from input, not
+    hardcoded string)."""
+    import datetime as dt
+
+    from ltss_spark.operators.timeseries import lttb_downsample
+
+    rows = [
+        (7, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+         None if i < 3 or 10 <= i < 15 else float(i))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, time timestamp, value double")
+    out = lttb_downsample(df, key_col="user_id", n_out=8)
+    got = out.collect()
+    assert len(got) == 8
+    assert all(r["user_id"] == 7 for r in got)
+    assert dict(out.dtypes)["user_id"] == "bigint"
+
+
+def test_counter_delta_ignores_null_samples(spark):
+    """A NULL sample must not break the lag chain: 100 -> NULL -> 120 is a
+    +20 increase (TimescaleDB counter_agg semantics); single-sample
+    entities report 0.0, all-NULL entities produce no row."""
+    import datetime as dt
+
+    from ltss_spark.operators.timeseries import counter_delta
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0, "100"), ("a", t0 + dt.timedelta(1), None),
+        ("a", t0 + dt.timedelta(2), "120"),
+        ("b", t0, "5"),
+        ("c", t0, None),
+    ]
+    df = spark.createDataFrame(rows, "entity_id string, time timestamp, state string")
+    out = {r["entity_id"]: r for r in counter_delta(
+        df, F.col("state").try_cast("double")
+    ).collect()}
+    assert out["a"]["total_increase"] == 20.0 and out["a"]["n_samples"] == 2
+    assert out["b"]["total_increase"] == 0.0 and out["b"]["n_samples"] == 1
+    assert "c" not in out
