@@ -4,8 +4,10 @@ time DESC) index, models.py:78-80, exists to serve exactly this per-entity
 latest-≤-t probe in Postgres).
 
 Spark has no native ASOF JOIN, so we compose one: union the probe rows into
-the event timeline, then backfill each probe with the last non-null event
-value over a per-key, time-ordered window (``last(..., ignorenulls=True)``).
+the event timeline, pack each event row into one struct, and backfill each
+probe with the last non-null STRUCT over a per-key, time-ordered window —
+the struct (not each value) is the "an event exists" marker, so a matched
+event's NULL value stays NULL instead of falling back to an older row.
 
 Scale analysis (vs the obvious alternatives):
 - naive theta-join (l.key = r.key AND r.time <= l.time) + argmax explodes to
@@ -22,6 +24,16 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.sql import types as T
+
+
+def _right_struct_type(right: DataFrame, on: str, value_cols: list[str]) -> T.StructType:
+    """Type of the packed right-row struct (__t + value columns) — used to
+    cast the probes' NULL placeholder so unionByName lines up."""
+    return T.StructType(
+        [T.StructField("__t", right.schema[on].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
 
 
 def asof_join(
@@ -39,37 +51,42 @@ def asof_join(
     ``left`` keeps all its columns; matched right ``value_cols`` are added
     (NULL when no earlier right row exists). Right-side timestamp is added
     as ``{on}{suffix}``.
+
+    NULL handling (matches DuckDB ASOF exactly): right rows with a NULL
+    timestamp never match (``right.on <= left.on`` is never true for
+    NULL), and a matched row's NULL *value* stays NULL — the whole right
+    row is packed into one struct before the window fill, so "no event
+    yet" (struct NULL) is distinguishable from "event whose value is
+    NULL". A per-column ignorenulls fill would skip back past the real
+    match to an older non-null value and pair it with the newer row's
+    timestamp.
     """
     by = [by] if isinstance(by, str) else list(by)
     value_cols = value_cols or [
         c for c in right.columns if c not in set(by) | {on}
     ]
+    right = right.filter(F.col(on).isNotNull())
 
-    l_marked = left.select(
-        *[F.col(c) for c in left.columns],
-        F.lit(1).alias("__is_probe"),
-    )
-    r_marked = right.select(
-        *[F.col(c) for c in by],
-        F.col(on),
-        *[F.col(c) for c in value_cols],
-        F.lit(0).alias("__is_probe"),
-    )
-    # align schemas: probes carry NULL right-values, events carry NULL left-extras
+    # align schemas: probes carry a NULL right-struct, events carry NULL
+    # left-extras; the struct carries the event's own timestamp, so every
+    # output column of a match comes from the SAME right row
     left_extras = [c for c in left.columns if c not in set(by) | {on}]
-    l_full = l_marked.select(
+    packed = F.struct(
+        F.col(on).alias("__t"), *[F.col(c).alias(c) for c in value_cols]
+    )
+    l_full = left.select(
         *by,
         F.col(on),
         *[F.col(c) for c in left_extras],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
-        "__is_probe",
+        F.lit(None).cast(_right_struct_type(right, on, value_cols)).alias("__r"),
+        F.lit(1).alias("__is_probe"),
     )
-    r_full = r_marked.select(
+    r_full = right.select(
         *by,
         F.col(on),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extras],
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        "__is_probe",
+        packed.alias("__r"),
+        F.lit(0).alias("__is_probe"),
     )
     unioned = l_full.unionByName(r_full)
 
@@ -80,18 +97,17 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__is_probe").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    pick = F.last("__r", ignorenulls=True).over(w)
     filled = unioned.select(
         *by,
         F.col(on),
         *left_extras,
         "__is_probe",
         *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}" if c in left.columns else c)
+            pick[c].alias(f"{c}{suffix}" if c in left.columns else c)
             for c in value_cols
         ],
-        F.last(F.when(F.col("__is_probe") == 0, F.col(on)), ignorenulls=True)
-        .over(w)
-        .alias(f"{on}{suffix}"),
+        pick["__t"].alias(f"{on}{suffix}"),
     )
     return filled.filter(F.col("__is_probe") == 1).drop("__is_probe")
 
@@ -115,22 +131,22 @@ def asof_join_forward(
     value_cols = value_cols or [
         c for c in right.columns if c not in set(by) | {on}
     ]
+    right = right.filter(F.col(on).isNotNull())
     left_extras = [c for c in left.columns if c not in set(by) | {on}]
     l_full = left.select(
         *by,
         F.col(on),
         *[F.col(c) for c in left_extras],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(_right_struct_type(right, on, value_cols)).alias("__r"),
         F.lit(1).alias("__is_probe"),
     )
     r_full = right.select(
         *by,
         F.col(on),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extras],
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(
+            F.col(on).alias("__t"), *[F.col(c).alias(c) for c in value_cols]
+        ).alias("__r"),
         F.lit(0).alias("__is_probe"),
     )
     unioned = l_full.unionByName(r_full)
@@ -141,20 +157,17 @@ def asof_join_forward(
         .orderBy(F.col(on).asc(), F.col("__is_probe").desc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    pick = F.first("__r", ignorenulls=True).over(w)
     filled = unioned.select(
         *by,
         F.col(on),
         *left_extras,
         "__is_probe",
         *[
-            F.first(F.col(f"__r_{c}"), ignorenulls=True)
-            .over(w)
-            .alias(f"{c}{suffix}" if c in left.columns else c)
+            pick[c].alias(f"{c}{suffix}" if c in left.columns else c)
             for c in value_cols
         ],
-        F.first(F.when(F.col("__is_probe") == 0, F.col(on)), ignorenulls=True)
-        .over(w)
-        .alias(f"{on}{suffix}"),
+        pick["__t"].alias(f"{on}{suffix}"),
     )
     return filled.filter(F.col("__is_probe") == 1).drop("__is_probe")
 
@@ -184,35 +197,38 @@ def asof_join_nearest(
     value_cols = value_cols or [
         c for c in right.columns if c not in set(by_l) | {on}
     ]
+    right = right.filter(F.col(on).isNotNull())
     left_extras = [c for c in left.columns if c not in set(by_l) | {on}]
     l_full = left.select(
         *by_l,
         F.col(on),
         *[F.col(c) for c in left_extras],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(_right_struct_type(right, on, value_cols)).alias("__r"),
         F.lit(1).alias("__is_probe"),
     )
     r_full = right.select(
         *by_l,
         F.col(on),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extras],
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(
+            F.col(on).alias("__t"), *[F.col(c).alias(c) for c in value_cols]
+        ).alias("__r"),
         F.lit(0).alias("__is_probe"),
     )
-    # numeric ordering key for the range frames. Timestamps become micros
-    # LONGS — exact. An epoch-seconds double (micros/1e6) would carry ~0.5µs
-    # representation error at current epochs: enough to flip the documented
-    # backward tie-break on near-equidistant neighbors, and past epoch 2^32s
-    # distinct micros would collide outright.
-    is_ts = str(left.schema[on].dataType).startswith("Timestamp")
-    _num = (
-        (lambda c: F.unix_micros(c.cast("timestamp")))
-        if is_ts
-        else (lambda c: c.cast("double"))
-    )
+    # numeric ordering key for the range frames. Timestamps AND dates become
+    # micros LONGS — exact; integral keys stay integral longs. An
+    # epoch-seconds double (micros/1e6) would carry ~0.5µs representation
+    # error at current epochs — enough to flip the documented backward
+    # tie-break on near-equidistant neighbors — and a double also rounds
+    # integral keys above 2^53. Doubles remain only for genuinely
+    # fractional keys.
+    dt = left.schema[on].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        _num = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        _num = lambda c: c.cast("long")  # noqa: E731
+    else:
+        _num = lambda c: c.cast("double")  # noqa: E731
     unioned = l_full.unionByName(r_full).withColumn("__on_num", _num(F.col(on)))
     wb = (
         Window.partitionBy(*by_l)
@@ -224,26 +240,17 @@ def asof_join_nearest(
         .orderBy("__on_num")
         .rangeBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    ev_on = F.when(F.col("__is_probe") == 0, F.col(on))
     filled = unioned.select(
         *by_l,
         F.col(on),
         *left_extras,
         "__is_probe",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(wb).alias(f"__b_{c}")
-            for c in value_cols
-        ],
-        *[
-            F.first(F.col(f"__r_{c}"), ignorenulls=True).over(wf).alias(f"__f_{c}")
-            for c in value_cols
-        ],
-        F.last(ev_on, ignorenulls=True).over(wb).alias("__t_b"),
-        F.first(ev_on, ignorenulls=True).over(wf).alias("__t_f"),
+        F.last("__r", ignorenulls=True).over(wb).alias("__b"),
+        F.first("__r", ignorenulls=True).over(wf).alias("__f"),
     )
     probes = filled.filter(F.col("__is_probe") == 1)
     t = F.col(on)
-    bt, ft = F.col("__t_b"), F.col("__t_f")
+    bt, ft = F.col("__b")["__t"], F.col("__f")["__t"]
     d_b = F.when(bt.isNotNull(), _num(t) - _num(bt))
     d_f = F.when(ft.isNotNull(), _num(ft) - _num(t))
     use_back = (
@@ -252,8 +259,8 @@ def asof_join_nearest(
         .otherwise(d_b <= d_f)
     )
     picked = [
-        F.when(use_back, F.col(f"__b_{c}"))
-        .otherwise(F.col(f"__f_{c}"))
+        F.when(use_back, F.col("__b")[c])
+        .otherwise(F.col("__f")[c])
         .alias(f"{c}{suffix}" if c in left.columns else c)
         for c in value_cols
     ]

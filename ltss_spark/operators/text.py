@@ -46,7 +46,9 @@ def quality_score(col: Column) -> Column:
     normal word lengths, penalizes stopword-free (keyword-spam-like) text.
     Deterministic arithmetic only — oracle-expressible."""
     n_tok = token_count(col)
-    avg_word = F.length(normalize_text(col)) / n_tok
+    # subtract the n_tok-1 separator spaces: length/n_tok would be the true
+    # average word length + ~1, silently shifting the documented 3-10 band
+    avg_word = (F.length(normalize_text(col)) - (n_tok - 1)).cast("double") / n_tok
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     word_score = F.when((avg_word >= 3) & (avg_word <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
     stop_score = F.least(stopword_ratio(col) * 5, F.lit(1.0))

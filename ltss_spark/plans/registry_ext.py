@@ -85,7 +85,7 @@ def ext_text_stats(spark, sf_dir):
       SELECT doc_id,
              len(toks) AS n_tok,
              len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS n_stop,
-             CAST(length(norm) AS DOUBLE) / len(toks) AS avg_word
+             CAST(length(norm) - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_word
       FROM d
     )
     SELECT doc_id,

@@ -56,7 +56,26 @@ def normalize_event_times(df: DataFrame, col: str = "ts") -> DataFrame:
 _TINY_BYTES = 256 * 1024
 
 
-def _splittable_cache(spark: SparkSession, path: str, n_bytes: int) -> str | None:
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size config value ('134217728', '512m', '128MB',
+    '1g') — int(v.rstrip('b')) would throw on any size-suffixed setting a
+    foreign (driver-provided) session may carry."""
+    v = v.strip().lower()
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if v.rstrip("b").endswith(suffix):
+            v = v.rstrip("b")[: -1]
+            mult = m
+            break
+    else:
+        v = v.rstrip("b") or v
+    try:
+        return int(v) * mult
+    except ValueError:
+        return 128 * 1024 * 1024  # Spark's default maxPartitionBytes
+
+
+def _splittable_cache(spark: SparkSession, path: str) -> str | None:
     """LOCAL-FIXTURE mitigation: rewrite a single-file, single-row-group
     parquet fixture once into an n-file copy under /tmp and return its
     path, so every later scan starts with real splits instead of paying a
@@ -117,11 +136,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             n_bytes = os.path.getsize(path)
         except OSError:
             n_bytes = 0
-        max_split = int(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+        max_split = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         )
         if _TINY_BYTES < n_bytes < max_split:
-            cached = _splittable_cache(spark, path, n_bytes)
+            cached = _splittable_cache(spark, path)
             if cached is not None:
                 df = spark.read.parquet(cached)
             else:

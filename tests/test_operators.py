@@ -842,3 +842,66 @@ def test_counter_delta_ignores_null_samples(spark):
     assert out["a"]["total_increase"] == 20.0 and out["a"]["n_samples"] == 2
     assert out["b"]["total_increase"] == 0.0 and out["b"]["n_samples"] == 1
     assert "c" not in out
+
+
+def test_asof_null_values_and_null_timestamps(spark):
+    """DuckDB-ASOF NULL parity: a matched right row's NULL value stays NULL
+    (no fallback to an older non-null value), and right rows with NULL
+    timestamps never match."""
+    import datetime as dt
+
+    from ltss_spark.operators.asof import (
+        asof_join,
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    right = spark.createDataFrame(
+        [
+            ("u", t0 + dt.timedelta(hours=1), 5.0),
+            ("u", t0 + dt.timedelta(hours=2), None),  # newest event, NULL value
+            ("v", None, 7.0),                          # NULL ts: must never match
+        ],
+        "key string, ts timestamp, val double",
+    )
+    probes = spark.createDataFrame(
+        [("u", t0 + dt.timedelta(hours=3)), ("v", t0 + dt.timedelta(hours=3))],
+        "key string, ts timestamp",
+    )
+    back = {r["key"]: r for r in asof_join(
+        probes, right, on="ts", by="key", value_cols=["val"]
+    ).collect()}
+    # u: the MATCH is the t+2h row — val NULL, ts_right = t+2h (same row!)
+    assert back["u"]["val"] is None
+    assert back["u"]["ts_right"] == t0 + dt.timedelta(hours=2)
+    # v: only a NULL-ts event exists -> no match at all
+    assert back["v"]["val"] is None and back["v"]["ts_right"] is None
+
+    fwd = {r["key"]: r for r in asof_join_forward(
+        right.select("key", "ts").filter(F.col("ts").isNotNull()).limit(1).select(
+            "key", (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("ts")
+        ),
+        right, on="ts", by="key", value_cols=["val"],
+    ).collect()}
+    assert fwd["u"]["val"] == 5.0  # earliest following row, its own value
+
+    near = {r["key"]: r for r in asof_join_nearest(
+        probes, right, on="ts", by="key", value_cols=["val"]
+    ).collect()}
+    assert near["u"]["val"] is None  # nearest is the NULL-valued t+2h row
+    assert near["v"]["ts_right"] is None
+
+
+def test_asof_nearest_integer_key(spark):
+    """Non-timestamp on-columns: integral keys order exactly (no double
+    rounding above 2^53)."""
+    from ltss_spark.operators.asof import asof_join_nearest
+
+    big = 1 << 55
+    right = spark.createDataFrame(
+        [("k", big - 2, 1.0), ("k", big + 3, 2.0)], "key string, pos long, val double"
+    )
+    probes = spark.createDataFrame([("k", big)], "key string, pos long")
+    out = asof_join_nearest(probes, right, on="pos", by="key", value_cols=["val"]).collect()
+    assert out[0]["val"] == 1.0  # distance 2 backward beats 3 forward exactly

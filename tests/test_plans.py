@@ -159,7 +159,9 @@ def test_ngram_hot_shingles_are_capped(spark):
     from ltss_spark.sources.batch import load_table
 
     docs = load_table(spark, SF_SMOKE, "documents")
-    plan = _plan(ngram_jaccard_pairs(docs, max_shingle_df=50))
+    # materialize_shingles=False: the production path's lazy checkpoint
+    # would hide the anti-join inside the checkpointed subplan
+    plan = _plan(ngram_jaccard_pairs(docs, max_shingle_df=50, materialize_shingles=False))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
 
