@@ -35,7 +35,9 @@ def entity_range_scan(
     return df.orderBy(F.col("time").desc() if newest_first else F.col("time"))
 
 
-def latest_state(states: DataFrame, by: str = "entity_id") -> DataFrame:
+def latest_state(
+    states: DataFrame, by: str = "entity_id", tie_breaker: str = "state"
+) -> DataFrame:
     """B3: latest state per entity (the SQL-sensor pattern,
     /root/reference/README.md:23, served by the DESC index models.py:79).
 
@@ -43,12 +45,17 @@ def latest_state(states: DataFrame, by: str = "entity_id") -> DataFrame:
     map-side, one shuffle on entity_id; no global sort, no window. At 100 TB
     this beats the row_number() formulation (which must sort every
     partition's history) by doing O(1) state per group.
-    A deterministic tie-break on (time, tie) is built in.
+
+    Ties at the max time break on ``tie_breaker`` DESC — pass the
+    event/sequence id when the frame carries one (the registry's
+    ``ltss_latest`` uses event_id, matching the oracle's ORDER BY event_id
+    DESC); BOTH output columns take the winner by the same order, so they
+    always come from the same row.
     """
-    tie = F.struct(F.col("time"), F.col("state"))
+    order = F.struct(F.col("time"), F.col(tie_breaker))
     return states.groupBy(by).agg(
-        F.max(F.col("time")).alias("last_time"),
-        F.max_by(F.col("state"), tie).alias("last_state"),
+        F.max_by(F.col("time"), order).alias("last_time"),
+        F.max_by(F.col("state"), order).alias("last_state"),
     )
 
 
@@ -141,8 +148,17 @@ def counter_delta(
         inc.alias("inc"),
         (delta < 0).cast("int").alias("is_reset"),
     )
+    # the per-row delta (v - pv) is bit-identical cross-engine IEEE
+    # arithmetic, but SUMMING doubles is accumulation-order-sensitive:
+    # cast each delta to an exact decimal first so the aggregate is
+    # order-insensitive (the registry's determinism rule for double aggs)
     return per_row.groupBy("entity_id").agg(
-        F.round(F.coalesce(F.sum("inc"), F.lit(0.0)), 6).alias("total_increase"),
+        F.round(
+            F.coalesce(
+                F.sum(F.col("inc").cast("decimal(38,6)")), F.lit(0).cast("decimal(38,6)")
+            ).cast("double"),
+            6,
+        ).alias("total_increase"),
         F.coalesce(F.sum("is_reset"), F.lit(0)).cast("bigint").alias("n_resets"),
         F.count(F.lit(1)).alias("n_samples"),
     )

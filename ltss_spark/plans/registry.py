@@ -132,6 +132,29 @@ _DRIVER_PRIORITY: list[str] = [
 # the priority block but before the round-1-green core, so any window wider
 # than 50 yields new information first.
 _DRIVER_SECOND: list[str] = [
+    # round-2 additions: oracle-backed, never driver-verified — ahead of
+    # everything already green in round 1
+    "ext_dedup_cluster",
+    "ext_dedup_pipeline",
+    "ext_contamination",
+    "ext_hash_split",
+    "ext_sample_group",
+    "ext_mixture_sample",
+    "ext_repetition",
+    "ext_pii_redact",
+    "ext_dedup_incremental",
+    "ext_quality_filter",
+    "ext_pack_sequences",
+    "ltss_compress",
+    "ltss_retention",
+    "ltss_state_periods",
+    "ts_ohlc",
+    "ts_heartbeat",
+    "stream_join",
+    "sink_zorder",
+    "agg_percentile",
+    "agg_sketch_rollup",
+    # second-order variants of op-ids already evidenced
     "sink_bucketed",
     "sink_compact",
     "ltss_geo_wkt",
@@ -140,6 +163,8 @@ _DRIVER_SECOND: list[str] = [
     "join_asof_near",
     "ts_histogram",
     "ts_trend",
+    "ext_sim_search_pq",
+    "ext_sim_search_ivfpq",
     "sql_q5",
     "sql_q8",
     "sql_q10",

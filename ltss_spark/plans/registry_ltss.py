@@ -190,12 +190,10 @@ def ddl_migrate(spark, sf_dir):
     survey="B3 agg_minmax_by (latest state per entity - the SQL-sensor query)",
 )
 def ltss_latest(spark, sf_dir):
+    from ltss_spark.operators.timeseries import latest_state
+
     states = states_from_events(_t(spark, sf_dir, "events"))
-    order = F.struct(F.col("time"), F.col("event_id"))
-    return states.groupBy("entity_id").agg(
-        F.max_by("time", order).alias("last_time"),
-        F.max_by("state", order).alias("last_state"),
-    )
+    return latest_state(states, tie_breaker="event_id")
 
 
 @register(
@@ -244,15 +242,18 @@ def ltss_entity_range(spark, sf_dir):
     f"""
     WITH {_STATES_CTE}
     SELECT entity_id, time,
-           CAST(json_extract_string(attributes, '$.k') AS INT) AS k_val
+           TRY_CAST(json_extract_string(attributes, '$.k') AS INT) AS k_val
     FROM states
-    WHERE CAST(json_extract_string(attributes, '$.k') AS INT) > 80
+    WHERE TRY_CAST(json_extract_string(attributes, '$.k') AS INT) > 80
     """,
     survey="B5 fn_json (JSONB attribute predicate - the GIN-index pattern)",
 )
 def ltss_json_attr(spark, sf_dir):
     states = states_from_events(_t(spark, sf_dir, "events"))
-    k = F.get_json_object(F.col("attributes"), "$.k").cast("int")
+    # try_cast on BOTH sides: a non-numeric attribute value would otherwise
+    # throw under ANSI mode (Spark) / CAST error (DuckDB) instead of
+    # filtering the row — same hardening as materialize_attrs
+    k = F.get_json_object(F.col("attributes"), "$.k").try_cast("int")
     return (
         states.select("entity_id", "time", k.alias("k_val"))
         .filter(F.col("k_val") > 80)
@@ -485,9 +486,6 @@ def sink_bucketed_q(spark, sf_dir):
     exchange on either side (asserted in tests/test_plans.py). The oracle
     is the same join over the raw tables: the layout must never change the
     answer."""
-    import tempfile
-    import uuid
-
     from ltss_spark.sources.batch import write_bucketed
 
     tag = uuid.uuid4().hex[:12]
@@ -510,24 +508,41 @@ def sink_bucketed_q(spark, sf_dir):
 @register(
     "stream_ingest",
     f"""
-    WITH {_STATES_CTE}
-    SELECT time, entity_id, state, attributes FROM states
+    WITH {_STATES_CTE},
+    deduped AS (
+      SELECT *, row_number() OVER (PARTITION BY time, entity_id
+                                   ORDER BY event_id DESC) AS rn
+      FROM states
+    )
+    SELECT time, entity_id, state, attributes FROM deduped WHERE rn = 1
     """,
     survey="stream_ingest stream_dedup stream_watermark A1 A9 (Structured Streaming pipeline)",
 )
 def stream_ingest_q(spark, sf_dir):
     """Runs the ACTUAL Structured Streaming ingest (readStream ->
-    states_from_events -> watermark+dedup -> foreachBatch partitioned
-    parquet sink, Trigger.AvailableNow) and returns the landed table —
-    checked against the same oracle as the batch transform, proving
-    batch/streaming parity on the reference's write path."""
+    states_from_events -> watermark -> foreachBatch partitioned parquet
+    sink, Trigger.AvailableNow) and returns the landed table with the
+    deterministic PK dedup applied on the read side.
+
+    The stream's own dropDuplicates keeps an ARBITRARY survivor per
+    (time, entity_id) — fine operationally (any survivor satisfies the PK),
+    but un-oracle-able: a hash gate needs the event_id-max survivor
+    deterministically. So this entry streams WITHOUT the stream-side dedup
+    and applies the deterministic dedup on the landed rows, mirroring the
+    oracle exactly even if the driver ever ships duplicate keys; the
+    stream-side watermark+dedup state machinery is exercised by
+    ``stream_dedup`` (rows-only by design)."""
+    from ltss_spark.ingest import dedup_primary_key
     from ltss_spark.streaming.ingest import run_ingest_availablenow
 
     base = f"{tempfile.gettempdir()}/ltss_stream_{uuid.uuid4().hex}"
     run_ingest_availablenow(
-        spark, sf_dir, out_path=f"{base}/out", checkpoint=f"{base}/ckpt"
+        spark, sf_dir, out_path=f"{base}/out", checkpoint=f"{base}/ckpt", dedup=False
     )
-    return spark.read.parquet(f"{base}/out").select(
+    landed = spark.read.parquet(f"{base}/out").select(
+        "time", "entity_id", "state", "attributes", "event_id"
+    )
+    return dedup_primary_key(landed, tie_breaker="event_id").select(
         "time", "entity_id", "state", "attributes"
     )
 
@@ -819,7 +834,9 @@ def ltss_attr_materialize(spark, sf_dir):
       FROM lagged
     )
     SELECT entity_id,
-           round(COALESCE(SUM(inc), 0), 6) AS total_increase,
+           round(CAST(COALESCE(SUM(CAST(inc AS DECIMAL(38,6))),
+                               CAST(0 AS DECIMAL(38,6))) AS DOUBLE), 6)
+             AS total_increase,
            CAST(COALESCE(SUM(is_reset), 0) AS BIGINT) AS n_resets,
            COUNT(*) AS n_samples
     FROM per_row GROUP BY entity_id
@@ -1356,8 +1373,6 @@ def ltss_state_periods_q(spark, sf_dir):
     next DIFFERENT state begins — periods tile each entity's timeline with
     no gaps or overlaps (asserted in tests/test_operators.py)."""
     from pyspark.sql import Window as W
-
-    from ltss_spark.ingest import states_from_events
 
     states = states_from_events(_t(spark, sf_dir, "events"))
     w = W.partitionBy("entity_id").orderBy("time", "event_id")

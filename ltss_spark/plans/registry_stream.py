@@ -51,8 +51,6 @@ def sink_append(spark, sf_dir):
     import tempfile
     import uuid
 
-    import pyspark.sql.functions as F
-
     from ltss_spark.plans.registry import _t
 
     out = f"{tempfile.gettempdir()}/ltss_append_{uuid.uuid4().hex}"
@@ -203,8 +201,6 @@ def stage_late_arrivals(spark, sf_dir):
     import os
     import tempfile
     import uuid
-
-    import pyspark.sql.functions as F
 
     from ltss_spark.sources.batch import normalize_event_times
 
