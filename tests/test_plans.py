@@ -389,3 +389,31 @@ def test_corpus_op_plan_shapes(spark):
 
     ct = _plan(contamination(docs, docs.limit(10)))
     assert "CartesianProduct" not in ct and "NestedLoop" not in ct
+
+
+def test_driver_priority_lists_resolve_and_cover():
+    """Every name in the driver-ordering lists must resolve to a registered
+    entry (a typo would silently fall out of the correctness window), no
+    duplicates, and the first 50 queries() must include every op-id surface
+    that round 1 left driver-unverified."""
+    import ltss_spark.plans as plans
+    from ltss_spark.plans import registry as R
+
+    registered = {q.name for q in plans.REGISTRY}
+    listed = R._DRIVER_PRIORITY + R._DRIVER_SECOND
+    unknown = [n for n in listed if n not in registered]
+    assert not unknown, f"priority names not registered: {unknown}"
+    assert len(listed) == len(set(listed)), "duplicate names in priority lists"
+
+    window = list(plans.queries().keys())[:50]
+    must_cover = {
+        "ext_dedup_exact", "ext_dedup_minhash", "ext_dedup_simhash",
+        "ext_dedup_ngram", "ext_dedup_embed", "ext_sim_search",
+        "ext_text_stats", "ext_multimodal", "scan_stream", "sink_append",
+        "sink_partitioned", "stream_ingest", "stream_window_tumbling",
+        "stream_window_sliding", "stream_window_session", "stream_dedup",
+        "stream_stateful", "stream_late_drop", "join_asof", "ts_gapfill",
+        "geo_distance", "udf_scalar", "udaf", "udtf",
+    }
+    missing = must_cover - set(window)
+    assert not missing, f"unverified op-ids pushed out of the 50-window: {missing}"
