@@ -123,9 +123,16 @@ def load_history(sf) -> list[dict]:
     return runs
 
 
+RECENT_RUNS = 5  # regression baseline window
+
+
 def check_regressions(result: dict) -> dict[str, tuple[float, float]]:
+    """Compare against the best of the LAST ``RECENT_RUNS`` same-sf runs,
+    not the all-time best: a single historically lucky outlier (or a number
+    from a since-rewritten implementation) must not gate every future run
+    forever — the guard is for regressions against CURRENT behavior."""
     best: dict[str, float] = {}
-    for rec in load_history(result["sf"]):
+    for rec in load_history(result["sf"])[-RECENT_RUNS:]:
         for name, sec in rec.get("queries", {}).items():
             if name not in best or sec < best[name]:
                 best[name] = sec
