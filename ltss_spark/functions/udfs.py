@@ -60,18 +60,23 @@ def grouped_median(
     operator exists to prove the exact-UDAF surface.
     """
 
-    # the checksum column falls back to the value column when the frame has
-    # no event_id — a hardcoded pdf['event_id'] would KeyError on any other
-    # table despite key_col/value_col advertising generality
-    id_col = "event_id" if "event_id" in df.columns else value_col
+    # the checksum column falls back to a NON-NULL COUNT of the value column
+    # when the frame has no event_id — summing doubles would raise on NaN
+    # and make the truncated 'checksum' sensitive to fp accumulation order,
+    # unlike the integral event_id sum it stands in for
+    has_event_id = "event_id" in df.columns
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if has_event_id:
+            checksum = int(pdf["event_id"].sum())
+        else:
+            checksum = int(pdf[value_col].notna().sum())
         return pd.DataFrame(
             {
                 key_col: [pdf[key_col].iloc[0]],
                 "n": [len(pdf)],
                 "median_value": [round(float(pdf[value_col].median()), 6)],
-                "id_checksum": [int(pdf[id_col].sum())],
+                "id_checksum": [checksum],
             }
         )
 

