@@ -178,21 +178,56 @@ def agg_pivot(spark, sf_dir):
 
 @register(
     "agg_approx",
-    None,  # sketch-based: HLL/quantile digests differ by engine — rows-only
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS hll_ok,
+           TRUE AS median_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
     survey="agg_distinct (approx, the 100TB path)",
 )
 def agg_approx(spark, sf_dir):
     """At 100 TB exact COUNT(DISTINCT) on an unbounded key is a full shuffle
     of the key universe; HLL (approx_count_distinct) and quantile digests
-    are the production path. Not oracle-comparable (engine-specific
-    sketches) — correctness is bounded-error, asserted in tests."""
-    return (
-        _t(spark, sf_dir, "lineitem")
+    are the production path. The sketches themselves are engine-specific,
+    so the DRIVER-CHECKABLE form (VERDICT r2 item 2) emits the exact
+    count (SQL-derivable) plus deterministic error-bound verdicts computed
+    against the sketch estimates in the same plan: HLL within 15% of exact
+    (default rsd 5% => ~3 sigma), and the approximate median's rank inside
+    [0.4, 0.6] of its group. Any sketch regression flips a verdict and the
+    hash gate goes red."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("median_price"),
+    )
+    rankfrac = (
+        li.join(
+            F.broadcast(agg.select("l_returnflag", "median_price")),
+            "l_returnflag",
+        )
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5).alias("median_price"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("l_extendedprice") <= F.col("median_price"), 1
+                    ).otherwise(0)
+                )
+                / F.count(F.lit(1))
+            ).alias("frac_le")
         )
+    )
+    return agg.join(rankfrac, "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.15 * F.col("exact_parts")
+        ).alias("hll_ok"),
+        F.col("frac_le").between(0.4, 0.6).alias("median_ok"),
     )
 
 
@@ -940,7 +975,13 @@ def agg_percentile(spark, sf_dir):
 
 @register(
     "agg_sketch_rollup",
-    None,  # Datasketches HLL has no DuckDB twin — estimate bounds pinned in pytest
+    """
+    SELECT event_type,
+           COUNT(DISTINCT date_trunc('day', ts)) AS n_days,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS rollup_ok
+    FROM events GROUP BY event_type
+    """,
     survey="agg_approx agg_basic (mergeable HLL sketch rollup: pre-aggregate per day, union at query)",
 )
 def agg_sketch_rollup(spark, sf_dir):
@@ -948,18 +989,33 @@ def agg_sketch_rollup(spark, sf_dir):
     100 TB: build one HLL sketch per (event_type, day) partition — the
     expensive pass touches each row once, map-side combinable — then answer
     "distinct users per event_type" by UNIONING the tiny daily sketches
-    (bytes each) instead of re-scanning. Accuracy bound asserted in
-    tests/test_operators.py (within 5% of exact). This is how a daily
+    (bytes each) instead of re-scanning. This is how a daily
     materialization serves ad-hoc distinct queries over arbitrary date
-    ranges without a second scan of the facts."""
+    ranges without a second scan of the facts.
+
+    Driver-checkable form (VERDICT r2 item 2): the Datasketches HLL binary
+    has no DuckDB twin, so the entry emits the SQL-derivable exact distinct
+    count and day count plus rollup_ok — the merged-sketch estimate within
+    5% of exact (lgK=12 => rsd ~1.6%, so 5% is ~3 sigma and the value is
+    deterministic for fixed data). An estimate or merge regression flips
+    the verdict and the hash gate goes red."""
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.hll_sketch_agg(F.col("user_id"), 12).alias("sk"))
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("approx_users"),
-            F.count(F.lit(1)).alias("n_days"),
-        )
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return rolled.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("rollup_ok"),
     )

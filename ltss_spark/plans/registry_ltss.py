@@ -6,9 +6,6 @@ stream_ingest)."""
 
 from __future__ import annotations
 
-import tempfile
-import uuid
-
 import pyspark.sql.functions as F
 
 from ltss_spark.functions.numeric import dsum, oracle_dsum
@@ -18,6 +15,7 @@ from ltss_spark.operators.gapfill import time_bucket_gapfill, time_bucket_interp
 from ltss_spark.operators.geo import haversine_km, in_bbox
 from ltss_spark.operators.timeseries import time_bucket_agg, time_in_state
 from ltss_spark.plans.registry import _t, register
+from ltss_spark.scratch import scratch_dir, session_tag
 
 #: oracle CTE for the canonical state table (mirrors states_from_events)
 _STATES_CTE = f"states AS ({STATES_FROM_EVENTS_SQL})"
@@ -151,7 +149,7 @@ def ddl_migrate(spark, sf_dir):
     month partitions written BEFORE the location column existed coexist with
     later ones; ``mergeSchema`` unifies them, old rows surface NULL — no
     table rewrite, the 100 TB-safe migration."""
-    out = f"{tempfile.gettempdir()}/ltss_migrate_{uuid.uuid4().hex}"
+    out = scratch_dir("ltss_migrate")
     states = states_from_events(_t(spark, sf_dir, "events")).withColumn(
         "half", F.when(F.dayofmonth("time") <= 15, "h1").otherwise("h2")
     )
@@ -205,7 +203,7 @@ def ddl_upgrade(spark, sf_dir):
     re-keyed, id-free, JSON-materialized result against the oracle."""
     from ltss_spark.ingest import upgrade_legacy_states
 
-    out = f"{tempfile.gettempdir()}/ltss_upgrade_{uuid.uuid4().hex}"
+    out = scratch_dir("ltss_upgrade")
     states = states_from_events(_t(spark, sf_dir, "events"))
     legacy = states.select(
         F.col("event_id").alias("id"), "time", "entity_id", "state", "attributes"
@@ -504,7 +502,7 @@ def sink_partitioned_q(spark, sf_dir):
     back ONE partition — partition pruning is the hypertable chunk-exclusion
     analogue (reference __init__.py:336-344). The month filter prunes at
     file-listing time (no data read outside the partition)."""
-    out = f"{tempfile.gettempdir()}/ltss_sink_{uuid.uuid4().hex}"
+    out = scratch_dir("ltss_sink")
     e = _t(spark, sf_dir, "events").withColumn(
         "month", F.date_format("ts", "yyyy-MM")
     )
@@ -536,8 +534,10 @@ def sink_bucketed_q(spark, sf_dir):
     answer."""
     from ltss_spark.sources.batch import write_bucketed
 
-    tag = uuid.uuid4().hex[:12]
-    base = f"{tempfile.gettempdir()}/ltss_bucketed_{tag}"
+    # session-stable tag: a re-run OVERWRITES its own catalog tables and
+    # directory instead of leaking a new uuid-tagged pair per call
+    tag = session_tag()
+    base = scratch_dir("ltss_bucketed")
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     write_bucketed(o, f"orders_b_{tag}", "o_custkey", 8, path=f"{base}/o")
@@ -583,7 +583,7 @@ def stream_ingest_q(spark, sf_dir):
     from ltss_spark.ingest import dedup_primary_key
     from ltss_spark.streaming.ingest import run_ingest_availablenow
 
-    base = f"{tempfile.gettempdir()}/ltss_stream_{uuid.uuid4().hex}"
+    base = scratch_dir("ltss_stream")
     run_ingest_availablenow(
         spark, sf_dir, out_path=f"{base}/out", checkpoint=f"{base}/ckpt", dedup=False
     )
@@ -932,18 +932,55 @@ def ts_histogram(spark, sf_dir):
 
 @register(
     "ts_lttb",
-    None,  # algorithmic selection — not SQL-expressible; invariants in pytest
+    f"""
+    WITH {_STATES_CTE},
+    typed AS (
+      SELECT entity_id, time, TRY_CAST(state AS DOUBLE) AS value
+      FROM states WHERE TRY_CAST(state AS DOUBLE) IS NOT NULL
+    )
+    SELECT entity_id,
+           CAST(LEAST(50, COUNT(*)) AS INT) AS n_points,
+           MIN(time) AS first_time,
+           MAX(time) AS last_time,
+           TRUE AS subset_ok
+    FROM typed GROUP BY entity_id
+    """,
     survey="udaf ext_text_stats-adjacent (TimescaleDB lttb(): visual downsampling per series)",
 )
 def ts_lttb(spark, sf_dir):
+    """LTTB downsample audit — the WHICH-points selection is algorithmic
+    (not SQL-expressible), but its contract IS (VERDICT r2 item 2):
+    exactly min(n_out, n) points per series, the first and last input
+    timestamps always kept (the LTTB anchor rule), and every selected
+    (time, value) a member of the input. The entry runs the real
+    mapInPandas downsampler and emits those invariants per series; the
+    oracle derives the expected values from the raw table. Point-selection
+    quality (triangle areas) stays pinned in tests/test_operators.py."""
     from ltss_spark.operators.timeseries import lttb_downsample
 
     states = states_from_events(_t(spark, sf_dir, "events")).select(
         "entity_id",
         "time",
         F.col("state").try_cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull())
+    sel = lttb_downsample(states, n_out=50)
+    per = sel.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_points"),
+        F.min("time").alias("first_time"),
+        F.max("time").alias("last_time"),
     )
-    return lttb_downsample(states, n_out=50)
+    strays = (
+        sel.join(states, ["entity_id", "time", "value"], "left_anti")
+        .groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("n_stray"))
+    )
+    return per.join(strays, "entity_id", "left").select(
+        "entity_id",
+        "n_points",
+        "first_time",
+        "last_time",
+        F.col("n_stray").isNull().alias("subset_ok"),
+    )
 
 
 @register(
@@ -1249,7 +1286,7 @@ def sink_zorder_q(spark, sf_dir):
     single-column sort must read."""
     from ltss_spark.sources.batch import zorder_write
 
-    out = f"{tempfile.gettempdir()}/ltss_zorder_{uuid.uuid4().hex}"
+    out = scratch_dir("ltss_zorder")
     e = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
     zorder_write(e, out, cols=("ts", "value"), bits=8, n_files=8)
     return spark.read.parquet(out).select("event_id", "ts", "user_id", "value")
@@ -1372,7 +1409,7 @@ def ltss_retention_q(spark, sf_dir):
     profile as drop_chunks."""
     import shutil
 
-    out = f"{tempfile.gettempdir()}/ltss_retain_{uuid.uuid4().hex}"
+    out = scratch_dir("ltss_retain")
     e = _t(spark, sf_dir, "events").withColumn(
         "month", F.date_format("ts", "yyyy-MM")
     ).select("event_id", "ts", "value", "month")

@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from ltss_spark.plans.registry import register
+from ltss_spark.scratch import scratch_dir
 
 
 @register(
@@ -48,12 +49,9 @@ def sink_append(spark, sf_dir):
     (/root/reference/custom_components/ltss/__init__.py:207-211) done as
     idempotent batch appends. With a JDBC URL the same writer becomes
     ``.write.jdbc(mode='append')`` unchanged."""
-    import tempfile
-    import uuid
-
     from ltss_spark.plans.registry import _t
 
-    out = f"{tempfile.gettempdir()}/ltss_append_{uuid.uuid4().hex}"
+    out = scratch_dir("ltss_append")
     e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     e.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(out)
     e.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(out)
@@ -74,13 +72,10 @@ def sink_compact_q(spark, sf_dir):
     compact_sink rewrites them month-partitioned with one file per month —
     the values must be untouched (oracle: the full source), only the file
     layout changes (file-count assertion in tests/test_streaming.py)."""
-    import tempfile
-    import uuid
-
     from ltss_spark.plans.registry import _t
     from ltss_spark.streaming.ingest import compact_sink, make_sink
 
-    base = f"{tempfile.gettempdir()}/ltss_compact_{uuid.uuid4().hex}"
+    base = scratch_dir("ltss_compact")
     e = _t(spark, sf_dir, "events").select(
         F.col("ts").alias("time"), "event_id", "event_type", "value"
     )
@@ -199,8 +194,6 @@ def stage_late_arrivals(spark, sf_dir):
     whose third micro-batch is entirely late. Lives in the plans/ harness
     layer so ltss_spark.streaming stays pure plan code."""
     import os
-    import tempfile
-    import uuid
 
     from ltss_spark.sources.batch import normalize_event_times
 
@@ -208,7 +201,7 @@ def stage_late_arrivals(spark, sf_dir):
     events = normalize_event_times(
         spark.read.parquet(f"{sf_dir}/events.parquet")
     )
-    src = f"{tempfile.gettempdir()}/ltss_late_{uuid.uuid4().hex}/src"
+    src = f'{scratch_dir("ltss_late")}/src'
     mn, mx = events.agg(F.min("ts"), F.max("ts")).collect()[0]
     bulk = events.filter((F.col("ts") > mn) & (F.col("ts") < mx))
     tail = events.filter(F.col("ts") == mx)  # advances the watermark
@@ -310,12 +303,9 @@ def stream_rollup(spark, sf_dir):
     per micro-batch), then resolved latest-epoch-wins at read. The oracle
     is the direct GROUP BY — proving the incremental materialization
     converges to the batch truth."""
-    import tempfile
-    import uuid
-
     from ltss_spark.streaming.rollup import maintain_rollup_availablenow, read_rollup
 
-    base = f"{tempfile.gettempdir()}/ltss_rollup_{uuid.uuid4().hex}"
+    base = scratch_dir("ltss_rollup")
     maintain_rollup_availablenow(
         spark, sf_dir, base=f"{base}/log", checkpoint=f"{base}/ckpt"
     )

@@ -210,12 +210,12 @@ def run_ingest_availablenow(
     sink = make_sink(out_path=out_path, jdbc_url=jdbc_url, jdbc_table=jdbc_table)
     if checkpoint is None:
         # a None option value reaches the JVM as a null path and fails at
-        # start(); an explicit fresh temp dir keeps the no-arg call usable
-        # (production callers pass a durable location for exactly-once
-        # recovery across restarts)
-        import tempfile
+        # start(); an explicit fresh scratch dir (removed at process exit)
+        # keeps the no-arg call usable (production callers pass a durable
+        # location for exactly-once recovery across restarts)
+        from ltss_spark.scratch import scratch_dir
 
-        checkpoint = tempfile.mkdtemp(prefix="ltss_ckpt_")
+        checkpoint = scratch_dir("ltss_ckpt")
     q = (
         states.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)

@@ -467,17 +467,26 @@ def test_salted_two_phase_agg_equals_direct(spark):
 
 
 def test_approx_sketches_within_error_bounds(spark):
-    """agg_approx is rows-only (engine-specific sketches); pin its accuracy
-    instead: HLL distinct within 5% of exact, approx median within the
-    p40-p60 band of the exact distribution."""
+    """The agg_approx entry now emits oracle-checkable verdicts (every
+    hll_ok / median_ok true); this pins the TIGHTER underlying accuracy on
+    the raw sketches: HLL distinct within 5% of exact, approx median
+    within the p40-p60 band of the exact distribution."""
     import ltss_spark.plans as plans
     from ltss_spark.sources.batch import load_table
 
+    rows = plans.queries()["agg_approx"](spark, SF_SMOKE).collect()
+    assert rows and all(r.hll_ok and r.median_ok for r in rows)
+
+    l = load_table(spark, SF_SMOKE, "lineitem")
     got = {
         r.l_returnflag: r
-        for r in plans.queries()["agg_approx"](spark, SF_SMOKE).collect()
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("median_price"),
+        )
+        .collect()
     }
-    l = load_table(spark, SF_SMOKE, "lineitem")
     exact = {
         r.l_returnflag: r
         for r in l.groupBy("l_returnflag")
@@ -638,19 +647,28 @@ def test_wkt_roundtrip_and_edge_cases(spark):
 
 def test_hll_sketch_rollup_accuracy(spark):
     """The unioned daily sketches must estimate distinct users within HLL
-    error (lgConfigK=12 -> ~1.6% rse; assert 5%) of the exact count."""
+    error (lgConfigK=12 -> ~1.6% rse; assert 5%) of the exact count; the
+    registry entry itself now emits that bound as an oracle-checkable
+    verdict (rollup_ok) — assert both layers."""
     import ltss_spark.plans as plans
-
-    got = {
-        r["event_type"]: r["approx_users"]
-        for r in plans.queries()["agg_sketch_rollup"](spark, SF_SMOKE).collect()
-    }
     from ltss_spark.sources.batch import load_table
 
+    rows = plans.queries()["agg_sketch_rollup"](spark, SF_SMOKE).collect()
+    assert rows and all(r.rollup_ok for r in rows)
+
+    e = load_table(spark, SF_SMOKE, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in daily.groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"))
+        .collect()
+    }
     exact = {
         r["event_type"]: r["n"]
-        for r in load_table(spark, SF_SMOKE, "events")
-        .groupBy("event_type")
+        for r in e.groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }

@@ -1,0 +1,39 @@
+"""Session-scoped scratch root: allocated lazily, unique per process,
+removed at interpreter exit (VERDICT r2 item 8 — repeated check_parity runs
+must leave no /tmp litter). No Spark needed."""
+
+import os
+import subprocess
+import sys
+
+
+def test_scratch_dirs_share_one_root_and_tag_is_stable():
+    from ltss_spark.scratch import scratch_dir, session_tag
+
+    a, b = scratch_dir("x"), scratch_dir("x")
+    assert a != b, "per-call paths must be unique"
+    assert os.path.dirname(a) == os.path.dirname(b), "one session root"
+    assert os.path.isdir(os.path.dirname(a)), "root exists"
+    assert not os.path.exists(a), "allocation does not pre-create the dir"
+    assert session_tag() == session_tag(), "tag stable within the session"
+    assert session_tag() in os.path.dirname(a)
+
+
+def test_scratch_root_removed_at_exit():
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import os; from ltss_spark.scratch import scratch_dir; "
+            "p = scratch_dir('probe'); os.makedirs(p); "
+            "open(os.path.join(p, 'f'), 'w').write('x'); "
+            "print(os.path.dirname(p))",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        check=True,
+    )
+    root = out.stdout.strip().splitlines()[-1]
+    assert root.startswith("/tmp") or "ltss_scratch_" in root
+    assert not os.path.exists(root), "scratch root must be removed at exit"
