@@ -178,6 +178,7 @@ def run_ingest_availablenow(
     dedup: bool = True,
     jdbc_url: str | None = None,
     jdbc_table: str = "ltss",
+    jdbc_options: dict | None = None,
 ) -> None:
     """Drive the ingest pipeline over the driver's ``events`` parquet as a
     bounded stream (Trigger.AvailableNow) and land canonical state rows at
@@ -189,8 +190,12 @@ def run_ingest_availablenow(
     - the sink appends parquet partitioned by month (the hypertable-chunk
       analogue); with a JDBC URL this foreachBatch body becomes
       ``batch.write.jdbc(...)`` unchanged — the BASELINE.json
-      'Structured Streaming + JDBC sink' shape. JDBC is intentionally not
-      exercised here (no database in the container).
+      'Structured Streaming + JDBC sink' shape. The container has no
+      Postgres, but the REAL JDBC path is exercised end-to-end against
+      Spark's bundled embedded Derby in tests/test_streaming.py
+      (stream -> foreachBatch -> batched INSERT -> read back -> compare),
+      the in-process analogue of the reference's live-database matrix
+      (/root/reference/tests/pytest/test_databases.py:20-45).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{source_dir}/events.parquet").schema
@@ -207,7 +212,12 @@ def run_ingest_availablenow(
             ["time", "entity_id"]
         )
 
-    sink = make_sink(out_path=out_path, jdbc_url=jdbc_url, jdbc_table=jdbc_table)
+    sink = make_sink(
+        out_path=out_path,
+        jdbc_url=jdbc_url,
+        jdbc_table=jdbc_table,
+        jdbc_options=jdbc_options,
+    )
     if checkpoint is None:
         # a None option value reaches the JVM as a null path and fails at
         # start(); an explicit fresh scratch dir (removed at process exit)

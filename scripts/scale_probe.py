@@ -176,6 +176,23 @@ def main():
         results["factors"][str(factor)] = row
         print(json.dumps({factor: row}))
 
+    # PQ probe-count scaling: the broadcast-LUT rewrite's claim is that
+    # plan size and driver work are CONSTANT in |queries| (the per-query
+    # union-leg implementation grew linearly and choked at a few thousand
+    # probes). Fixed corpus, 3 -> 192 probes: wall time should grow far
+    # slower than |queries| (one scan, broadcast probe frame), and the 64x
+    # probe sweep must simply complete — the old shape timed out building
+    # the plan.
+    from ltss_spark.operators.similarity import cosine_topk_pq
+
+    results["pq_query_scaling"] = {}
+    cosine_topk_pq(emb1, probe_q).count()  # warm encode path
+    for nq in (3, 12, 48, 192):
+        qs = emb1.filter(F.col("vec_id") < nq)
+        _, sec = timed(lambda: cosine_topk_pq(emb1, qs).count())
+        results["pq_query_scaling"][str(nq)] = sec
+        print(json.dumps({"pq_queries": nq, "sec": sec}))
+
     with open(out_json, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {out_json}")
