@@ -7,3 +7,4 @@ import ltss_spark.plans.registry_ltss  # noqa: F401,E402
 import ltss_spark.plans.registry_ext  # noqa: F401,E402
 import ltss_spark.plans.registry_stream  # noqa: F401,E402
 import ltss_spark.plans.registry_udf  # noqa: F401,E402
+import ltss_spark.plans.registry_sql  # noqa: F401,E402

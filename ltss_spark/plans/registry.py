@@ -113,11 +113,34 @@ _DRIVER_PRIORITY: list[str] = [
     "agg_approx",
     "ext_sim_search_lsh",
     "ext_sim_search_ivf",
+    # --- round-3 TPC-H sweep (registry_sql.py); window holds 10 of 14,
+    # the 4 simplest shapes spill to the head of _DRIVER_SECOND for r4 ---
+    "sql_q13",
+    "sql_q17",
+    "sql_q2",
+    "sql_q15",
+    "sql_q4",
+    "sql_q22",
+    "sql_q16",
+    "sql_q14",
+    "sql_q7",
+    "sql_q9",
 ]
+
+#: entries with a PRE-r3 driver row whose implementation or oracle changed
+#: materially afterwards — they justify a window slot exactly like a
+#: never-verified entry (tests/test_plans.py window-packing guard).
+_CHANGED_ENTRIES: set[str] = {"agg_approx", "ext_sim_search_lsh", "ext_sim_search_ivf"}
 
 # Entries with an existing green driver row; order is cosmetic — any window
 # wider than the priority block re-confirms these.
 _DRIVER_SECOND: list[str] = [
+    # r3 TPC-H spillover (never driver-verified; first in line for the
+    # round-4 window rotation)
+    "sql_q6",
+    "sql_q12",
+    "sql_q19",
+    "sql_q20",
     "ext_dedup_exact",
     "ext_dedup_minhash",
     "ext_dedup_simhash",

@@ -1182,7 +1182,7 @@ def sql_q18(spark, sf_dir):
         AND s_nationkey = n2.n_nationkey
     )
     SELECT o_year,
-           round(CAST(SUM(CASE WHEN supp_nation = 'BRAZIL' THEN volume
+           round(CAST(SUM(CASE WHEN supp_nation = 'NATION_6' THEN volume
                                ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
                  / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
     FROM flat GROUP BY o_year
@@ -1208,7 +1208,7 @@ def sql_q8(spark, sf_dir):
             AND s_nationkey = n2.n_nationkey
         )
         SELECT o_year,
-               round(CAST(SUM(CASE WHEN supp_nation = 'BRAZIL' THEN volume
+               round(CAST(SUM(CASE WHEN supp_nation = 'NATION_6' THEN volume
                                    ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
                      / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
         FROM flat GROUP BY o_year
@@ -1232,7 +1232,7 @@ def sql_q8(spark, sf_dir):
         SELECT 1 FROM lineitem l3
         WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
           AND l3.l_shipdate > TIMESTAMP '1998-06-01')
-      AND s_nationkey = n_nationkey AND n_name = 'SAUDI ARABIA'
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_4'
     GROUP BY s_name
     ORDER BY numwait DESC, s_name ASC
     LIMIT 100
@@ -1263,7 +1263,7 @@ def sql_q21(spark, sf_dir):
             SELECT 1 FROM lineitem l3
             WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
               AND l3.l_shipdate > TIMESTAMP '1998-06-01')
-          AND s_nationkey = n_nationkey AND n_name = 'SAUDI ARABIA'
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_4'
         GROUP BY s_name
         ORDER BY numwait DESC, s_name ASC
         LIMIT 100

@@ -349,16 +349,17 @@ def test_pq_plan_size_constant_in_query_count(spark):
 
 def test_driver_window_prioritizes_unverified_surface():
     """The driver's per-round CORRECTNESS check covers ~the first 50
-    queries() entries. Rounds 1+2 verified 100 distinct entries; round 3's
-    curation (VERDICT r2 item 1) front-loads the 35 entries that have never
-    had a driver row, followed by entries new or materially changed this
-    round. The priority block must head the ordering, and every
-    never-driver-verified name (r1 ∪ r2 CORRECTNESS keys excluded) must sit
-    inside the window."""
+    queries() entries. With more never-driver-verified entries than window
+    slots (the registry keeps growing), the rotation discipline is: NO
+    window slot may be wasted on an already-verified, unchanged entry while
+    an unverified one waits outside. Every slot in the first 50 must be
+    either never-driver-verified (no CORRECTNESS row in any prior round) or
+    declared materially changed (_CHANGED_ENTRIES)."""
+    import glob
     import json
 
     import ltss_spark.plans as plans
-    from ltss_spark.plans.registry import _DRIVER_PRIORITY
+    from ltss_spark.plans.registry import _CHANGED_ENTRIES, _DRIVER_PRIORITY
 
     names = list(plans.queries().keys())
     k = len(_DRIVER_PRIORITY)
@@ -366,16 +367,23 @@ def test_driver_window_prioritizes_unverified_surface():
     assert k <= 50, "priority block overflows the driver window"
 
     seen: set[str] = set()
-    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
         try:
             seen |= set(json.load(open(f)))
         except OSError:
             pass
     if seen:
-        unseen = [n for n in names if n not in seen]
-        window = set(names[:50])
-        outside = [n for n in unseen if n not in window]
-        assert not outside, f"never-driver-verified entries outside window: {outside}"
+        unseen = {n for n in names if n not in seen}
+        window = names[:50]
+        outside = [n for n in unseen if n not in set(window)]
+        if outside:
+            wasted = [
+                n for n in window if n in seen and n not in _CHANGED_ENTRIES
+            ]
+            assert not wasted, (
+                f"unverified entries {outside} wait outside the window while "
+                f"already-verified slots are wasted on {wasted}"
+            )
     # queries() and oracle_sql() must agree on ordering and keys
     oracle_names = list(plans.oracle_sql().keys())
     positions = {n: i for i, n in enumerate(names)}
