@@ -66,3 +66,58 @@ def from_wkt(wkt: Column) -> tuple[Column, Column]:
         F.when(lon != "", lon).try_cast("double"),
         F.when(lat != "", lat).try_cast("double"),
     )
+
+
+def bbox_spatial_join(
+    points: DataFrame,
+    boxes: DataFrame,
+    cell_deg: float = 8.0,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Point-in-bbox spatial JOIN that scales — the PostGIS
+    ``point && box`` join (the reference's location column probed against
+    geofence rectangles) without the O(|points| x |boxes|) nested loop a
+    theta join degenerates to.
+
+    Grid-bucket composition: every point lands in exactly ONE cell of a
+    ``cell_deg``-degree grid (floor division); every box EXPLODES to the
+    cells it overlaps (bounded: span/cell_deg per axis). The join is then
+    a plain equi-join on (cx, cy) — hash-partitionable, AQE-skew-safe —
+    followed by the exact containment predicate as a residual filter.
+    Because a point has a single cell, each (point, box) pair can match
+    only once: no post-join dedup. At 100 TB this is the standard
+    spatial-join shape: shuffle keyed by cell, candidate volume bounded by
+    grid occupancy, never all-pairs.
+
+    ``boxes`` columns: west/south/east/north (+ id cols). Result: points
+    columns + boxes' id columns, one row per containment."""
+    from pyspark.sql import DataFrame as _DF  # noqa: F401 (signature clarity)
+
+    cell = F.lit(cell_deg)
+    pc = points.withColumn("cx", F.floor(F.col(lon_col) / cell)).withColumn(
+        "cy", F.floor(F.col(lat_col) / cell)
+    )
+    bc = (
+        boxes.withColumn(
+            "cx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("west") / cell), F.floor(F.col("east") / cell)
+                )
+            ),
+        )
+        .withColumn(
+            "cy",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("south") / cell), F.floor(F.col("north") / cell)
+                )
+            ),
+        )
+    )
+    joined = pc.join(bc, ["cx", "cy"]).filter(
+        F.col(lon_col).between(F.col("west"), F.col("east"))
+        & F.col(lat_col).between(F.col("south"), F.col("north"))
+    )
+    return joined.drop("cx", "cy")

@@ -9,7 +9,7 @@ words); a BPE-ish regex token count is provided alongside.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from ltss_spark.functions.numeric import davg
 from ltss_spark.operators.dedup import normalize_text
@@ -128,3 +128,55 @@ def pii_counts(col: Column) -> dict[str, Column]:
         f"n_{tag.lower()}": F.regexp_count(col, F.lit(pat))
         for tag, pat in PII_PATTERNS
     }
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the classic
+    keyword/feature extraction pass of a corpus pipeline.
+
+    Composition: explode tokens -> per-(doc, token) count (TF) -> token
+    document frequency from the SAME aggregate (one row per doc-token
+    pair, so COUNT(*) over token == DF) -> idf = ln((N+1)/(df+1))
+    (smoothed) -> per-doc top-k window over the counted (already small)
+    side. Two hash aggregations + one window; shuffle volume is bounded by
+    |doc-token pairs|, with map-side combine collapsing repeated tokens
+    inside a document before the wire. The corpus size N joins in as a
+    broadcast 1-row aggregate, never a driver round trip.
+
+    Scores are rounded to 6 decimals BEFORE ranking so the rank order is
+    engine-independent (ln is transcendental; libm vs StrictMath may
+    differ in the last ulp), with the token string as the tie-break.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(df_counts, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

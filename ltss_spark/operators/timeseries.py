@@ -320,3 +320,50 @@ def ohlc(
         dsum(v, 2).alias("volume"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    time_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id",),
+    gap_seconds: int = 12 * 3600,
+    tie_breaker: str | None = "event_id",
+) -> DataFrame:
+    """Batch sessionization — the offline analogue of
+    ``session_window`` (stream_window_session): consecutive events of the
+    same key belong to one session while the inter-event gap stays within
+    ``gap_seconds``; a larger gap (or the first event) starts a new one.
+
+    Classic lag+cumsum composition: mark session starts with a windowed
+    ``lag``, number sessions with a cumulative sum over the same window,
+    aggregate. Two window passes + one hash agg over a single per-key
+    shuffle — at 100 TB the cost is one repartition by key; no self-join,
+    no explode. Exact-integer microsecond arithmetic end to end, so the
+    session boundaries are bit-identical across engines.
+
+    Returns (*key_cols, session_seq, session_start, session_end, n_events,
+    duration_us).
+    """
+    order = [F.col(time_col)] + ([F.col(tie_breaker)] if tie_breaker else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    t_us = F.unix_micros(F.col(time_col))
+    prev_us = F.lag(t_us).over(w)
+    is_new = (
+        prev_us.isNull() | (t_us - prev_us > gap_seconds * 1_000_000)
+    ).cast("int")
+    numbered = df.select(
+        *key_cols,
+        F.col(time_col),
+        *( [F.col(tie_breaker)] if tie_breaker else [] ),
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    return numbered.groupBy(*key_cols, "session_seq").agg(
+        F.min(time_col).alias("session_start"),
+        F.max(time_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_micros(F.max(time_col)) - F.unix_micros(F.min(time_col))
+        ).alias("duration_us"),
+    )

@@ -135,12 +135,16 @@ _CHANGED_ENTRIES: set[str] = {"agg_approx", "ext_sim_search_lsh", "ext_sim_searc
 # Entries with an existing green driver row; order is cosmetic — any window
 # wider than the priority block re-confirms these.
 _DRIVER_SECOND: list[str] = [
-    # r3 TPC-H spillover (never driver-verified; first in line for the
+    # r3 spillover (never driver-verified; first in line for the
     # round-4 window rotation)
     "sql_q6",
     "sql_q12",
     "sql_q19",
     "sql_q20",
+    "scan_jdbc",
+    "ts_sessionize",
+    "geo_bbox_join",
+    "ext_tfidf",
     "ext_dedup_exact",
     "ext_dedup_minhash",
     "ext_dedup_simhash",

@@ -1118,3 +1118,42 @@ def ext_sim_search_ivfpq(spark, sf_dir):
         cosine_topk(emb, q, k=5),
         min_common=2,
     )
+
+
+@register(
+    "ext_tfidf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    tfc AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM toks WHERE token <> '' GROUP BY 1, 2
+    ),
+    dfc AS (SELECT token, COUNT(*) AS df FROM tfc GROUP BY 1),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tfc.doc_id, tfc.token, tfc.tf, dfc.df,
+             round(tfc.tf * ln((nd.n_docs + 1.0) / (dfc.df + 1.0)), 6) AS score
+      FROM tfc JOIN dfc ON tfc.token = dfc.token CROSS JOIN nd
+    ),
+    ranked AS (
+      SELECT doc_id, token, tf, df, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, token ASC) AS INT)
+               AS rank
+      FROM scored
+    )
+    SELECT doc_id, token, tf, df, score, rank FROM ranked WHERE rank <= 3
+    """,
+    survey="ext_text_stats topk_group fn_string agg_basic (per-doc TF-IDF keyword extraction)",
+)
+def ext_tfidf(spark, sf_dir):
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (operators/text.tfidf_topk): two hash aggregations + one per-doc
+    window; the corpus size joins in as a broadcast 1-row aggregate.
+    Scores round to 6 decimals BEFORE ranking so the order is
+    engine-independent (ln is transcendental), token as tie-break."""
+    from ltss_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)

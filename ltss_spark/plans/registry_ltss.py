@@ -1514,3 +1514,109 @@ def ltss_compress_q(spark, sf_dir):
     return decompress_states(packed, value_cols=("state", "attributes")).select(
         "time", "entity_id", "state", "attributes"
     )
+
+
+@register(
+    "ts_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 43200000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    survey="stream_window_session win_lag_lead win_cumulative agg_basic (batch sessionization: lag + cumsum)",
+)
+def ts_sessionize_q(spark, sf_dir):
+    """Batch sessionization (the HA 'episode' detection of
+    stream_window_session, run offline over history): 12-hour gap rule,
+    lag+cumsum composition, exact-microsecond arithmetic — see
+    operators/timeseries.sessionize for the scale notes."""
+    from ltss_spark.operators.timeseries import sessionize
+
+    return sessionize(
+        _t(spark, sf_dir, "events"),
+        time_col="ts",
+        key_cols=("user_id",),
+        gap_seconds=12 * 3600,
+        tie_breaker="event_id",
+    ).select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "duration_us",
+    )
+
+
+@register(
+    "geo_bbox_join",
+    """
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 360 AS DOUBLE) - 180.0 + 0.5 AS lon,
+             CAST(c_custkey % 178 AS DOUBLE) - 89.0 + 0.25 AS lat
+      FROM customer
+    ),
+    boxes AS (
+      SELECT n_nationkey AS box_id,
+             CAST((n_nationkey * 29) % 300 AS DOUBLE) - 160.0 AS west,
+             CAST((n_nationkey * 17) % 120 AS DOUBLE) - 70.0 AS south,
+             CAST((n_nationkey * 29) % 300 AS DOUBLE) - 160.0 + 24.0 AS east,
+             CAST((n_nationkey * 17) % 120 AS DOUBLE) - 70.0 + 18.0 AS north
+      FROM nation
+    )
+    SELECT c_custkey, box_id, lon, lat
+    FROM pts, boxes
+    WHERE lon BETWEEN west AND east AND lat BETWEEN south AND north
+    """,
+    survey="B7 geo_distance join_theta (grid-bucketed spatial join: point-in-bbox without all-pairs)",
+)
+def geo_bbox_join_q(spark, sf_dir):
+    """Point-in-bbox JOIN via grid bucketing (operators/geo.
+    bbox_spatial_join): points key to one cell, boxes explode to their
+    overlapped cells, equi-join + exact residual. The oracle is the
+    brute-force theta join — identical rows, different asymptotics (the
+    theta join is O(P x B); the grid join shuffles on cell keys and is the
+    shape that survives 100 TB of points)."""
+    from ltss_spark.operators.geo import bbox_spatial_join
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 360).cast("double") - 180.0 + 0.5).alias("lon"),
+        ((F.col("c_custkey") % 178).cast("double") - 89.0 + 0.25).alias("lat"),
+    )
+    n = _t(spark, sf_dir, "nation")
+    west = ((F.col("n_nationkey") * 29) % 300).cast("double") - 160.0
+    south = ((F.col("n_nationkey") * 17) % 120).cast("double") - 70.0
+    boxes = n.select(
+        F.col("n_nationkey").alias("box_id"),
+        west.alias("west"),
+        south.alias("south"),
+        (west + 24.0).alias("east"),
+        (south + 18.0).alias("north"),
+    )
+    return bbox_spatial_join(pts, boxes, cell_deg=8.0).select(
+        "c_custkey", "box_id", "lon", "lat"
+    )

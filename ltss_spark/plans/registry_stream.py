@@ -36,6 +36,81 @@ def scan_stream(spark, sf_dir):
     return run_to_memory(raw, "append", "scan_stream")
 
 
+#: one Derby database per (process, sf_dir): the entry's subject is the
+#: READ path; re-runs in the same session reuse the landed table instead
+#: of re-inserting 10k rows per call.
+_JDBC_DBS: dict[str, str] = {}
+
+
+@register(
+    "scan_jdbc",
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    WHERE event_type = 'purchase' AND value > 10.0
+    """,
+    survey="scan_parquet sink_append B1 (JDBC source: partitioned parallel read + predicate pushdown against a real embedded database)",
+)
+def scan_jdbc_q(spark, sf_dir):
+    """The reference's table LIVES in a JDBC database (PostgreSQL /
+    TimescaleDB — /root/reference/custom_components/ltss/__init__.py:
+    121-139); reading it back out through Spark is how a migration or a
+    federated query would start. This entry lands events in an embedded
+    Derby database (the same real JDBC writer the streaming sink uses),
+    then reads it with the two things that make a JDBC scan survive scale:
+
+    - **partitioned read**: ``partitionColumn/lowerBound/upperBound/
+      numPartitions`` splits the table into 8 range-disjoint queries
+      executed in parallel — one executor thread per slice, not one
+      driver-side cursor over the whole table;
+    - **predicate pushdown**: the filter compiles into each slice's WHERE
+      clause (JDBCRelation pushes catalyst predicates), so the database
+      ships only matching rows — PushedFilters visible in .explain().
+
+    At 100 TB the same shape reads a sharded fleet: bounds come from the
+    shard catalog, numPartitions from the executor count."""
+    from ltss_spark.plans.registry import _t
+
+    key = sf_dir
+    if key not in _JDBC_DBS:
+        db = scratch_dir("ltss_derbydb")
+        e = _t(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        # Spark's DerbyDialect maps StringType to CLOB, and Derby cannot
+        # compare CLOB to a literal — which would break exactly the thing
+        # this entry proves (the pushed WHERE clause). Declare VARCHAR
+        # explicitly; Postgres (TEXT) has no such trap.
+        e.write.format("jdbc").options(
+            url=f"jdbc:derby:{db};create=true",
+            dbtable="events_jdbc",
+            driver="org.apache.derby.jdbc.EmbeddedDriver",
+            createTableColumnTypes="event_type VARCHAR(64)",
+            batchsize="5000",
+        ).save()
+        _JDBC_DBS[key] = db
+    db = _JDBC_DBS[key]
+    lo, hi = (
+        _t(spark, sf_dir, "events")
+        .agg(F.min("event_id"), F.max("event_id"))
+        .first()
+    )
+    return (
+        spark.read.format("jdbc")
+        .options(
+            url=f"jdbc:derby:{db}",
+            dbtable="events_jdbc",
+            driver="org.apache.derby.jdbc.EmbeddedDriver",
+            partitionColumn="event_id",
+            lowerBound=str(lo),
+            upperBound=str(hi + 1),
+            numPartitions="8",
+        )
+        .load()
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 10.0))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
 @register(
     "sink_append",
     """

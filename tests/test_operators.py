@@ -923,3 +923,77 @@ def test_asof_nearest_integer_key(spark):
     probes = spark.createDataFrame([("k", big)], "key string, pos long")
     out = asof_join_nearest(probes, right, on="pos", by="key", value_cols=["val"]).collect()
     assert out[0]["val"] == 1.0  # distance 2 backward beats 3 forward exactly
+
+
+def test_sessionize_gap_semantics(spark):
+    """Events 0,10,70,75,200 min with a 30-min gap rule must yield sessions
+    {0,10}, {70,75}, {200}; boundaries are exact-microsecond integer
+    arithmetic (a gap of exactly gap_seconds does NOT split)."""
+    from ltss_spark.operators.timeseries import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", base + dt.timedelta(minutes=m), i)
+        for i, m in enumerate([0, 10, 70, 75, 200])
+    ]
+    # exact-gap probe: 30:00 after the last event — same session
+    rows.append(("a", base + dt.timedelta(minutes=230), 5))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id long")
+    out = sessionize(
+        df, time_col="ts", key_cols=("user_id",), gap_seconds=1800
+    ).orderBy("session_seq")
+    got = [(r["session_seq"], r["n_events"]) for r in out.collect()]
+    assert got == [(1, 2), (2, 2), (3, 2)]
+
+
+def test_bbox_spatial_join_equals_theta_join(spark):
+    """The grid-bucketed spatial join must return exactly the rows of the
+    brute-force theta join for random points/boxes, including boxes that
+    span many cells and boxes smaller than one cell."""
+    from ltss_spark.operators.geo import bbox_spatial_join
+
+    rnd = random.Random(7)
+    pts = spark.createDataFrame(
+        [(i, rnd.uniform(-180, 180), rnd.uniform(-89, 89)) for i in range(300)],
+        "pid long, lon double, lat double",
+    )
+    boxes = []
+    for b in range(20):
+        w = rnd.uniform(-180, 150)
+        s = rnd.uniform(-89, 60)
+        boxes.append((b, w, s, w + rnd.uniform(0.5, 60), s + rnd.uniform(0.5, 25)))
+    bx = spark.createDataFrame(boxes, "box_id long, west double, south double, east double, north double")
+    got = {
+        (r["pid"], r["box_id"])
+        for r in bbox_spatial_join(pts, bx, cell_deg=8.0).collect()
+    }
+    want = {
+        (r["pid"], r["box_id"])
+        for r in pts.crossJoin(bx)
+        .filter(
+            F.col("lon").between(F.col("west"), F.col("east"))
+            & F.col("lat").between(F.col("south"), F.col("north"))
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_tfidf_rare_term_outscores_common(spark):
+    """A term unique to one doc must outrank a term present in every doc
+    (df smoothing keeps ubiquitous terms near ln(1)=0)."""
+    from ltss_spark.operators.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common filler words"),
+            (3, "common other stuff"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {
+        r["token"]: r["rank"]
+        for r in tfidf_topk(docs, k=3).filter(F.col("doc_id") == 1).collect()
+    }
+    assert top["zebra"] < top["common"]

@@ -471,3 +471,18 @@ def test_driver_priority_lists_resolve_and_cover():
     }
     missing = must_cover - set(window)
     assert not missing, f"unverified op-ids pushed out of the 50-window: {missing}"
+
+
+def test_jdbc_scan_pushes_predicates_and_partitions(spark):
+    """scan_jdbc's value is the two scale levers: the catalyst filter must
+    compile into the JDBC source (PushedFilters in the scan node — the
+    database ships only matching rows) and the read must be split into
+    range-partitioned parallel queries (numPartitions=8), not one
+    driver-side cursor."""
+    from ltss_spark.plans.registry_stream import scan_jdbc_q
+
+    df = scan_jdbc_q(spark, SF_SMOKE)
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    assert "EVENT_TYPE" in plan or "event_type" in plan, "filter not pushed to JDBC"
+    assert df.rdd.getNumPartitions() == 8, "JDBC read not range-partitioned"
