@@ -1,0 +1,138 @@
+"""Batch continuous-aggregate refresh — TimescaleDB's
+``refresh_continuous_aggregate(start, end)`` (docs.timescale.com
+continuous-aggregates; the reference promotes its table to a hypertable
+precisely so such rollups stay cheap,
+/root/reference/custom_components/ltss/__init__.py:336-344).
+
+``stream_rollup`` maintains the aggregate forward from the live stream;
+this module is the other half of the story: a MATERIALIZED rollup over
+history that, when the source changes (backfill, late replay, retention
+delete), re-aggregates ONLY the time buckets whose source data actually
+changed — never the whole table.
+
+Mechanism (all DataFrame ops):
+- a per-bucket source FINGERPRINT (row count + order-insensitive xxhash64
+  sum) is computed alongside the rollup and stored as a sidecar table;
+- refresh compares current fingerprints to the stored ones (full outer
+  join on bucket) — changed/new/deleted buckets are the stale set;
+- only stale buckets are re-aggregated (the bucket IN-list prunes the
+  source scan — partition pruning when the source is bucket-partitioned,
+  as a landed states table is by month) and written with DYNAMIC partition
+  overwrite, so untouched bucket partitions are not rewritten.
+
+At 100 TB: the fingerprint pass is one map-side-combinable aggregate over
+the source (or, better, over per-partition file statistics); the rewrite
+cost is proportional to the CHANGED data, which is the entire point of a
+continuous aggregate. The fingerprint-compare join is |buckets| rows —
+trivially broadcast.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _bucket(time_col: str, unit: str) -> F.Column:
+    return F.date_trunc(unit, F.col(time_col)).alias("bucket")
+
+
+def bucket_fingerprints(
+    source: DataFrame, time_col: str, unit: str, sig_cols: list[str]
+) -> DataFrame:
+    """(bucket, src_rows, src_sig): an order-insensitive content signature
+    per time bucket. xxhash64 over the signature columns, SUMmed — any
+    inserted/deleted/modified row changes the sum (mod 2^64)."""
+    return source.groupBy(_bucket(time_col, unit)).agg(
+        F.count(F.lit(1)).alias("src_rows"),
+        # decimal(38,0) accumulator: a long sum of 64-bit hashes overflows
+        # (ANSI mode throws); the exact decimal sum is order-insensitive
+        # and cannot overflow below ~10^19 rows per bucket
+        F.sum(F.xxhash64(*[F.col(c) for c in sig_cols]).cast("decimal(38,0)")).alias(
+            "src_sig"
+        ),
+    )
+
+
+def refresh_rollup(
+    spark: SparkSession,
+    source: DataFrame,
+    rollup_path: str,
+    agg: Callable[[DataFrame], DataFrame],
+    time_col: str = "time",
+    unit: str = "day",
+    sig_cols: list[str] | None = None,
+) -> list[str]:
+    """Bring the materialized rollup at ``rollup_path`` up to date with
+    ``source``, re-aggregating only stale buckets. ``agg`` maps a source
+    slice to its rollup rows and must carry the ``bucket`` column through
+    (grouping on it). Returns the refreshed bucket keys (ISO strings) —
+    empty when the rollup was already current."""
+    sig_cols = sig_cols or [c for c in source.columns]
+    fps = bucket_fingerprints(source, time_col, unit, sig_cols)
+
+    try:
+        stored = spark.read.parquet(f"{rollup_path}/_fingerprints")
+        first_build = False
+    except Exception:  # no sidecar yet -> everything is stale
+        stored = None
+        first_build = True
+
+    if first_build:
+        stale = fps.select("bucket")
+    else:
+        cmp = fps.alias("cur").join(
+            stored.alias("old"), on="bucket", how="full_outer"
+        )
+        stale = cmp.filter(
+            F.col("old.src_rows").isNull()
+            | F.col("cur.src_rows").isNull()
+            | (F.col("cur.src_rows") != F.col("old.src_rows"))
+            | ~F.col("cur.src_sig").eqNullSafe(F.col("old.src_sig"))
+        ).select("bucket")
+
+    stale_keys = sorted(
+        r["bucket"].isoformat() for r in stale.collect() if r["bucket"] is not None
+    )
+    if not stale_keys and not first_build:
+        return []
+
+    # re-aggregate ONLY the stale slice; the bucket predicate prunes the
+    # source scan (partition pruning on a bucket-partitioned layout)
+    src_bucketed = source.withColumn("bucket", F.date_trunc(unit, F.col(time_col)))
+    stale_src = src_bucketed.join(F.broadcast(stale), on="bucket", how="left_semi")
+    fresh = agg(stale_src).withColumn(
+        "p_bucket", F.date_format("bucket", "yyyy-MM-dd-HH")
+    )
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        # dynamic: only the stale buckets' partitions are replaced; the
+        # first build uses static mode (nothing to preserve)
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode",
+            "static" if first_build else "dynamic",
+        )
+        fresh.write.mode("overwrite").partitionBy("p_bucket").parquet(
+            f"{rollup_path}/data"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # deleted buckets (present in rollup, gone from source) cannot be
+    # dropped by dynamic overwrite; the sidecar is rewritten to the CURRENT
+    # fingerprints and reads semi-join against it, hiding dead partitions.
+    # (fps derives from source only, so overwriting its own prior version
+    # is safe — the stale set was already collected above.)
+    fps.write.mode("overwrite").parquet(f"{rollup_path}/_fingerprints")
+    return stale_keys
+
+
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """The rollup's current contents: data partitions semi-joined to the
+    live fingerprint sidecar (hides buckets whose source was deleted)."""
+    data = spark.read.parquet(f"{rollup_path}/data").drop("p_bucket")
+    live = spark.read.parquet(f"{rollup_path}/_fingerprints").select("bucket")
+    return data.join(F.broadcast(live), on="bucket", how="left_semi")

@@ -145,6 +145,9 @@ _DRIVER_SECOND: list[str] = [
     "ts_sessionize",
     "geo_bbox_join",
     "ext_tfidf",
+    "ltss_cagg_refresh",
+    "agg_mode",
+    "win_ntile",
     "ext_dedup_exact",
     "ext_dedup_minhash",
     "ext_dedup_simhash",

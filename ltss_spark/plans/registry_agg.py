@@ -1019,3 +1019,66 @@ def agg_sketch_rollup(spark, sf_dir):
             <= 0.05 * F.col("exact_users")
         ).alias("rollup_ok"),
     )
+
+
+@register(
+    "agg_mode",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type DESC) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS mode_event_type, n AS mode_n
+    FROM ranked WHERE rn = 1
+    """,
+    survey="agg_basic agg_minmax_by (statistical MODE with deterministic tie-break)",
+)
+def agg_mode(spark, sf_dir):
+    """Most-frequent value per group — Postgres ``mode() WITHIN GROUP``.
+    NOT a window over raw rows: count first (map-side combinable, shuffle
+    bounded by |group x value|), then ONE ``max_by`` hash aggregation over
+    the counted side keyed by the (n, value) struct — deterministic
+    tie-break (higher count, then lexicographically larger value) with no
+    second sort pass."""
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    key = F.struct(F.col("n"), F.col("event_type"))
+    return counts.groupBy("user_id").agg(
+        F.max_by("event_type", key).alias("mode_event_type"),
+        F.max("n").alias("mode_n"),
+    )
+
+
+@register(
+    "win_ntile",
+    """
+    SELECT c_custkey, c_acctbal,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
+                AS INT) AS balance_quartile
+    FROM customer
+    """,
+    survey="win_rank sort (NTILE bucket assignment)",
+)
+def win_ntile(spark, sf_dir):
+    """Quartile assignment over a global order — NTILE's equal-size
+    buckets (vs width_bucket's equal-width). The unique c_custkey
+    tie-break makes bucket boundaries deterministic. Scale note: a global
+    NTILE is a single-partition window (like any global rank); at 100 TB
+    the same analysis runs per-group (partitionBy) or via
+    approx percentiles — registered here in the global form the SQL-sensor
+    dashboards use on bounded result sets."""
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("int").alias("balance_quartile"),
+    )

@@ -1620,3 +1620,53 @@ def geo_bbox_join_q(spark, sf_dir):
     return bbox_spatial_join(pts, boxes, cell_deg=8.0).select(
         "c_custkey", "box_id", "lon", "lat"
     )
+
+
+@register(
+    "ltss_cagg_refresh",
+    f"""
+    SELECT date_trunc('day', ts) AS bucket, event_type,
+           COUNT(*) AS n_events,
+           {oracle_dsum('value', 2)} AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey="B4 agg_basic sink_partitioned B8 (continuous-aggregate REFRESH: stale-bucket detection + partition-targeted recompute)",
+)
+def ltss_cagg_refresh_q(spark, sf_dir):
+    """TimescaleDB ``refresh_continuous_aggregate`` analogue
+    (operators/cagg.py): build the daily rollup from a PARTIAL source
+    (last days and a scattered late-replay subset withheld), then land the
+    full source and refresh — fingerprint comparison finds exactly the
+    changed days, only those re-aggregate (dynamic partition overwrite),
+    and the result must hash-match the direct GROUP BY over the complete
+    table. Convergence of incremental maintenance, proven by oracle."""
+    from ltss_spark.functions.numeric import dsum
+    from ltss_spark.operators.cagg import read_rollup, refresh_rollup
+
+    base = scratch_dir("ltss_cagg")
+    e = _t(spark, sf_dir, "events")
+
+    def agg(src):
+        return src.groupBy("bucket", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 2).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    v1 = e.filter(
+        (F.col("ts") < F.lit("2024-01-25").cast("timestamp"))
+        & ~(
+            (F.col("event_id") % 97 == 0)
+            & (F.col("ts") < F.lit("2024-01-11").cast("timestamp"))
+        )
+    )
+    refresh_rollup(spark, v1, base, agg, time_col="ts", unit="day",
+                   sig_cols=["event_id", "value"])
+    # late replay + new days arrive; refresh touches only the stale days
+    refresh_rollup(spark, e, base, agg, time_col="ts", unit="day",
+                   sig_cols=["event_id", "value"])
+    return read_rollup(spark, base)

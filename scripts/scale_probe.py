@@ -147,6 +147,42 @@ def main():
     cosine_topk_lsh(emb1, probe_q).count()
     pq_encode(emb1, books).count()
 
+    from ltss_spark.operators.cagg import refresh_rollup
+    from ltss_spark.operators.geo import bbox_spatial_join
+    from ltss_spark.operators.text import tfidf_topk
+    from ltss_spark.operators.timeseries import sessionize
+
+    def synth_boxes():
+        rows = [
+            (
+                b,
+                float((b * 29) % 300 - 160),
+                float((b * 17) % 120 - 70),
+                float((b * 29) % 300 - 160 + 24),
+                float((b * 17) % 120 - 70 + 18),
+            )
+            for b in range(25)
+        ]
+        return spark.createDataFrame(
+            rows, "box_id long, west double, south double, east double, north double"
+        )
+
+    boxes = synth_boxes()
+
+    def points_of(emb):
+        return emb.select(
+            F.col("vec_id").alias("pid"),
+            ((F.col("vec_id") % 360).cast("double") - 180.0 + 0.5).alias("lon"),
+            (((F.col("vec_id") * 7) % 178).cast("double") - 89.0 + 0.25).alias("lat"),
+        )
+
+    def cagg_agg(src):
+        return src.groupBy("bucket", "entity_id").agg(F.count(F.lit(1)).alias("n"))
+
+    sessionize(states1, time_col="time", key_cols=("entity_id",), tie_breaker=None).count()
+    bbox_spatial_join(points_of(emb1), boxes).count()
+    tfidf_topk(warm).count()
+
     for factor in (1, 2, 4, 8):
         docs = replicated_docs(spark, sf_dir, factor, base)
         row = {"n_docs": docs.count()}
@@ -173,6 +209,30 @@ def main():
         row["pq_encoded_rows"], row["pq_encode_sec"] = timed(
             lambda: pq_encode(emb, books).count()
         )
+        # round-3 operators: per-key window (sessionize), grid-bucketed
+        # spatial equi-join, tfidf double aggregation — all linear shapes
+        row["sessions"], row["sessionize_sec"] = timed(
+            lambda: sessionize(
+                states, time_col="time", key_cols=("entity_id",), tie_breaker=None
+            ).count()
+        )
+        row["bbox_matches"], row["bbox_join_sec"] = timed(
+            lambda: bbox_spatial_join(points_of(emb), boxes).count()
+        )
+        row["tfidf_rows"], row["tfidf_sec"] = timed(lambda: tfidf_topk(docs).count())
+        # cagg: full rebuild vs single-stale-day refresh — refresh must
+        # track the CHANGED slice (1/30th of the days), not the table
+        cagg_dir = os.path.join(base, f"cagg_x{factor}")
+        v1 = states.filter(F.dayofmonth("time") != 15)
+        t0 = time.time()
+        refresh_rollup(spark, v1, cagg_dir, cagg_agg, time_col="time", unit="day",
+                       sig_cols=["entity_id", "state"])
+        row["cagg_build_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        stale = refresh_rollup(spark, states, cagg_dir, cagg_agg, time_col="time",
+                               unit="day", sig_cols=["entity_id", "state"])
+        row["cagg_refresh_sec"] = round(time.time() - t0, 2)
+        row["cagg_stale_days"] = len(stale)
         results["factors"][str(factor)] = row
         print(json.dumps({factor: row}))
 

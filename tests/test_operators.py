@@ -997,3 +997,37 @@ def test_tfidf_rare_term_outscores_common(spark):
         for r in tfidf_topk(docs, k=3).filter(F.col("doc_id") == 1).collect()
     }
     assert top["zebra"] < top["common"]
+
+
+def test_cagg_refresh_touches_only_stale_buckets(spark, tmp_path):
+    """refresh_rollup must be a no-op on an unchanged source, refresh
+    exactly the appended day on a single-day append, and hide a deleted
+    day's partition from reads."""
+    from ltss_spark.operators.cagg import read_rollup, refresh_rollup
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "ts timestamp, k string, v double")
+
+    d1 = dt.datetime(2024, 3, 1, 10)
+    d2 = dt.datetime(2024, 3, 2, 11)
+    d3 = dt.datetime(2024, 3, 3, 12)
+    base = str(tmp_path / "cagg")
+
+    def agg(src):
+        return src.groupBy("bucket", "k").agg(F.count(F.lit(1)).alias("n"))
+
+    v1 = mk([(d1, "a", 1.0), (d1, "a", 2.0), (d2, "b", 3.0)])
+    first = refresh_rollup(spark, v1, base, agg, time_col="ts", unit="day")
+    assert len(first) == 2
+    assert refresh_rollup(spark, v1, base, agg, time_col="ts", unit="day") == []
+
+    v2 = mk([(d1, "a", 1.0), (d1, "a", 2.0), (d2, "b", 3.0), (d3, "c", 9.0)])
+    second = refresh_rollup(spark, v2, base, agg, time_col="ts", unit="day")
+    assert second == [d3.replace(hour=0).isoformat()]
+
+    # delete day 1 entirely: refresh reports it stale, reads hide it
+    v3 = mk([(d2, "b", 3.0), (d3, "c", 9.0)])
+    third = refresh_rollup(spark, v3, base, agg, time_col="ts", unit="day")
+    assert third == [d1.replace(hour=0).isoformat()]
+    got = {(r["k"], r["n"]) for r in read_rollup(spark, base).collect()}
+    assert got == {("b", 1), ("c", 1)}

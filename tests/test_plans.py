@@ -253,6 +253,9 @@ def test_registry_wide_plan_audit(spark):
         "ext_sim_search_pq",  # broadcast LUT-frame probe join (!= condition)
         "ext_dedup_embed", "join_theta", "ts_gapfill", "ts_interpolate",
         "join_asof",
+        # broadcast of the 1-ROW corpus-size aggregate onto the tf frame
+        # (operators/text.tfidf_topk) — bounded by construction
+        "ext_tfidf",
     }
     # streaming/sink entries run real side-effecting queries — covered by
     # their own tests
