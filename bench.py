@@ -61,6 +61,11 @@ HEADLINE = [
     # so plan regressions in those families gate too (VERDICT r2 item 9)
     "sql_q5",
     "stream_ingest",
+    # round 3 additions: double-aggregation SQL shape, per-key window
+    # sessionization, TF-IDF double agg — the new families' canaries
+    "sql_q13",
+    "ts_sessionize",
+    "ext_tfidf",
 ]
 
 

@@ -155,7 +155,15 @@ def tfidf_topk(
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     ).filter(F.col("token") != "")
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    # lazy localCheckpoint: the tf aggregate feeds BOTH the score join and
+    # the document-frequency aggregate, and Catalyst does not reuse the
+    # subplan — without this the tokenize+explode+agg (the dominant cost)
+    # runs twice per action
+    tf = (
+        toks.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.countDistinct(id_col).alias("n_docs"))
     scored = (
