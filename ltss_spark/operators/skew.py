@@ -68,3 +68,41 @@ def salted_two_phase_agg(
     return p1.groupBy(*key_cols).agg(
         *[c.alias(name) for name, c in finals.items()]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_src: Column,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join by SALT REPLICATION — for the case AQE's
+    skew-join split cannot fix alone: a join key so hot that one key's
+    rows exceed a single task's capacity, against a ``small`` side that is
+    too large (or too row-expanding) to broadcast outright.
+
+    The big side gets a deterministic salt (``pmod(xxhash64(salt_src),
+    n)``); the small side is replicated once per salt value via
+    ``explode(sequence(...))``. The join key becomes (key, salt): the hot
+    key's rows now spread over ``salt_buckets`` reduce tasks instead of
+    one. Cost model: small side ships ``salt_buckets``× — choose buckets
+    ≈ (hot-key rows / target task rows), not larger.
+
+    Result is identical to ``big.join(small, on)`` for any deterministic
+    ``salt_src`` (asserted in tests); salt columns never escape.
+    """
+    b = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets))
+    )
+    # sequence over BIGINT bounds so the exploded salt matches pmod's long
+    # type without casting the generator (generators can't nest in a cast)
+    s = small.withColumn(
+        "__salt",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(salt_buckets - 1).cast("long")
+            )
+        ),
+    )
+    return b.join(s, on + ["__salt"]).drop("__salt")

@@ -188,3 +188,46 @@ def tfidf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average token log-probability under the CORPUS unigram
+    language model — the cheap perplexity-style quality signal every
+    training-data pipeline runs (low avg logprob = gibberish / rare-token
+    soup; suspiciously high = boilerplate).
+
+    Composition: token explode -> corpus unigram counts (one hash agg) ->
+    join token occurrences back to their counts -> per-doc exact-decimal
+    sum of per-token logprobs / token count. The corpus total joins as a
+    broadcast 1-row aggregate. Shuffle volume: |token occurrences| once
+    for the count, once for the scoring join — both linear, and the count
+    join key (token) is Zipf-skewed, which AQE's skew split handles (or
+    route through salted_join for pathological vocabularies).
+
+    Determinism: ln() is transcendental, so each PER-TOKEN logprob is
+    rounded to 6 decimals first, then summed exactly (DECIMAL), then the
+    single final division — order-insensitive across engines.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("t"))
+    lp = F.round(F.log(F.col("c") / F.col("t")), 6)
+    scored = (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), lp.alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum(F.col("lp").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_logprob"),
+    )

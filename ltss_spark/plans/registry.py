@@ -148,6 +148,8 @@ _DRIVER_SECOND: list[str] = [
     "ltss_cagg_refresh",
     "agg_mode",
     "win_ntile",
+    "join_skew_salted",
+    "ext_unigram_lm",
     "ext_dedup_exact",
     "ext_dedup_minhash",
     "ext_dedup_simhash",

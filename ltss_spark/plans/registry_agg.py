@@ -1082,3 +1082,37 @@ def win_ntile(spark, sf_dir):
         "c_acctbal",
         F.ntile(4).over(w).cast("int").alias("balance_quartile"),
     )
+
+
+@register(
+    "join_skew_salted",
+    """
+    WITH dim AS (
+      SELECT event_type, MIN(value) AS type_min, MAX(value) AS type_max
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value, d.type_min, d.type_max
+    FROM events e JOIN dim d USING (event_type)
+    """,
+    survey="join_inner join_broadcast (salt-replication skew join: hot keys spread over N reduce tasks)",
+)
+def join_skew_salted(spark, sf_dir):
+    """events is the canonical hot-key case (100k+ rows over 5 event
+    types): a plain shuffle join funnels each type through one task.
+    salted_join (operators/skew.py) spreads every hot key over 8 salt
+    buckets by replicating the small side — result provably identical to
+    the unsalted join (this oracle), plan asserted shuffle-shaped in
+    tests/test_plans.py."""
+    from ltss_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events")
+    dim = e.groupBy("event_type").agg(
+        F.min("value").alias("type_min"), F.max("value").alias("type_max")
+    )
+    return salted_join(
+        e.select("event_id", "event_type", "value"),
+        dim,
+        on=["event_type"],
+        salt_src=F.col("event_id"),
+        salt_buckets=8,
+    ).select("event_id", "event_type", "value", "type_min", "type_max")

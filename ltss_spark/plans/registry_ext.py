@@ -1157,3 +1157,34 @@ def ext_tfidf(spark, sf_dir):
     from ltss_spark.operators.text import tfidf_topk
 
     return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "ext_unigram_lm",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    tnz AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    counts AS (SELECT token, COUNT(*) AS c FROM tnz GROUP BY 1),
+    total AS (SELECT COUNT(*) AS t FROM tnz),
+    scored AS (
+      SELECT doc_id, round(ln(CAST(c AS DOUBLE) / t), 6) AS lp
+      FROM tnz JOIN counts USING (token) CROSS JOIN total
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           round(CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    survey="ext_text_stats fn_math agg_basic (unigram-LM average log-probability: perplexity-style quality signal)",
+)
+def ext_unigram_lm(spark, sf_dir):
+    """Per-doc average token log-probability under the corpus unigram LM
+    (operators/text.unigram_logprob) — the cheap perplexity proxy used for
+    quality filtering. Per-token logprobs round to 6 decimals BEFORE the
+    exact-decimal sum, so the order-sensitive double accumulation never
+    happens (the repo's transcendental-determinism rule)."""
+    from ltss_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))

@@ -254,8 +254,10 @@ def test_registry_wide_plan_audit(spark):
         "ext_dedup_embed", "join_theta", "ts_gapfill", "ts_interpolate",
         "join_asof",
         # broadcast of the 1-ROW corpus-size aggregate onto the tf frame
-        # (operators/text.tfidf_topk) — bounded by construction
+        # (operators/text.tfidf_topk / unigram_logprob) — bounded by
+        # construction
         "ext_tfidf",
+        "ext_unigram_lm",
     }
     # streaming/sink entries run real side-effecting queries — covered by
     # their own tests
@@ -489,3 +491,27 @@ def test_jdbc_scan_pushes_predicates_and_partitions(spark):
     assert "PushedFilters" in plan
     assert "EVENT_TYPE" in plan or "event_type" in plan, "filter not pushed to JDBC"
     assert df.rdd.getNumPartitions() == 8, "JDBC read not range-partitioned"
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """salted_join must produce the same rows as the plain join AND, with
+    broadcast disabled, shuffle on (key, salt) — the hot key's rows land
+    on salt_buckets reduce tasks instead of one."""
+    from ltss_spark.operators.skew import salted_join
+    from ltss_spark.sources.batch import load_table
+
+    e = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type", "value")
+    dim = e.groupBy("event_type").agg(F.min("value").alias("m"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        salted = salted_join(e, dim, on=["event_type"], salt_src=F.col("event_id"), salt_buckets=8)
+        plan = _plan(salted)
+        assert "SortMergeJoin" in plan and "__salt" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    plain = e.join(dim, "event_type")
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in salted.select("event_id", "m").collect()}
+    b = {tuple(r) for r in plain.select("event_id", "m").collect()}
+    assert a == b
