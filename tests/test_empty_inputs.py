@@ -141,3 +141,44 @@ def test_dup_pairs_method_validation(spark):
     corpus = spark.createDataFrame([(1, _vec(1))], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         embedding_dup_pairs(corpus, method="fuzzy")
+
+
+def test_round3_operators_empty(spark, tmp_path):
+    """sessionize / bbox join / tfidf / unigram LM / salted join / cagg on
+    empty inputs: empty out, no crash (empty windows, empty explodes,
+    empty fingerprint sidecars)."""
+    from ltss_spark.operators.cagg import read_rollup, refresh_rollup
+    from ltss_spark.operators.geo import bbox_spatial_join
+    from ltss_spark.operators.skew import salted_join
+    from ltss_spark.operators.text import tfidf_topk, unigram_logprob
+    from ltss_spark.operators.timeseries import sessionize
+
+    ev = spark.createDataFrame([], "user_id long, ts timestamp, event_id long")
+    assert sessionize(ev, time_col="ts", key_cols=("user_id",)).count() == 0
+
+    pts = spark.createDataFrame([], "pid long, lon double, lat double")
+    boxes = spark.createDataFrame(
+        [(1, 0.0, 0.0, 10.0, 10.0)],
+        "box_id long, west double, south double, east double, north double",
+    )
+    assert bbox_spatial_join(pts, boxes).count() == 0
+    noboxes = spark.createDataFrame(
+        [], "box_id long, west double, south double, east double, north double"
+    )
+    pts1 = spark.createDataFrame([(1, 5.0, 5.0)], "pid long, lon double, lat double")
+    assert bbox_spatial_join(pts1, noboxes).count() == 0
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert tfidf_topk(docs).count() == 0
+    assert unigram_logprob(docs).count() == 0
+
+    big = spark.createDataFrame([], "k string, v double")
+    dim = spark.createDataFrame([("a", 1.0)], "k string, m double")
+    assert salted_join(big, dim, on=["k"], salt_src=F.col("v")).count() == 0
+
+    def agg(src):
+        return src.groupBy("bucket", "k").agg(F.count(F.lit(1)).alias("n"))
+
+    empty = spark.createDataFrame([], "ts timestamp, k string")
+    base = str(tmp_path / "cagg_empty")
+    assert refresh_rollup(spark, empty, base, agg, time_col="ts", unit="day") == []
