@@ -150,6 +150,7 @@ _DRIVER_SECOND: list[str] = [
     "win_ntile",
     "join_skew_salted",
     "ext_unigram_lm",
+    "ext_dedup_spans",
     "ext_dedup_exact",
     "ext_dedup_minhash",
     "ext_dedup_simhash",

@@ -1188,3 +1188,33 @@ def ext_unigram_lm(spark, sf_dir):
     from ltss_spark.operators.text import unigram_logprob
 
     return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ext_dedup_spans",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    wins AS (
+      SELECT doc_id, u.i - 1 AS pos, array_to_string(t[u.i:u.i + 4], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 4, 1))) AS u(i)
+      WHERE len(t[u.i:u.i + 4]) = 5
+    ),
+    gdf AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM wins GROUP BY 1),
+    scored AS (SELECT doc_id, pos, df > 1 AS is_dup FROM wins JOIN gdf USING (gram))
+    SELECT doc_id, COUNT(*) AS n_windows,
+           SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_windows,
+           round(CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_ratio,
+           MIN(CASE WHEN is_dup THEN pos END) AS first_dup_pos
+    FROM scored GROUP BY doc_id
+    """,
+    survey="ext_dedup_near ext_text_stats fn_string (cross-doc duplicate k-gram SPANS: substring-dedup audit, positional)",
+)
+def ext_dedup_spans(spark, sf_dir):
+    """Positional duplicate-span audit (operators/dedup.
+    duplicate_span_stats): which parts of each doc are verbatim k-gram
+    repeats of OTHER docs — the substring-dedup signal doc-level MinHash
+    cannot see. Linear: one distinct, one df aggregate, one join back."""
+    from ltss_spark.operators.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_t(spark, sf_dir, "documents"), k=5)

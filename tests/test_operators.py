@@ -1031,3 +1031,24 @@ def test_cagg_refresh_touches_only_stale_buckets(spark, tmp_path):
     assert third == [d1.replace(hour=0).isoformat()]
     got = {(r["k"], r["n"]) for r in read_rollup(spark, base).collect()}
     assert got == {("b", 1), ("c", 1)}
+
+
+def test_duplicate_spans_cross_doc_only(spark):
+    """A 6-token sentence shared by docs 1 and 2 yields exactly two dup
+    k=5 windows in each, positioned where the sentence sits; intra-doc
+    repetition alone (doc 3) must NOT count as a duplicate span."""
+    from ltss_spark.operators.dedup import duplicate_span_stats
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " one two three"),
+            (2, "x y " + shared),
+            (3, "p q r s t p q r s t"),  # intra-doc repeat, unique corpus-wide
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_span_stats(docs, k=5).collect()}
+    assert out[1]["n_dup_windows"] == 2 and out[1]["first_dup_pos"] == 0
+    assert out[2]["n_dup_windows"] == 2 and out[2]["first_dup_pos"] == 2
+    assert out[3]["n_dup_windows"] == 0 and out[3]["first_dup_pos"] is None
