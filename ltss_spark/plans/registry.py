@@ -151,6 +151,8 @@ _DRIVER_SECOND: list[str] = [
     "join_skew_salted",
     "ext_unigram_lm",
     "ext_dedup_spans",
+    "sink_upsert",
+    "ltss_attr_keys",
     "ext_dedup_exact",
     "ext_dedup_minhash",
     "ext_dedup_simhash",

@@ -1670,3 +1670,97 @@ def ltss_cagg_refresh_q(spark, sf_dir):
     refresh_rollup(spark, e, base, agg, time_col="ts", unit="day",
                    sig_cols=["event_id", "value"])
     return read_rollup(spark, base)
+
+
+@register(
+    "sink_upsert",
+    f"""
+    WITH {_STATES_CTE},
+    deduped AS (
+      SELECT *, row_number() OVER (PARTITION BY time, entity_id
+                                   ORDER BY event_id DESC) AS rn
+      FROM states
+      WHERE entity_id IS NOT NULL AND state IS NOT NULL AND state <> 'unknown'
+    )
+    SELECT time, entity_id, state, attributes FROM deduped WHERE rn = 1
+    """,
+    survey="sink_partitioned B9 B8 (PK upsert: ON CONFLICT DO UPDATE on parquet, touched-month rewrite)",
+)
+def sink_upsert_q(spark, sf_dir):
+    """The reference's PK upsert (models.py:31-32) on immutable files:
+    land a table where every 7th row carries a STALE state, then upsert
+    the true rows — updates win per PK, only touched month partitions
+    rewrite (sources/batch.upsert_partitioned). The oracle is the clean
+    canonical table, so the hash proves the upsert repaired exactly the
+    stale rows and disturbed nothing else."""
+    from ltss_spark.ingest import valid_event_expr
+    from ltss_spark.sources.batch import upsert_partitioned, write_partitioned
+
+    base = scratch_dir("ltss_upsert")
+    states = dedup_primary_key(
+        states_from_events(_t(spark, sf_dir, "events")).filter(valid_event_expr()),
+        tie_breaker="event_id",
+    ).select("time", "entity_id", "state", "attributes", "event_id")
+    stale = F.col("event_id") % 7 == 0
+    v1 = states.withColumn(
+        "state", F.when(stale, F.lit("STALE")).otherwise(F.col("state"))
+    )
+    write_partitioned(v1, base)
+    upsert_partitioned(spark, base, states.filter(stale))
+    return spark.read.parquet(base).select("time", "entity_id", "state", "attributes")
+
+
+@register(
+    "ltss_attr_keys",
+    f"""
+    WITH {_STATES_CTE},
+    enriched AS (
+      SELECT entity_id,
+             '{{"k": ' || CAST(event_id % 100 AS VARCHAR)
+               || ', "src": "' || split_part(entity_id, '.', 1) || '"'
+               || CASE WHEN event_id % 3 = 0
+                       THEN ', "battery": ' || CAST(event_id % 5 AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN event_id % 5 = 0 THEN ', "unit": "C"' ELSE '' END
+               || '}}' AS attributes
+      FROM states
+    ),
+    ks AS (
+      SELECT entity_id, unnest(json_keys(attributes)) AS attr_key
+      FROM enriched WHERE attributes IS NOT NULL
+    )
+    SELECT attr_key, COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT entity_id) AS BIGINT) AS n_entities
+    FROM ks GROUP BY attr_key
+    """,
+    survey="B5 fn_json agg_distinct (dynamic-payload key census: which JSON attributes exist, how hot)",
+)
+def ltss_attr_keys_q(spark, sf_dir):
+    """Schema discovery over the dynamic JSONB payload (the reference's
+    attributes column is schemaless by design, SURVEY §1.3): a key census
+    telling an operator WHICH attribute keys exist and how hot each is —
+    the input to the materialize-hot-keys decision
+    (ltss_attr_materialize). The fixture's payload is single-key, so the
+    entry enriches it with deterministic conditional keys (battery on
+    every 3rd event, unit on every 5th) the way real HA attributes vary
+    per integration. json_object_keys + explode + one hash agg; linear,
+    codegen'd, no Python."""
+    states = states_from_events(_t(spark, sf_dir, "events"))
+    attrs = F.concat(
+        F.lit('{"k": '), (F.col("event_id") % 100).cast("string"),
+        F.lit(', "src": "'), F.split(F.col("entity_id"), r"\.").getItem(0), F.lit('"'),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit(', "battery": '), (F.col("event_id") % 5).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("event_id") % 5 == 0, F.lit(', "unit": "C"')).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    enriched = states.select("entity_id", attrs.alias("attributes"))
+    ks = enriched.filter(F.col("attributes").isNotNull()).select(
+        "entity_id", F.explode(F.json_object_keys("attributes")).alias("attr_key")
+    )
+    return ks.groupBy("attr_key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("entity_id").alias("n_entities"),
+    )

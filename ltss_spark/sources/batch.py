@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 #: every table the driver materializes (TESTDATA.md)
 TABLES = (
@@ -272,3 +272,57 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    pk: tuple[str, ...] = ("time", "entity_id"),
+    time_col: str = "time",
+    bucket_fmt: str = "yyyy-MM",
+    tie_breaker: str | None = "event_id",
+) -> list[str]:
+    """PK upsert into a month-partitioned table — the reference's
+    ``ON CONFLICT (time, entity_id) DO UPDATE`` write semantic
+    (PK models.py:31-32) on immutable parquet:
+
+    - only the month partitions the updates TOUCH are read back and
+      rewritten (dynamic partition overwrite) — the untouched history is
+      never scanned, the chunk-local rewrite a hypertable upsert does;
+    - within a touched month, updates WIN on PK collision (then
+      ``tie_breaker`` DESC among themselves) via one per-PK window over
+      existing ∪ updates — no row-at-a-time conflict handling.
+
+    Returns the rewritten month keys. At 100 TB: cost ∝ updated months'
+    data; the merge is one shuffle on the PK, co-located with the month
+    partitioning.
+    """
+    upd = updates.withColumn("month", F.date_format(F.col(time_col), bucket_fmt))
+    months = [r["month"] for r in upd.select("month").distinct().collect()]
+    if not months:
+        return []
+    existing = (
+        spark.read.parquet(path)
+        .filter(F.col("month").isin(months))
+        .withColumn("__src", F.lit(0))
+    )
+    merged = existing.unionByName(upd.withColumn("__src", F.lit(1)))
+    order = [F.col("__src").desc()] + (
+        [F.col(tie_breaker).desc()] if tie_breaker else []
+    )
+    w = Window.partitionBy(*pk).orderBy(*order)
+    resolved = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        resolved.sortWithinPartitions("entity_id", time_col).write.mode(
+            "overwrite"
+        ).partitionBy("month").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return sorted(months)

@@ -449,3 +449,45 @@ def test_compact_sink_bounds_files_and_preserves_rows(spark, tmp_path):
     after = spark.read.parquet(out).drop("month")
     assert before.exceptAll(after).count() == 0
     assert after.exceptAll(before).count() == 0
+
+
+def test_upsert_rewrites_only_touched_months(spark, tmp_path):
+    """upsert_partitioned must rewrite ONLY the months the updates touch:
+    an update in March leaves January's files byte-identical, updates win
+    per PK, and new PKs insert."""
+    import os
+
+    from ltss_spark.sources.batch import upsert_partitioned, write_partitioned
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "time timestamp, entity_id string, state string, event_id long"
+        )
+
+    import datetime as dt
+
+    jan = dt.datetime(2024, 1, 10)
+    mar = dt.datetime(2024, 3, 5)
+    base = str(tmp_path / "upsert")
+    write_partitioned(mk([(jan, "a", "old-jan", 1), (mar, "a", "old-mar", 2)]), base)
+
+    jan_dir = f"{base}/month=2024-01"
+    before = {f: os.path.getmtime(f"{jan_dir}/{f}") for f in os.listdir(jan_dir)}
+
+    months = upsert_partitioned(
+        spark, base,
+        mk([(mar, "a", "NEW-mar", 3), (mar, "b", "inserted", 4)]),
+    )
+    assert months == ["2024-03"]
+    after = {f: os.path.getmtime(f"{jan_dir}/{f}") for f in os.listdir(jan_dir)}
+    assert before == after, "January partition was rewritten"
+
+    got = {
+        (r["entity_id"], r["month"]): r["state"]
+        for r in spark.read.parquet(base).collect()
+    }
+    assert got == {
+        ("a", "2024-01"): "old-jan",
+        ("a", "2024-03"): "NEW-mar",
+        ("b", "2024-03"): "inserted",
+    }
