@@ -153,6 +153,9 @@ _DRIVER_SECOND: list[str] = [
     "ext_dedup_spans",
     "sink_upsert",
     "ltss_attr_keys",
+    "agg_corr",
+    "win_time_range",
+    "stream_upsert",
     "ext_dedup_exact",
     "ext_dedup_minhash",
     "ext_dedup_simhash",

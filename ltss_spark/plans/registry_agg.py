@@ -1116,3 +1116,87 @@ def join_skew_salted(spark, sf_dir):
         salt_src=F.col("event_id"),
         salt_buckets=8,
     ).select("event_id", "event_type", "value", "type_min", "type_max")
+
+
+@register(
+    "agg_corr",
+    """
+    WITH sums AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(user_id AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(value * user_id AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(user_id * user_id AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS corr_value_user
+    FROM sums
+    """,
+    survey="agg_basic fn_math (Pearson correlation from exact-decimal moment sums)",
+)
+def agg_corr(spark, sf_dir):
+    """Pearson correlation per group WITHOUT F.corr: the five moment sums
+    are exact decimals (order-insensitive — F.corr's streaming update is
+    partitioning-dependent in the last ulps), then one fixed IEEE formula
+    per group. The same one-pass shape (all five sums in a single hash
+    aggregation), deterministic across engines and shuffles."""
+    e = _t(spark, sf_dir, "events")
+    v, u = F.col("value"), F.col("user_id")
+    sums = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(v, 6).alias("sx"),
+        dsum(u.cast("double"), 6).alias("sy"),
+        dsum(v * u, 6).alias("sxy"),
+        dsum(v * v, 6).alias("sxx"),
+        dsum(u * u, 6).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_value_user"),
+    )
+
+
+@register(
+    "win_time_range",
+    """
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_trailing_1h,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER w AS DOUBLE)
+             AS sum_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    survey="win_frame fn_date (time-interval RANGE frame: trailing-window analytics per entity)",
+)
+def win_time_range(spark, sf_dir):
+    """Trailing 1-hour window per user over EVENT TIME (RANGE frame on a
+    timestamp, not a row count) — the dashboard 'last hour' aggregate at
+    every event. One per-key sort; frame bounds slide by time so
+    irregular sampling is handled exactly. Decimal window sum keeps the
+    result order-insensitive. Rows with equal ts are RANGE-peers on both
+    engines, so counts are deterministic without a tie-break."""
+    for t in ("events",):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w AS n_trailing_1h,
+               CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER w AS DOUBLE)
+                 AS sum_trailing_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )

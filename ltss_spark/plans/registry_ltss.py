@@ -1764,3 +1764,38 @@ def ltss_attr_keys_q(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("entity_id").alias("n_entities"),
     )
+
+
+@register(
+    "stream_upsert",
+    f"""
+    WITH {_STATES_CTE},
+    deduped AS (
+      SELECT *, row_number() OVER (PARTITION BY time, entity_id
+                                   ORDER BY event_id DESC) AS rn
+      FROM states
+    )
+    SELECT time, entity_id, state, attributes FROM deduped WHERE rn = 1
+    """,
+    survey="stream_ingest sink_append B9 (streaming PK-upsert sink: full-replay idempotency, ON CONFLICT semantics)",
+)
+def stream_upsert_q(spark, sf_dir):
+    """The ingest stream landed through the PK-UPSERT sink
+    (streaming/ingest.make_upsert_sink -> sources/batch.upsert_partitioned)
+    instead of the epoch-append sink, then the ENTIRE pipeline is re-run
+    with a fresh checkpoint — a full at-least-once replay. The oracle is
+    the canonical deduped table: the hash passing proves a replayed batch
+    REPLACES its PKs (the reference's ON CONFLICT posture, models.py:31-32)
+    rather than appending duplicates, with the event_id-max survivor
+    deterministic."""
+    from ltss_spark.streaming.ingest import run_ingest_availablenow
+
+    base = scratch_dir("ltss_supsert")
+    for ck in ("ckpt1", "ckpt2"):  # second pass = full replay, must be a no-op
+        run_ingest_availablenow(
+            spark, sf_dir, out_path=f"{base}/out", checkpoint=f"{base}/{ck}",
+            dedup=False, upsert=True,
+        )
+    return spark.read.parquet(f"{base}/out").select(
+        "time", "entity_id", "state", "attributes"
+    )

@@ -302,11 +302,16 @@ def upsert_partitioned(
     months = [r["month"] for r in upd.select("month").distinct().collect()]
     if not months:
         return []
-    existing = (
-        spark.read.parquet(path)
-        .filter(F.col("month").isin(months))
-        .withColumn("__src", F.lit(0))
-    )
+    try:
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col("month").isin(months))
+            .withColumn("__src", F.lit(0))
+        )
+    except Exception:
+        # first write: no target yet — upsert degrades to a plain insert
+        # (the streaming sink's first micro-batch takes this path)
+        existing = upd.withColumn("__src", F.lit(0)).limit(0)
     merged = existing.unionByName(upd.withColumn("__src", F.lit(1)))
     order = [F.col("__src").desc()] + (
         [F.col(tie_breaker).desc()] if tie_breaker else []

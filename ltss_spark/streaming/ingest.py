@@ -139,6 +139,31 @@ def make_sink(
     return sink
 
 
+def make_upsert_sink(
+    out_path: str,
+    pk: tuple[str, ...] = ("time", "entity_id"),
+    tie_breaker: str | None = "event_id",
+    max_tries: int = DEFAULT_MAX_TRIES,
+    backoff_s: float = DEFAULT_BACKOFF_S,
+):
+    """``foreachBatch`` body that UPSERTS each micro-batch into a
+    month-partitioned table (sources/batch.upsert_partitioned) — the
+    closest file-based analogue of the reference's PK-conflict INSERT
+    (models.py:31-32): a replayed or overlapping micro-batch REPLACES its
+    PKs instead of appending duplicates, so the sink is idempotent without
+    the epoch=<id> directory scheme. Per batch the cost is the touched
+    months' rewrite, which micro-batch time-locality keeps small (a batch
+    touches the current month, not history)."""
+    from ltss_spark.sources.batch import upsert_partitioned
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        with_retries(upsert_partitioned, max_tries, backoff_s)(
+            batch.sparkSession, out_path, batch, pk=pk, tie_breaker=tie_breaker
+        )
+
+    return sink
+
+
 def compact_sink(
     spark: SparkSession,
     in_path: str,
@@ -179,10 +204,13 @@ def run_ingest_availablenow(
     jdbc_url: str | None = None,
     jdbc_table: str = "ltss",
     jdbc_options: dict | None = None,
+    upsert: bool = False,
 ) -> None:
     """Drive the ingest pipeline over the driver's ``events`` parquet as a
     bounded stream (Trigger.AvailableNow) and land canonical state rows at
-    ``out_path`` partitioned by month.
+    ``out_path`` partitioned by month (``upsert=True`` routes through the
+    PK-upsert sink instead of the epoch-append sink — replayed batches
+    replace their PKs, the reference's conflict semantics).
 
     - ``withWatermark`` bounds streaming dedup state (stream_dedup +
       stream_watermark, SURVEY §2.C): duplicates arriving later than the
@@ -212,12 +240,17 @@ def run_ingest_availablenow(
             ["time", "entity_id"]
         )
 
-    sink = make_sink(
-        out_path=out_path,
-        jdbc_url=jdbc_url,
-        jdbc_table=jdbc_table,
-        jdbc_options=jdbc_options,
-    )
+    if upsert:
+        if out_path is None:
+            raise ValueError("upsert sink requires out_path")
+        sink = make_upsert_sink(out_path)
+    else:
+        sink = make_sink(
+            out_path=out_path,
+            jdbc_url=jdbc_url,
+            jdbc_table=jdbc_table,
+            jdbc_options=jdbc_options,
+        )
     if checkpoint is None:
         # a None option value reaches the JVM as a null path and fails at
         # start(); an explicit fresh scratch dir (removed at process exit)
