@@ -49,3 +49,9 @@ from ltss_spark.operators.compress import (  # noqa: F401
 )
 from ltss_spark.operators.corpus import mixture_sample  # noqa: F401
 from ltss_spark.operators.similarity import cosine_topk_ivfpq, cosine_topk_pq  # noqa: F401
+from ltss_spark.operators.cagg import read_rollup, refresh_rollup  # noqa: F401
+from ltss_spark.operators.dedup import duplicate_span_stats  # noqa: F401
+from ltss_spark.operators.geo import bbox_spatial_join  # noqa: F401
+from ltss_spark.operators.skew import salted_join  # noqa: F401
+from ltss_spark.operators.text import tfidf_topk, unigram_logprob  # noqa: F401
+from ltss_spark.operators.timeseries import sessionize  # noqa: F401

@@ -90,8 +90,11 @@ def bbox_spatial_join(
     spatial-join shape: shuffle keyed by cell, candidate volume bounded by
     grid occupancy, never all-pairs.
 
-    ``boxes`` columns: west/south/east/north (+ id cols). Result: points
-    columns + boxes' id columns, one row per containment."""
+    ``boxes`` columns: west/south/east/north (+ id cols), with west <=
+    east and south <= north (an antimeridian-crossing box must be split
+    into two by the caller; an inverted box yields no matches — the
+    residual predicate rejects every candidate). Result: points columns +
+    boxes' id columns, one row per containment."""
     from pyspark.sql import DataFrame as _DF  # noqa: F401 (signature clarity)
 
     cell = F.lit(cell_deg)
