@@ -156,6 +156,7 @@ _DRIVER_SECOND: list[str] = [
     "agg_corr",
     "win_time_range",
     "stream_upsert",
+    "ext_dedup_span_remove",
     "ext_dedup_exact",
     "ext_dedup_minhash",
     "ext_dedup_simhash",

@@ -1218,3 +1218,52 @@ def ext_dedup_spans(spark, sf_dir):
     from ltss_spark.operators.dedup import duplicate_span_stats
 
     return duplicate_span_stats(_t(spark, sf_dir, "documents"), k=5)
+
+
+@register(
+    "ext_dedup_span_remove",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    wins AS (
+      SELECT doc_id, u.i - 1 AS pos, array_to_string(t[u.i:u.i + 4], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 4, 1))) AS u(i)
+      WHERE len(t[u.i:u.i + 4]) = 5
+    ),
+    gdf AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM wins GROUP BY 1),
+    covered AS (
+      SELECT DISTINCT w.doc_id, u2.j AS tpos
+      FROM wins w JOIN gdf USING (gram), UNNEST(generate_series(w.pos, w.pos + 4)) AS u2(j)
+      WHERE gdf.df > 1
+    ),
+    tokpos AS (
+      SELECT doc_id, u.i - 1 AS tpos, t[u.i] AS token
+      FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+      WHERE t[u.i] <> ''
+    ),
+    kept AS (
+      SELECT doc_id, tpos, token FROM tokpos ANTI JOIN covered USING (doc_id, tpos)
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(token, ' ' ORDER BY tpos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_total FROM tokpos GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           t.n_total - COALESCE(r.n_kept, 0) AS n_removed
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+    survey="ext_dedup_near fn_string fn_array (substring dedup OUTPUT: duplicate spans removed, order-safe reassembly)",
+)
+def ext_dedup_span_remove(spark, sf_dir):
+    """The cleaned corpus after substring dedup (operators/dedup.
+    remove_duplicate_spans): tokens covered by any cross-doc duplicate
+    k-gram window are dropped and the survivors reassemble in position
+    order (array_sort over (pos, token) structs — deterministic where a
+    bare collect_list is not). The oracle hash pins the exact rewritten
+    text of every document."""
+    from ltss_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_t(spark, sf_dir, "documents"), k=5)

@@ -1052,3 +1052,27 @@ def test_duplicate_spans_cross_doc_only(spark):
     assert out[1]["n_dup_windows"] == 2 and out[1]["first_dup_pos"] == 0
     assert out[2]["n_dup_windows"] == 2 and out[2]["first_dup_pos"] == 2
     assert out[3]["n_dup_windows"] == 0 and out[3]["first_dup_pos"] is None
+
+
+def test_remove_duplicate_spans_rewrites_exactly(spark):
+    """The shared sentence is excised from both docs, surrounding unique
+    text survives in order, a fully-duplicate doc keeps an empty string,
+    and an intra-doc-only repeat is untouched."""
+    from ltss_spark.operators.dedup import remove_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " one two three"),
+            (2, "x y " + shared + " z"),
+            (3, shared),                      # fully duplicate
+            (4, "p q r s t p q r s t"),       # intra-doc repeat only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, k=5).collect()}
+    assert out[1]["clean_text"] == "one two three"
+    assert out[2]["clean_text"] == "x y z"
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["clean_text"] == "p q r s t p q r s t"
+    assert out[1]["n_removed"] == 6 and out[2]["n_removed"] == 6
