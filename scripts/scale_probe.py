@@ -148,6 +148,7 @@ def main():
     pq_encode(emb1, books).count()
 
     from ltss_spark.operators.cagg import refresh_rollup
+    from ltss_spark.operators.dedup import duplicate_span_stats
     from ltss_spark.operators.geo import bbox_spatial_join
     from ltss_spark.operators.text import tfidf_topk
     from ltss_spark.operators.timeseries import sessionize
@@ -220,6 +221,12 @@ def main():
             lambda: bbox_spatial_join(points_of(emb), boxes).count()
         )
         row["tfidf_rows"], row["tfidf_sec"] = timed(lambda: tfidf_topk(docs).count())
+        # substring-dedup audit: replicas share no grams (token tagging),
+        # so this measures the positional window + df machinery's pure
+        # linear cost, not a growing dup graph
+        row["span_rows"], row["span_audit_sec"] = timed(
+            lambda: duplicate_span_stats(docs).count()
+        )
         # cagg: full rebuild vs single-stale-day refresh — refresh must
         # track the CHANGED slice (1/30th of the days), not the table
         cagg_dir = os.path.join(base, f"cagg_x{factor}")
