@@ -103,8 +103,12 @@ def refresh_rollup(
     # source scan (partition pruning on a bucket-partitioned layout)
     src_bucketed = source.withColumn("bucket", F.date_trunc(unit, F.col(time_col)))
     stale_src = src_bucketed.join(F.broadcast(stale), on="bucket", how="left_semi")
+    # full-second partition key: one partition PER BUCKET for any trunc
+    # unit. A coarser key (e.g. to-the-hour) would group several sub-hour
+    # buckets into one partition, and the dynamic overwrite of a single
+    # stale bucket would silently delete its siblings' rollup rows.
     fresh = agg(stale_src).withColumn(
-        "p_bucket", F.date_format("bucket", "yyyy-MM-dd-HH")
+        "p_bucket", F.date_format("bucket", "yyyy-MM-dd-HH-mm-ss")
     )
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

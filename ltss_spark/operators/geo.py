@@ -95,8 +95,6 @@ def bbox_spatial_join(
     into two by the caller; an inverted box yields no matches — the
     residual predicate rejects every candidate). Result: points columns +
     boxes' id columns, one row per containment."""
-    from pyspark.sql import DataFrame as _DF  # noqa: F401 (signature clarity)
-
     cell = F.lit(cell_deg)
     pc = points.withColumn("cx", F.floor(F.col(lon_col) / cell)).withColumn(
         "cy", F.floor(F.col(lat_col) / cell)

@@ -142,6 +142,21 @@ def _sig_udf(tables: int, bits: int, dim: int):
     return sigs
 
 
+def _infer_dim(corpus: DataFrame, vec_col: str) -> int:
+    """Embedding width from the data (one LIMIT-1 probe): the safe default
+    for every dim parameter below. A hardcoded wrong width would silently
+    exclude EVERY vector from the length gates and return empty results
+    (LSH signatures / codebook seeds) instead of erroring."""
+    row = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .first()
+    )
+    if row is None:
+        raise ValueError(f"cannot infer embedding dim: no non-null {vec_col!r} values")
+    return len(row["v"])
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -150,7 +165,7 @@ def cosine_topk_lsh(
     k: int = 5,
     tables: int = 16,
     bits: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH.
 
@@ -167,6 +182,8 @@ def cosine_topk_lsh(
     operator in tests/test_operators.py.
     """
 
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
     sig_udf = _sig_udf(tables, bits, dim)
 
     def with_sigs(df: DataFrame, ident: str) -> DataFrame:
@@ -221,7 +238,7 @@ def embedding_dup_pairs(
     exact_limit: int | None = 100_000,
     tables: int = 16,
     bits: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
     method: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b), a < b, with
@@ -274,6 +291,8 @@ def embedding_dup_pairs(
     if use_exact:
         return score(a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")))
 
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
     sigs = base.select(
         "id",
         "vec",
@@ -398,10 +417,16 @@ def cosine_topk_ivf(
     n_centroids: int = 16,
     nprobe: int = 4,
     train_iters: int = 0,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer — the
     FAISS-IVF-flat shape re-expressed as DataFrame ops.
+
+    ``dim``, when given, excludes wrong-length vectors from the codebook
+    seeds (a malformed vector must not become a centroid); None (default)
+    skips the length gate rather than guessing a dimension — a wrong
+    hardcoded default would silently empty the codebook for any corpus of
+    a different width.
 
     - Codebook: stride-sampled seeds, optionally refined with
       ``train_iters`` Lloyd iterations (:func:`kmeans_refine_codebook`).
@@ -478,7 +503,7 @@ def pq_codebooks(
     vec_col: str = "embedding",
     m: int = 16,
     kc: int = 16,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: ``m`` subspaces of dim/m dims, each
     with ``kc`` centroids taken from stride-sampled corpus vectors (the
@@ -486,6 +511,8 @@ def pq_codebooks(
     codebooks[m][c] = centroid subvector — a few KB collected to the
     driver and shipped to executors as plan literals, exactly like a
     broadcast dimension."""
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
     d_sub = dim // m
     # id-type-agnostic deterministic sample: the kc rows with the smallest
     # xxhash64(id) — a TakeOrdered top-k (map-side partial, no full sort),
@@ -617,12 +644,15 @@ def _adc_topk(encoded: DataFrame, qframe: DataFrame, m: int, k: int, rerank: int
     columns — no raw candidate vector is read until the exact rescore of
     the top ``rerank``."""
     if on:
-        cand = encoded.join(F.broadcast(qframe), on)
+        # the equi-join key (probed list membership) says nothing about
+        # identity — exclude self-matches as a residual filter
+        cand = encoded.join(F.broadcast(qframe), on).filter(
+            F.col("candidate_id") != F.col("query_id")
+        )
     else:
         cand = encoded.join(
             F.broadcast(qframe), F.col("candidate_id") != F.col("query_id")
         )
-    cand = cand.filter(F.col("candidate_id") != F.col("query_id"))
     codes = F.array(*[F.col(f"code{mm}") for mm in range(m)])
     adc_dot = F.aggregate(
         F.zip_with(
@@ -672,7 +702,7 @@ def cosine_topk_pq(
     k: int = 5,
     m: int = 16,
     kc: int = 16,
-    dim: int = 64,
+    dim: int | None = None,
     rerank: int = 50,
 ) -> DataFrame:
     """Approximate cosine top-k via product quantization with asymmetric
@@ -694,6 +724,8 @@ def cosine_topk_pq(
     (measured: 4-dim subspaces 0.87 recall@5 vs 0.40 for 8-dim on the
     weakly-clustered test corpus), so the default is m=16/kc=16.
     """
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
     codebooks = pq_codebooks(corpus, id_col, vec_col, m, kc, dim)
     # encode ONCE and reuse across the per-query scans — in production the
     # codes are materialized to storage next to the corpus; a lazy
@@ -718,7 +750,7 @@ def cosine_topk_ivfpq(
     nprobe: int = 4,
     m: int = 16,
     kc: int = 16,
-    dim: int = 64,
+    dim: int | None = None,
     rerank: int = 50,
 ):
     """The full FAISS-IVFPQ composition: an IVF coarse quantizer bounds
@@ -738,6 +770,8 @@ def cosine_topk_ivfpq(
     rescore. With nprobe == n_centroids the result is EXACTLY
     cosine_topk_pq (tested).
     """
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
     coarse = stride_codebook(corpus, id_col, vec_col, n_centroids, dim=dim)
     codebooks = pq_codebooks(corpus, id_col, vec_col, m, kc, dim)
     enc = pq_encode(corpus, codebooks, id_col, vec_col)

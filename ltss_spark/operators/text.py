@@ -214,9 +214,12 @@ def unigram_logprob(
     """
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
-    ).filter(F.col("token") != "")
+    ).filter(F.col("token") != "").localCheckpoint(eager=False)
+    # tokenize ONCE: toks feeds the count aggregate and the scoring join,
+    # and the corpus total derives from the counts (sum of c) instead of a
+    # third pass over the exploded tokens
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.agg(F.count(F.lit(1)).alias("t"))
+    total = counts.agg(F.sum("c").alias("t"))
     lp = F.round(F.log(F.col("c") / F.col("t")), 6)
     scored = (
         toks.join(counts, "token")

@@ -327,7 +327,7 @@ def sessionize(
     time_col: str = "ts",
     key_cols: tuple[str, ...] = ("user_id",),
     gap_seconds: int = 12 * 3600,
-    tie_breaker: str | None = "event_id",
+    tie_breaker: str | None = None,
 ) -> DataFrame:
     """Batch sessionization — the offline analogue of
     ``session_window`` (stream_window_session): consecutive events of the

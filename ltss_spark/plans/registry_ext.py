@@ -1249,11 +1249,13 @@ def ext_dedup_spans(spark, sf_dir):
       FROM kept GROUP BY doc_id
     ),
     totals AS (SELECT doc_id, COUNT(*) AS n_total FROM tokpos GROUP BY doc_id)
-    SELECT t.doc_id,
+    SELECT d.doc_id,
            COALESCE(r.clean_text, '') AS clean_text,
            COALESCE(r.n_kept, 0) AS n_kept,
-           t.n_total - COALESCE(r.n_kept, 0) AS n_removed
-    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+           COALESCE(t.n_total, 0) - COALESCE(r.n_kept, 0) AS n_removed
+    FROM documents d
+    LEFT JOIN totals t ON d.doc_id = t.doc_id
+    LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
     """,
     survey="ext_dedup_near fn_string fn_array (substring dedup OUTPUT: duplicate spans removed, order-safe reassembly)",
 )

@@ -302,15 +302,22 @@ def upsert_partitioned(
     months = [r["month"] for r in upd.select("month").distinct().collect()]
     if not months:
         return []
-    try:
+    # explicit existence check (Hadoop FS, so s3/hdfs paths work too):
+    # ONLY a missing target takes the first-write branch. A broad
+    # try/except here would turn a transient read error or one corrupt
+    # footer into "table is empty" — and the dynamic overwrite below would
+    # then silently replace every touched month with just the update rows.
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
         existing = (
             spark.read.parquet(path)
             .filter(F.col("month").isin(months))
             .withColumn("__src", F.lit(0))
         )
-    except Exception:
-        # first write: no target yet — upsert degrades to a plain insert
-        # (the streaming sink's first micro-batch takes this path)
+    else:
+        # first write: upsert degrades to a plain insert (the streaming
+        # sink's first micro-batch takes this path)
         existing = upd.withColumn("__src", F.lit(0)).limit(0)
     merged = existing.unionByName(upd.withColumn("__src", F.lit(1)))
     order = [F.col("__src").desc()] + (
@@ -325,9 +332,15 @@ def upsert_partitioned(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        resolved.sortWithinPartitions("entity_id", time_col).write.mode(
-            "overwrite"
-        ).partitionBy("month").parquet(path)
+        # same layout rule as write_partitioned: entity-sorted when the
+        # column exists, plain otherwise (the pk is parameterized — don't
+        # assume the ltss schema)
+        out = (
+            resolved.sortWithinPartitions("entity_id", time_col)
+            if "entity_id" in resolved.columns
+            else resolved
+        )
+        out.write.mode("overwrite").partitionBy("month").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return sorted(months)

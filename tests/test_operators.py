@@ -1067,12 +1067,66 @@ def test_remove_duplicate_spans_rewrites_exactly(spark):
             (2, "x y " + shared + " z"),
             (3, shared),                      # fully duplicate
             (4, "p q r s t p q r s t"),       # intra-doc repeat only
+            (5, ""),                          # empty text
+            (6, "   "),                       # whitespace only
+            (7, None),                        # NULL text
         ],
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, k=5).collect()}
+    assert len(out) == 7, "every input doc must return a row"
     assert out[1]["clean_text"] == "one two three"
     assert out[2]["clean_text"] == "x y z"
     assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
     assert out[4]["clean_text"] == "p q r s t p q r s t"
     assert out[1]["n_removed"] == 6 and out[2]["n_removed"] == 6
+    for d in (5, 6, 7):
+        assert out[d]["clean_text"] == ""
+        assert out[d]["n_kept"] == 0 and out[d]["n_removed"] == 0
+
+
+def test_ivf_and_lsh_infer_dim_from_corpus(spark):
+    """Review regression: ANN entry points must not assume 64-dim vectors —
+    an 8-dim corpus gets its dimension inferred and returns real top-k
+    instead of a silently empty frame."""
+    from ltss_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+    )
+
+    rnd = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 2)
+    exact = cosine_topk(emb, q, k=3)
+    assert exact.count() == 6
+    ivf = cosine_topk_ivf(emb, q, k=3, n_centroids=4, nprobe=4)
+    assert ivf.count() == 6, "IVF must not be empty on non-64-dim vectors"
+    assert cosine_topk_lsh(emb, q, k=3, tables=8, bits=2).count() > 0
+
+
+def test_cagg_minute_buckets_are_partition_isolated(spark, tmp_path):
+    """Review regression: with a sub-hour unit, refreshing one stale bucket
+    must not delete its same-hour sibling's rollup rows (the partition key
+    carries full second precision)."""
+    from ltss_spark.operators.cagg import read_rollup, refresh_rollup
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "ts timestamp, k string")
+
+    def agg(src):
+        return src.groupBy("bucket", "k").agg(F.count(F.lit(1)).alias("n"))
+
+    t1 = dt.datetime(2024, 3, 1, 12, 5)
+    t2 = dt.datetime(2024, 3, 1, 12, 10)
+    base = str(tmp_path / "caggmin")
+    refresh_rollup(spark, mk([(t1, "a"), (t2, "b")]), base, agg,
+                   time_col="ts", unit="minute")
+    stale = refresh_rollup(spark, mk([(t1, "a"), (t1, "a"), (t2, "b")]), base,
+                           agg, time_col="ts", unit="minute")
+    assert [s[:16] for s in stale] == ["2024-03-01T12:05"]
+    got = {(r["k"], r["n"]) for r in read_rollup(spark, base).collect()}
+    assert got == {("a", 2), ("b", 1)}
