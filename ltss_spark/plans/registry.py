@@ -136,7 +136,12 @@ _CHANGED_ENTRIES: set[str] = {"agg_approx", "ext_sim_search_lsh", "ext_sim_searc
 # wider than the priority block re-confirms these.
 _DRIVER_SECOND: list[str] = [
     # r3 spillover (never driver-verified; first in line for the
-    # round-4 window rotation)
+    # round-4 window rotation).
+    # ROUND-4 ROTATION PLAN: after CORRECTNESS_r03 lands, promote this
+    # whole never-verified block (through stream_upsert/ext_dedup_span_remove
+    # below) plus any r3-window entry that FAILED into _DRIVER_PRIORITY's
+    # first 50; demote everything r03 verified green. The window-packing
+    # test (tests/test_plans.py) enforces no wasted slot.
     "sql_q6",
     "sql_q12",
     "sql_q19",
