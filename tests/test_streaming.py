@@ -491,3 +491,40 @@ def test_upsert_rewrites_only_touched_months(spark, tmp_path):
         ("a", "2024-03"): "NEW-mar",
         ("b", "2024-03"): "inserted",
     }
+
+
+def test_tws_gated_or_matches_batch_prefix(spark):
+    """State API v2 (transformWithStateInPandas) is wired but needs
+    google.protobuf, absent in this container: the capability probe must
+    gate it with an actionable error. Where protobuf IS present (a real
+    cluster image), the emitted running totals must equal the batch
+    window prefix aggregate."""
+    import pytest
+
+    from ltss_spark.streaming.stateful import (
+        streaming_running_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            streaming_running_totals_tws(spark, SF_SMOKE)
+        return
+    out = streaming_running_totals_tws(spark, SF_SMOKE)
+    from ltss_spark.sources.batch import load_table
+    from pyspark.sql import Window
+
+    e = load_table(spark, SF_SMOKE, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = e.select(
+        "user_id", "ts", "event_id",
+        F.count(F.lit(1)).over(w).alias("run_n"),
+        F.sum(F.col("value").cast("decimal(38,2)")).over(w).cast("double").alias("run_sum"),
+    )
+    got = {tuple(r) for r in out.collect()}
+    exp = {tuple(r) for r in want.collect()}
+    assert got == exp
