@@ -162,6 +162,7 @@ _DRIVER_SECOND: list[str] = [
     "win_time_range",
     "stream_upsert",
     "ext_dedup_span_remove",
+    "ext_dedup_cluster_embed",
     "ext_dedup_exact",
     "ext_dedup_minhash",
     "ext_dedup_simhash",

@@ -1269,3 +1269,60 @@ def ext_dedup_span_remove(spark, sf_dir):
     from ltss_spark.operators.dedup import remove_duplicate_spans
 
     return remove_duplicate_spans(_t(spark, sf_dir, "documents"), k=5)
+
+
+@register(
+    "ext_dedup_cluster_embed",
+    """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding FROM embeddings
+    ),
+    cpairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)) AS dot,
+               SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(a.embedding[g.i] AS DOUBLE)) AS na2,
+               SUM(CAST(b.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)) AS nb2
+        FROM e a
+        JOIN e b ON a.vec_id < b.vec_id,
+        UNNEST(generate_series(1, 64)) AS g(i)
+        GROUP BY 1, 2
+      ) WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 6) >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM cpairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM cpairs
+    ),
+    reach AS (
+      SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT e2.v AS u, r.label
+      FROM reach r JOIN edges e2 ON r.u = e2.u
+      WHERE r.label < e2.v
+    ),
+    comp AS (SELECT u AS vec_id, MIN(label) AS cluster_id FROM reach GROUP BY u)
+    SELECT v.vec_id, COALESCE(c.cluster_id, v.vec_id) AS cluster_id
+    FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.vec_id
+    """,
+    survey="ext_dedup_near ext_sim_search (SEMANTIC dedup clusters: connected components of the embedding-cosine graph)",
+)
+def ext_dedup_cluster_embed(spark, sf_dir):
+    """SemDeDup-style semantic dedup: near-identical EMBEDDINGS (cosine above a
+    corpus-calibrated threshold; 0.4 on the weakly-clustered fixture,
+    ~0.9 on a real encoder's output) form an undirected graph; connected components assign every
+    vector a cluster (min-id representative) — keep one per cluster to
+    drop paraphrases/re-encodes that text-level MinHash cannot see. Exact
+    all-pairs graph here (the oracle's form, valid at sf); at 100 TB the
+    pair generator swaps to embedding_dup_pairs(method='lsh') — identical
+    downstream CC, candidate volume bucket-bounded."""
+    from ltss_spark.operators.graph import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(emb, threshold=0.4, method="exact")
+    comp = connected_components(pairs, src="id_a", dst="id_b").withColumnRenamed(
+        "node", "vec_id"
+    )
+    return emb.select("vec_id").join(comp, "vec_id", "left").select(
+        "vec_id", F.coalesce("component", "vec_id").alias("cluster_id")
+    )
