@@ -253,6 +253,9 @@ def test_registry_wide_plan_audit(spark):
         "ext_sim_search_pq",  # broadcast LUT-frame probe join (!= condition)
         "ext_dedup_embed", "join_theta", "ts_gapfill", "ts_interpolate",
         "join_asof",
+        # exact all-pairs cosine baseline feeding CC (the oracle's form;
+        # the scale path swaps in the LSH pair generator)
+        "ext_dedup_cluster_embed",
         # broadcast of the 1-ROW corpus-size aggregate onto the tf frame
         # (operators/text.tfidf_topk / unigram_logprob) — bounded by
         # construction
