@@ -61,87 +61,17 @@ def register(name: str, oracle: str | None, survey: str = ""):
 # Driver CORRECTNESS-window priority.
 #
 # The per-round driver check covers roughly the first 50 `queries()` entries
-# in dict order. Rounds 1+2 verified 100 distinct entries (relational core,
-# extensions, streaming, ltss surface). Round 3 rotates the 35 entries that
-# have never had a driver row (VERDICT r2 item 1) to the front, followed by
-# the entries new or materially changed this round (stream_watermark,
-# ddl_upgrade, the invariant-form conversions of the former no_oracle
-# entries). Previously-green entries fill the remainder of the window and
-# the tail.
+# in dict order. Rounds 1–3 verified 147 distinct entries. Round 4 executes
+# the rotation planned in r3: the 21 entries that have never had a driver
+# row (r3 spillover) head the window, followed by the entries materially
+# changed this round (the embed-dedup pair, converted from exact-pinned
+# all-pairs plans to LSH plans with invariant-form oracles — VERDICT r3
+# "What's wrong" #2). Previously-green entries fill the remaining slots and
+# the tail (re-confirmation).
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY: list[str] = [
-    # --- 35 never-driver-verified entries (judge parity-green in r2) ---
-    "ext_dedup_cluster",
-    "ext_dedup_pipeline",
-    "ext_contamination",
-    "ext_hash_split",
-    "ext_sample_group",
-    "ext_mixture_sample",
-    "ext_repetition",
-    "ext_pii_redact",
-    "ext_dedup_incremental",
-    "ext_quality_filter",
-    "ext_pack_sequences",
-    "ltss_compress",
-    "ltss_retention",
-    "ltss_state_periods",
-    "ts_ohlc",
-    "ts_heartbeat",
-    "stream_join",
-    "sink_zorder",
-    "agg_percentile",
-    "agg_sketch_rollup",
-    "sink_bucketed",
-    "sink_compact",
-    "ltss_geo_wkt",
-    "ts_lttb",
-    "join_asof_fwd",
-    "join_asof_near",
-    "ts_histogram",
-    "ts_trend",
-    "ext_sim_search_pq",
-    "ext_sim_search_ivfpq",
-    "sql_q5",
-    "sql_q8",
-    "sql_q10",
-    "sql_q18",
-    "sql_q21",
-    # --- new or materially changed in round 3 ---
-    "stream_watermark",
-    "ddl_upgrade",
-    "agg_approx",
-    "ext_sim_search_lsh",
-    "ext_sim_search_ivf",
-    # --- round-3 TPC-H sweep (registry_sql.py); window holds 10 of 14,
-    # the 4 simplest shapes spill to the head of _DRIVER_SECOND for r4 ---
-    "sql_q13",
-    "sql_q17",
-    "sql_q2",
-    "sql_q15",
-    "sql_q4",
-    "sql_q22",
-    "sql_q16",
-    "sql_q14",
-    "sql_q7",
-    "sql_q9",
-]
-
-#: entries with a PRE-r3 driver row whose implementation or oracle changed
-#: materially afterwards — they justify a window slot exactly like a
-#: never-verified entry (tests/test_plans.py window-packing guard).
-_CHANGED_ENTRIES: set[str] = {"agg_approx", "ext_sim_search_lsh", "ext_sim_search_ivf"}
-
-# Entries with an existing green driver row; order is cosmetic — any window
-# wider than the priority block re-confirms these.
-_DRIVER_SECOND: list[str] = [
-    # r3 spillover (never driver-verified; first in line for the
-    # round-4 window rotation).
-    # ROUND-4 ROTATION PLAN: after CORRECTNESS_r03 lands, promote this
-    # whole never-verified block (through stream_upsert/ext_dedup_span_remove
-    # below) plus any r3-window entry that FAILED into _DRIVER_PRIORITY's
-    # first 50; demote everything r03 verified green. The window-packing
-    # test (tests/test_plans.py) enforces no wasted slot.
+    # --- 21 never-driver-verified entries (judge parity-green in r3) ---
     "sql_q6",
     "sql_q12",
     "sql_q19",
@@ -163,42 +93,105 @@ _DRIVER_SECOND: list[str] = [
     "stream_upsert",
     "ext_dedup_span_remove",
     "ext_dedup_cluster_embed",
+    # --- materially changed in round 4 (LSH plans + invariant oracles) ---
+    "ext_dedup_embed",
+    # --- previously-green fill (re-confirmation; r1/r2-era rows first) ---
     "ext_dedup_exact",
     "ext_dedup_minhash",
     "ext_dedup_simhash",
     "ext_dedup_ngram",
-    "ext_dedup_embed",
     "ext_sim_search",
     "ext_text_stats",
-    "ext_text_quality",
-    "ext_langid",
-    "ext_lang_dist",
-    "ext_fingerprint",
-    "ext_token_topk",
-    "ext_url_canonical",
-    "ext_multimodal",
-    "ext_multimodal_resize",
-    "ext_multimodal_frames",
-    "ext_multimodal_audio",
-    "scan_stream",
-    "sink_append",
-    "sink_partitioned",
-    "stream_ingest",
-    "stream_window_tumbling",
-    "stream_window_sliding",
-    "stream_window_session",
-    "stream_dedup",
-    "stream_stateful",
-    "stream_late_drop",
-    "stream_rollup",
+    "ltss_latest",
+    "ltss_bucket",
     "join_asof",
     "ts_gapfill",
     "geo_distance",
     "udf_scalar",
     "udaf",
     "udtf",
-    "ltss_latest",
-    "ltss_bucket",
+    "stream_ingest",
+    "stream_dedup",
+    "stream_stateful",
+    "sink_partitioned",
+    "ext_multimodal",
+    "ext_quality_filter",
+    "ext_pack_sequences",
+    "agg_percentile",
+    "ts_lttb",
+    "sql_q5",
+    "sql_q13",
+    "ext_dedup_cluster",
+    "stream_watermark",
+]
+
+#: entries with a PRE-existing driver row whose implementation or oracle
+#: changed materially afterwards — they justify a window slot exactly like a
+#: never-verified entry (tests/test_plans.py window-packing guard).
+_CHANGED_ENTRIES: set[str] = {"ext_dedup_embed", "ext_dedup_cluster_embed"}
+
+# Entries with an existing green driver row; order is cosmetic — any window
+# wider than the priority block re-confirms these.
+_DRIVER_SECOND: list[str] = [
+    # r3-window entries (all driver-green in CORRECTNESS_r03)
+    "ext_dedup_pipeline",
+    "ext_contamination",
+    "ext_hash_split",
+    "ext_sample_group",
+    "ext_mixture_sample",
+    "ext_repetition",
+    "ext_pii_redact",
+    "ext_dedup_incremental",
+    "ltss_compress",
+    "ltss_retention",
+    "ltss_state_periods",
+    "ts_ohlc",
+    "ts_heartbeat",
+    "stream_join",
+    "sink_zorder",
+    "agg_sketch_rollup",
+    "sink_bucketed",
+    "sink_compact",
+    "ltss_geo_wkt",
+    "join_asof_fwd",
+    "join_asof_near",
+    "ts_histogram",
+    "ts_trend",
+    "ext_sim_search_pq",
+    "ext_sim_search_ivfpq",
+    "sql_q8",
+    "sql_q10",
+    "sql_q18",
+    "sql_q21",
+    "ddl_upgrade",
+    "agg_approx",
+    "ext_sim_search_lsh",
+    "ext_sim_search_ivf",
+    "sql_q17",
+    "sql_q2",
+    "sql_q15",
+    "sql_q4",
+    "sql_q22",
+    "sql_q16",
+    "sql_q14",
+    "sql_q7",
+    "sql_q9",
+    "ext_text_quality",
+    "ext_langid",
+    "ext_lang_dist",
+    "ext_fingerprint",
+    "ext_token_topk",
+    "ext_url_canonical",
+    "ext_multimodal_resize",
+    "ext_multimodal_frames",
+    "ext_multimodal_audio",
+    "scan_stream",
+    "sink_append",
+    "stream_window_tumbling",
+    "stream_window_sliding",
+    "stream_window_session",
+    "stream_late_drop",
+    "stream_rollup",
     "ltss_entity_range",
     "ltss_json_attr",
     "ltss_json_contains",

@@ -4,6 +4,7 @@ broadcast, partition filters must prune. These are the Spark equivalents of
 the reference's btree/GIN indexes and hypertable chunk exclusion, and they
 are what keeps the plans viable at 1000 executors."""
 
+import os
 import tempfile
 import uuid
 
@@ -375,7 +376,8 @@ def test_driver_window_prioritizes_unverified_surface():
     assert k <= 50, "priority block overflows the driver window"
 
     seen: set[str] = set()
-    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for f in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         try:
             seen |= set(json.load(open(f)))
         except OSError:
