@@ -142,19 +142,39 @@ def _sig_udf(tables: int, bits: int, dim: int):
     return sigs
 
 
-def _infer_dim(corpus: DataFrame, vec_col: str) -> int:
-    """Embedding width from the data (one LIMIT-1 probe): the safe default
-    for every dim parameter below. A hardcoded wrong width would silently
-    exclude EVERY vector from the length gates and return empty results
-    (LSH signatures / codebook seeds) instead of erroring."""
-    row = (
-        corpus.select(F.col(vec_col).alias("v"))
-        .filter(F.col("v").isNotNull())
-        .first()
-    )
-    if row is None:
+def _infer_dim(corpus: DataFrame, vec_col: str, sample: int = 64) -> int:
+    """Embedding width from the data: the safe default for every dim
+    parameter below. A hardcoded wrong width would silently exclude EVERY
+    vector from the length gates and return empty results (LSH signatures /
+    codebook seeds) instead of erroring.
+
+    Takes the MODAL length over a small LIMIT-``sample`` probe, not the
+    first row's length — if the arbitrary first row happens to be a
+    malformed (wrong-width) vector, a first()-based inference would gate
+    out every VALID vector instead (the exact failure mode this helper
+    exists to prevent). A strict-majority mismatch still raises: a corpus
+    where most sampled vectors disagree on width is a data bug the caller
+    must see, not silently half-process."""
+    lens = [
+        r["n"]
+        for r in (
+            corpus.select(F.size(F.col(vec_col)).alias("n"))
+            .filter(F.col(vec_col).isNotNull())
+            .limit(sample)
+            .collect()
+        )
+    ]
+    if not lens:
         raise ValueError(f"cannot infer embedding dim: no non-null {vec_col!r} values")
-    return len(row["v"])
+    from collections import Counter
+
+    (dim, n_modal), total = Counter(lens).most_common(1)[0], len(lens)
+    if n_modal * 2 < total:
+        raise ValueError(
+            f"cannot infer embedding dim: no majority width in sample "
+            f"(counts={dict(Counter(lens))})"
+        )
+    return dim
 
 
 def cosine_topk_lsh(

@@ -422,38 +422,93 @@ def ext_sim_search_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
     return _ann_recall_audit(
-        cosine_topk_lsh(emb, q, k=5), cosine_topk(emb, q, k=5), min_common=3
+        cosine_topk_lsh(emb, q, k=5, dim=64), cosine_topk(emb, q, k=5), min_common=3
     )
 
 
-@register(
-    "ext_dedup_embed",
-    """
-    WITH e AS (
-      SELECT vec_id, embedding FROM embeddings
+#: cap for the embed-dedup audit baseline: the exact all-pairs reference is
+#: computed ONLY among vec_id < _EMBED_AUDIT_CAP — bounded ~cap^2/2 work no
+#: matter how large the corpus grows, while the audited LSH plan runs over
+#: the WHOLE table (VERDICT r3 item 2: the registered plan must be the
+#: 100 TB shape, the oracle an invariant over a capped subsample).
+_EMBED_AUDIT_CAP = 250
+
+
+def _embed_pairs_sql(threshold: float, cap: int) -> str:
+    """DuckDB all-pairs cosine pairs among vec_id < cap (audit baseline)."""
+    return f"""
+    WITH s AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {cap}
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)) AS dot,
              SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(a.embedding[g.i] AS DOUBLE)) AS na2,
              SUM(CAST(b.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)) AS nb2
-      FROM e a
-      JOIN e b ON a.vec_id < b.vec_id,
+      FROM s a
+      JOIN s b ON a.vec_id < b.vec_id,
       UNNEST(generate_series(1, 64)) AS g(i)
       GROUP BY 1, 2
     )
-    SELECT id_a, id_b, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cosine
+    SELECT id_a, id_b
     FROM pairs
-    WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 6) >= 0.3
+    WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 6) >= {threshold}
+    """
+
+
+@register(
+    "ext_dedup_embed",
+    f"""
+    WITH tp AS ({_embed_pairs_sql(0.3, _EMBED_AUDIT_CAP)})
+    SELECT CAST(count(*) AS INT) AS n_true_pairs,
+           TRUE AS recall_ok,
+           TRUE AS sound_ok
+    FROM tp
     """,
-    survey="ext_dedup_near fn_array (embedding-cosine near-dup, exact baseline)",
+    survey="ext_dedup_near ext_sim_search fn_array (embedding-cosine near-dup, LSH-bucketed scale plan + capped-exact invariant audit)",
 )
 def ext_dedup_embed(spark, sf_dir):
-    # method='exact' pinned: the oracle is the all-pairs SQL, so the Spark
-    # side must never auto-switch to the approximate LSH path at a larger
-    # scale factor (the library default 'auto' does exactly that)
-    return embedding_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, method="exact"
+    """Embedding-cosine near-dup audit (invariant form, VERDICT r3 item 2):
+    the REGISTERED plan is the LSH-bucketed pair generator over the whole
+    table — hyperplane signature buckets, equi-join, exact rescore; no
+    all-pairs join anywhere that grows with the corpus. DuckDB cannot run
+    the LSH, so the oracle pins deterministic invariants instead: among the
+    capped subsample (vec_id < 250) it computes the TRUE pair set exactly
+    and asserts (a) n_true_pairs matches, (b) LSH recall on those pairs
+    holds a floor (0.8; measured 0.892/0.896/0.906 at sf0.001/0.01/0.1 —
+    md5-derived hyperplanes + fixed data make recall a pure function of the
+    scale factor), (c) soundness: every sample-restricted LSH pair is a
+    true pair (structural — candidates are exactly rescored; measured 0
+    violations at every sf). Raw pair output is pinned by
+    tests/test_operators.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    lsh = embedding_dup_pairs(emb, threshold=0.3, method="lsh", dim=64).select(
+        "id_a", "id_b"
+    )
+    sample_exact = embedding_dup_pairs(
+        emb.filter(F.col("vec_id") < _EMBED_AUDIT_CAP), threshold=0.3, method="exact"
+    ).select("id_a", "id_b")
+    lsh_in_sample = lsh.filter(
+        (F.col("id_a") < _EMBED_AUDIT_CAP) & (F.col("id_b") < _EMBED_AUDIT_CAP)
+    )
+    audit = (
+        sample_exact.join(
+            lsh.withColumn("found", F.lit(1)), ["id_a", "id_b"], "left"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_true_pairs"),
+            (
+                F.sum(F.coalesce("found", F.lit(0)))
+                >= F.count(F.lit(1)) * F.lit(0.8)
+            ).alias("recall_ok"),
+        )
+    )
+    unsound = (
+        lsh_in_sample.join(sample_exact, ["id_a", "id_b"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_unsound"))
+    )
+    return audit.crossJoin(unsound).select(
+        "n_true_pairs", "recall_ok", (F.col("n_unsound") == 0).alias("sound_ok")
     )
 
 
@@ -469,7 +524,7 @@ def ext_sim_search_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
     return _ann_recall_audit(
-        cosine_topk_ivf(emb, q, k=5, n_centroids=16, nprobe=6),
+        cosine_topk_ivf(emb, q, k=5, n_centroids=16, nprobe=6, dim=64),
         cosine_topk(emb, q, k=5),
         min_common=2,
     )
@@ -1060,7 +1115,7 @@ def ext_sim_search_pq(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
     return _ann_recall_audit(
-        cosine_topk_pq(emb, q, k=5, rerank=100),
+        cosine_topk_pq(emb, q, k=5, rerank=100, dim=64),
         cosine_topk(emb, q, k=5),
         min_common=3,
     )
@@ -1273,56 +1328,59 @@ def ext_dedup_span_remove(spark, sf_dir):
 
 @register(
     "ext_dedup_cluster_embed",
-    """
-    WITH RECURSIVE e AS (
-      SELECT vec_id, embedding FROM embeddings
-    ),
-    cpairs AS (
-      SELECT id_a, id_b FROM (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)) AS dot,
-               SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(a.embedding[g.i] AS DOUBLE)) AS na2,
-               SUM(CAST(b.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)) AS nb2
-        FROM e a
-        JOIN e b ON a.vec_id < b.vec_id,
-        UNNEST(generate_series(1, 64)) AS g(i)
-        GROUP BY 1, 2
-      ) WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 6) >= 0.4
-    ),
-    edges AS (
-      SELECT id_a AS u, id_b AS v FROM cpairs
-      UNION
-      SELECT id_b AS u, id_a AS v FROM cpairs
-    ),
-    reach AS (
-      SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges) t
-      UNION
-      SELECT e2.v AS u, r.label
-      FROM reach r JOIN edges e2 ON r.u = e2.u
-      WHERE r.label < e2.v
-    ),
-    comp AS (SELECT u AS vec_id, MIN(label) AS cluster_id FROM reach GROUP BY u)
-    SELECT v.vec_id, COALESCE(c.cluster_id, v.vec_id) AS cluster_id
-    FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.vec_id
+    f"""
+    WITH tp AS ({_embed_pairs_sql(0.4, _EMBED_AUDIT_CAP)})
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+           CAST(count(*) AS INT) AS n_true_pairs,
+           TRUE AS cluster_ok
+    FROM tp
     """,
-    survey="ext_dedup_near ext_sim_search (SEMANTIC dedup clusters: connected components of the embedding-cosine graph)",
+    survey="ext_dedup_near ext_sim_search (SEMANTIC dedup clusters: connected components of the LSH-bucketed embedding-cosine graph, invariant audit)",
 )
 def ext_dedup_cluster_embed(spark, sf_dir):
-    """SemDeDup-style semantic dedup: near-identical EMBEDDINGS (cosine above a
-    corpus-calibrated threshold; 0.4 on the weakly-clustered fixture,
-    ~0.9 on a real encoder's output) form an undirected graph; connected components assign every
-    vector a cluster (min-id representative) — keep one per cluster to
-    drop paraphrases/re-encodes that text-level MinHash cannot see. Exact
-    all-pairs graph here (the oracle's form, valid at sf); at 100 TB the
-    pair generator swaps to embedding_dup_pairs(method='lsh') — identical
-    downstream CC, candidate volume bucket-bounded."""
+    """SemDeDup-style semantic dedup audit (invariant form, VERDICT r3
+    item 2): near-identical EMBEDDINGS (cosine >= 0.4 on the
+    weakly-clustered fixture; ~0.9 on a real encoder's output) form an
+    undirected graph; large/small-star connected components assign every
+    vector a cluster. The REGISTERED plan builds the graph with the
+    LSH-bucketed pair generator (the 100 TB shape — no all-pairs join that
+    grows with the corpus). The oracle pins: (a) every vector receives
+    exactly one cluster assignment (n_vectors), (b) the capped-subsample
+    TRUE pair count, (c) a floor (0.75) on the fraction of true subsample
+    pairs landing in the same cluster (measured 0.882/0.923/1.000 at
+    sf0.001/0.01/0.1 — CC transitivity recovers some LSH-missed edges).
+    Raw cluster output is pinned by tests/test_operators.py."""
     from ltss_spark.operators.graph import connected_components
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_dup_pairs(emb, threshold=0.4, method="exact")
+    pairs = embedding_dup_pairs(emb, threshold=0.4, method="lsh", dim=64)
     comp = connected_components(pairs, src="id_a", dst="id_b").withColumnRenamed(
         "node", "vec_id"
     )
-    return emb.select("vec_id").join(comp, "vec_id", "left").select(
+    clusters = emb.select("vec_id").join(comp, "vec_id", "left").select(
         "vec_id", F.coalesce("component", "vec_id").alias("cluster_id")
+    )
+    sample_exact = embedding_dup_pairs(
+        emb.filter(F.col("vec_id") < _EMBED_AUDIT_CAP), threshold=0.4, method="exact"
+    ).select("id_a", "id_b")
+    ca = clusters.select(
+        F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("cl_a")
+    )
+    cb = clusters.select(
+        F.col("vec_id").alias("id_b"), F.col("cluster_id").alias("cl_b")
+    )
+    pair_audit = (
+        sample_exact.join(ca, "id_a")
+        .join(cb, "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_true_pairs"),
+            (
+                F.sum((F.col("cl_a") == F.col("cl_b")).cast("int"))
+                >= F.count(F.lit(1)) * F.lit(0.75)
+            ).alias("cluster_ok"),
+        )
+    )
+    n_vec = clusters.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return n_vec.crossJoin(pair_audit).select(
+        "n_vectors", "n_true_pairs", "cluster_ok"
     )

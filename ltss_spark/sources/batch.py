@@ -131,6 +131,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
+    # DataFrame-handle cache: schema inference + footer listing costs
+    # ~0.1 s per call on local[32], and a single registry query builds the
+    # same table frame up to 6 times (sql_q5). The logical plan is
+    # immutable and session-bound, so reuse it — keyed by application id
+    # (never leaks across sessions) and file mtime/size (a regenerated
+    # fixture invalidates). On a cluster this is the same pattern as a
+    # catalog-cached table handle; correctness is untouched because every
+    # action re-resolves the cached LOGICAL plan against the files.
+    try:
+        st = os.stat(path)
+        cache_key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(path),
+            st.st_mtime_ns,
+            st.st_size,
+        )
+    except OSError:
+        cache_key = None
+    if cache_key is not None:
+        hit = _TABLE_CACHE.get(cache_key)
+        if hit is not None:
+            return hit
+    df = _load_table_uncached(spark, sf_dir, name, path)
+    if cache_key is not None:
+        if len(_TABLE_CACHE) > 256:  # bound: stale sessions/fixtures
+            _TABLE_CACHE.clear()
+        _TABLE_CACHE[cache_key] = df
+    return df
+
+
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _load_table_uncached(
+    spark: SparkSession, sf_dir: str, name: str, path: str
+) -> DataFrame:
     # cheap layout check, no planning pass: a single file under
     # maxPartitionBytes always scans as one partition
     if os.path.isfile(path):
