@@ -225,7 +225,11 @@ def dedup_primary_key(df: DataFrame, tie_breaker: str | None = None) -> DataFram
     )
 
 
-def upgrade_legacy_states(legacy: DataFrame, id_col: str = "id") -> DataFrame:
+def upgrade_legacy_states(
+    legacy: DataFrame,
+    id_col: str = "id",
+    attr_keys: dict[str, str] | None = None,
+) -> DataFrame:
     """Old-layout -> new-layout TABLE UPGRADE — the data analogue of the
     reference's in-place migration of a previously written table
     (/root/reference/custom_components/ltss/migrations.py: attributes
@@ -247,11 +251,21 @@ def upgrade_legacy_states(legacy: DataFrame, id_col: str = "id") -> DataFrame:
 
     Pure DataFrame ops — one PK shuffle, no driver loop — so the upgrade
     of a 100 TB table runs as an ordinary distributed rewrite job.
+
+    ``attr_keys`` names the hot attribute keys to materialize (key ->
+    Spark type). It is TABLE-SPECIFIC by nature — defaulting to the
+    fixture's ``{"k": "int"}`` would hand any real table a silently
+    all-NULL ``attr_k`` column (ADVICE r3). The ``ddl_upgrade`` registry
+    entry passes the fixture's map explicitly; ``None`` skips
+    materialization entirely (the caller can run
+    :func:`materialize_attrs` later with the right keys).
     """
     upgraded = dedup_primary_key(
         legacy, tie_breaker=id_col
     ).drop(id_col)
-    return materialize_attrs(upgraded, {"k": "int"})
+    if not attr_keys:
+        return upgraded
+    return materialize_attrs(upgraded, attr_keys)
 
 
 # ---------------------------------------------------------------------------
@@ -292,10 +306,55 @@ def encode_attributes(attrs) -> str | None:
         return None
 
 
+def events_from_ha(spark, raw_events: list[dict]) -> DataFrame:
+    """Producer-side event adapter (A1): raw HA ``state_changed`` payloads
+    (``{"entity_id", "new_state": {"state", "attributes"}, "time_fired"}``,
+    the shape the reference's listener receives, __init__.py:245-254 /
+    from_event models.py:46-72) -> an events DataFrame in the canonical
+    pre-ingest shape (time_fired, entity_id, state, attributes-as-JSON).
+
+    Attribute serialization happens HERE, with :class:`AttributeEncoder`
+    (HA JSONEncoder parity: datetime/date/time -> ISO-8601, set -> list,
+    ``as_dict()`` objects -> dict, reference __init__.py:263-267). A dict
+    the encoder cannot serialize yields attributes=NULL — the reference
+    DROPS that event with a warning (__init__.py:212-216); here the NULL
+    flows into :func:`split_dead_letter`'s ``unserializable_attributes``
+    reason so nothing is silently lost. Bounded driver-side work: this
+    adapter shapes the entry batch (a test fixture, a Kafka producer
+    callback), never a 100 TB table — inside the engine attributes are
+    already strings."""
+    import datetime as _dt
+
+    rows = []
+    for ev in raw_events:
+        ns = ev.get("new_state") or {}
+        tf = ev.get("time_fired")
+        if isinstance(tf, str):
+            tf = _dt.datetime.fromisoformat(tf)
+        # HA state objects always carry an attributes dict (possibly
+        # empty — from_event does dict(state.attributes), models.py:52),
+        # so a missing key means {} and a NULL in the output column means
+        # exactly one thing: the encoder could not serialize the payload
+        attrs = ns.get("attributes") or {}
+        rows.append(
+            (
+                tf,
+                ev.get("entity_id"),
+                ns.get("state"),
+                encode_attributes(attrs),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "time_fired timestamp, entity_id string, state string, attributes string",
+    )
+
+
 def split_dead_letter(
     df: DataFrame,
     entity_col: str = "entity_id",
     state_col: str = "state",
+    attrs_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """A10 error policy (reference __init__.py:212-216, 229-235) as data:
     the reference *drops* bad events with a log line; we divert them to a
@@ -312,10 +371,20 @@ def split_dead_letter(
         .when(F.col(state_col).isNull(), F.lit("null_state"))
         .when(F.col(state_col) == "unknown", F.lit("unknown_state"))
     )
+    valid_expr = valid_event_expr(entity_col, state_col)
+    if attrs_col is not None:
+        # opt-in A10 reason for adapter-fed frames (events_from_ha): a
+        # NULL attributes column there means the HA JSONEncoder could not
+        # serialize the payload — the reference's drop-with-warning case
+        # (__init__.py:212-216), diverted instead of dropped
+        reason = reason.when(
+            F.col(attrs_col).isNull(), F.lit("unserializable_attributes")
+        )
+        valid_expr = valid_expr & F.col(attrs_col).isNotNull()
     dead = df.withColumn("reject_reason", reason).filter(
         F.col("reject_reason").isNotNull()
     )
-    valid = df.filter(valid_event_expr(entity_col, state_col))
+    valid = df.filter(valid_expr)
     return valid, dead
 
 

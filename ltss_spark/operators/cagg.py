@@ -131,12 +131,40 @@ def refresh_rollup(
     # (fps derives from source only, so overwriting its own prior version
     # is safe — the stale set was already collected above.)
     fps.write.mode("overwrite").parquet(f"{rollup_path}/_fingerprints")
+    # schema sidecar: a first build over an EMPTY source writes zero row
+    # groups, so data/ has no parquet footers to infer from (ADVICE r3) —
+    # read_rollup reconstructs the empty typed frame from this instead of
+    # throwing 'Unable to infer schema'. Tiny, rewritten per refresh.
+    import json as _json
+
+    schema_json = fresh.drop("p_bucket").schema.json()
+    spark.createDataFrame([(schema_json,)], "schema_json string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{rollup_path}/_schema")
     return stale_keys
 
 
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     """The rollup's current contents: data partitions semi-joined to the
-    live fingerprint sidecar (hides buckets whose source was deleted)."""
-    data = spark.read.parquet(f"{rollup_path}/data").drop("p_bucket")
+    live fingerprint sidecar (hides buckets whose source was deleted).
+    A rollup whose first build ran over an empty source has no data
+    footers to infer from — that specific failure falls back to the empty
+    frame typed from the schema sidecar (a try/except on the read, not a
+    filesystem listing: a glob check would misread any non-local
+    filesystem as empty)."""
+    import json as _json
+
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import types as T
+
+    try:
+        data = spark.read.parquet(f"{rollup_path}/data").drop("p_bucket")
+    except AnalysisException as e:
+        msg = str(e)
+        if "UNABLE_TO_INFER_SCHEMA" not in msg and "infer schema" not in msg.lower():
+            raise  # a real read error must surface, not become "empty"
+        row = spark.read.parquet(f"{rollup_path}/_schema").first()
+        schema = T.StructType.fromJson(_json.loads(row["schema_json"]))
+        return spark.createDataFrame([], schema)
     live = spark.read.parquet(f"{rollup_path}/_fingerprints").select("bucket")
     return data.join(F.broadcast(live), on="bucket", how="left_semi")

@@ -215,9 +215,11 @@ def ddl_upgrade(spark, sf_dir):
         "time", "entity_id", "state", "attributes",
     )
     legacy.unionAll(dupes).write.mode("append").parquet(out)
-    return upgrade_legacy_states(spark.read.parquet(out)).select(
-        "time", "entity_id", "state", "attributes", "attr_k"
-    )
+    # attr_keys is explicit: 'k' is THIS fixture's hot attribute key
+    # (ADVICE r3 — a baked-in default would NULL-pad any real table)
+    return upgrade_legacy_states(
+        spark.read.parquet(out), attr_keys={"k": "int"}
+    ).select("time", "entity_id", "state", "attributes", "attr_k")
 
 
 @register(

@@ -356,8 +356,18 @@ def upsert_partitioned(
         # sink's first micro-batch takes this path)
         existing = upd.withColumn("__src", F.lit(0)).limit(0)
     merged = existing.unionByName(upd.withColumn("__src", F.lit(1)))
-    order = [F.col("__src").desc()] + (
-        [F.col(tie_breaker).desc()] if tie_breaker else []
+    # tie_breaker FIRST, then __src (ADVICE r3): the newest row by the
+    # caller's monotonic column must win regardless of which batch carried
+    # it — a late/out-of-order micro-batch replaying an OLD event must not
+    # regress a PK that already holds a newer row. __src remains the final
+    # tie-break so an update with an EQUAL tie_breaker value still replaces
+    # the existing row (the reference's DO UPDATE overwrites on conflict).
+    # Without a tie_breaker there is no recency signal and updates win
+    # outright — the plain ON CONFLICT semantic.
+    order = (
+        [F.col(tie_breaker).desc(), F.col("__src").desc()]
+        if tie_breaker
+        else [F.col("__src").desc()]
     )
     w = Window.partitionBy(*pk).orderBy(*order)
     resolved = (

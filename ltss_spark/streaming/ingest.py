@@ -39,7 +39,20 @@ def _write_jdbc(
     """The one place a micro-batch meets a database — a seam the contract
     tests replace to capture (url, table, mode, options) without a live DB
     (the reference's equivalent wiring is tested against real containers,
-    tests/pytest/test_databases.py:20-45; this container has none)."""
+    tests/pytest/test_databases.py:20-45; this container has none).
+
+    Dialect-aware: against a ``jdbc:postgresql:`` URL the writer is
+    seeded with the reference-faithful column types (TIMESTAMPTZ,
+    JSONB — sources/pg_dialect.py; Spark's built-in PostgresDialect
+    would create ``timestamp`` and has no JSONB mapping) and
+    ``stringtype=unspecified`` so JSON strings cast into JSONB
+    server-side. Caller-provided options always win."""
+    from ltss_spark.sources.pg_dialect import dialect_for_url, pg_writer_options
+
+    if dialect_for_url(url) == "postgresql":
+        merged = dict(pg_writer_options(batch.schema))
+        merged.update(options)
+        options = merged
     writer = batch.write.mode(mode)
     for k, v in options.items():
         writer = writer.option(k, v)
@@ -160,6 +173,68 @@ def make_upsert_sink(
         with_retries(upsert_partitioned, max_tries, backoff_s)(
             batch.sparkSession, out_path, batch, pk=pk, tie_breaker=tie_breaker
         )
+
+    return sink
+
+
+def _run_jdbc_statements(spark: SparkSession, url: str, statements) -> None:
+    """Execute raw SQL statements over one JDBC connection via the JVM
+    gateway (java.sql.DriverManager) — how foreachBatch reaches
+    statement-level SQL (DDL, ON CONFLICT merges) that the DataFrame
+    writer API cannot express. Driver-side and O(#statements), never
+    O(rows): the row traffic goes through the parallel Spark JDBC
+    writer; this connection only runs the bounded setup/merge text."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            for sql in statements:
+                st.execute(sql)
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
+def make_pg_upsert_sink(
+    jdbc_url: str,
+    table: str = "ltss",
+    staging: str | None = None,
+    jdbc_options: dict | None = None,
+    max_tries: int = DEFAULT_MAX_TRIES,
+    backoff_s: float = DEFAULT_BACKOFF_S,
+    run_statements=_run_jdbc_statements,
+):
+    """``foreachBatch`` body that upserts each micro-batch into Postgres
+    with the reference's PK-conflict semantics (models.py:31-32) via the
+    staging-table pattern (sources/pg_dialect.upsert_batch_statements):
+
+    1. one connection runs the pre-DDL (UNLOGGED staging + TRUNCATE),
+    2. Spark's parallel JDBC writer appends the batch into staging
+       (row traffic scales with executors, not the driver),
+    3. one set-based ``INSERT .. SELECT DISTINCT ON (pk) .. ON CONFLICT
+       (time, entity_id) DO UPDATE`` merges it server-side,
+    4. TRUNCATE readies staging for the next epoch.
+
+    Idempotent under replay by construction — a re-delivered epoch merges
+    onto its own PKs. ``run_statements`` is the seam the no-Postgres test
+    environment replaces (tests/test_pg_dialect.py asserts the exact
+    statement sequence); against a live server the default executes over
+    java.sql.DriverManager."""
+    staging = staging or f"{table}_staging"
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        from ltss_spark.sources.pg_dialect import upsert_batch_statements
+
+        plan = upsert_batch_statements(table, batch.columns, staging)
+        spark = batch.sparkSession
+
+        def step() -> None:
+            run_statements(spark, jdbc_url, plan["pre"])
+            _write_jdbc(batch, jdbc_url, staging, "append", jdbc_options or {})
+            run_statements(spark, jdbc_url, [plan["merge"]] + plan["post"])
+
+        with_retries(step, max_tries, backoff_s)()
 
     return sink
 

@@ -401,3 +401,75 @@ def test_extract_location_non_numeric_is_null_not_ansi_crash(spark):
     assert rows[0].lon is None and rows[0].lat is None
     assert rows[1].lon is None and rows[1].lat is None
     assert rows[2].lon == 4.5 and rows[2].lat == 3.5
+
+
+def test_events_from_ha_serialize_or_deadletter(spark):
+    """End-to-end HA JSONEncoder parity corner (VERDICT r3 item 6,
+    reference __init__.py:263-267 + 212-216): raw state_changed payloads
+    whose attributes carry datetime/set/as_dict/nested values serialize
+    into the canonical JSON column; a payload the encoder cannot
+    serialize flows into split_dead_letter's unserializable_attributes
+    reason instead of vanishing — the reference logs-and-drops, we
+    divert."""
+    import datetime as dt
+
+    from ltss_spark.ingest import events_from_ha, events_to_states, split_dead_letter
+
+    class Zone:
+        def as_dict(self):
+            return {"name": "home", "radius": 100}
+
+    raw = [
+        {
+            "entity_id": "sensor.temp",
+            "time_fired": dt.datetime(2024, 3, 1, 10, 0, 0),
+            "new_state": {
+                "state": "21.5",
+                "attributes": {
+                    "last_seen": dt.datetime(2024, 3, 1, 9, 59),
+                    "on_days": {"mon", "fri"},
+                    "zone": Zone(),
+                    "nested": {"a": [1, 2.5, None]},
+                },
+            },
+        },
+        {
+            "entity_id": "sensor.bad",
+            "time_fired": dt.datetime(2024, 3, 1, 10, 1, 0),
+            "new_state": {
+                "state": "on",
+                "attributes": {"handle": object()},  # not serializable
+            },
+        },
+        {
+            "entity_id": "sensor.empty",
+            "time_fired": dt.datetime(2024, 3, 1, 10, 2, 0),
+            "new_state": {"state": "off"},  # no attributes -> {} like HA
+        },
+        {
+            "entity_id": "sensor.unknown",
+            "time_fired": dt.datetime(2024, 3, 1, 10, 3, 0),
+            "new_state": {"state": "unknown", "attributes": {}},
+        },
+    ]
+    events = events_from_ha(spark, raw)
+    valid, dead = split_dead_letter(events, attrs_col="attributes")
+
+    reasons = {r.entity_id: r.reject_reason for r in dead.collect()}
+    assert reasons == {
+        "sensor.bad": "unserializable_attributes",
+        "sensor.unknown": "unknown_state",
+    }
+
+    rows = {r.entity_id: r for r in valid.collect()}
+    assert set(rows) == {"sensor.temp", "sensor.empty"}
+    assert rows["sensor.empty"].attributes == "{}"
+    got = rows["sensor.temp"].attributes
+    assert '"last_seen":"2024-03-01T09:59:00"' in got
+    assert '"on_days":["fri","mon"]' in got  # set -> sorted list, stable
+    assert '"zone":{"name":"home","radius":100}' in got
+
+    # and the valid side flows into the canonical transform unchanged
+    states = events_to_states(valid, with_location=False)
+    st = {r.entity_id: r.state for r in states.collect()}
+    assert st == {"sensor.temp": "21.5", "sensor.empty": "off"}

@@ -1130,3 +1130,28 @@ def test_cagg_minute_buckets_are_partition_isolated(spark, tmp_path):
     assert [s[:16] for s in stale] == ["2024-03-01T12:05"]
     got = {(r["k"], r["n"]) for r in read_rollup(spark, base).collect()}
     assert got == {("a", 2), ("b", 1)}
+
+
+def test_rollup_empty_first_build_returns_typed_empty(spark, tmp_path):
+    """ADVICE r3: refresh_rollup over an EMPTY source writes a rollup with
+    zero data footers; read_rollup must return an empty frame with the
+    agg's schema instead of throwing 'Unable to infer schema'."""
+    import pyspark.sql.functions as F
+
+    from ltss_spark.operators.cagg import read_rollup, refresh_rollup
+
+    src = spark.createDataFrame(
+        [], "time timestamp, entity_id string, value double"
+    )
+    path = str(tmp_path / "empty_rollup")
+
+    def agg(df):
+        return df.groupBy("bucket", "entity_id").agg(
+            F.avg("value").alias("avg_value")
+        )
+
+    keys = refresh_rollup(spark, src, path, agg, unit="hour")
+    assert keys == []
+    out = read_rollup(spark, path)
+    assert out.count() == 0
+    assert set(out.columns) == {"bucket", "entity_id", "avg_value"}

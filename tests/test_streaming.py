@@ -493,6 +493,35 @@ def test_upsert_rewrites_only_touched_months(spark, tmp_path):
     }
 
 
+def test_upsert_out_of_order_batch_keeps_newest_row(spark, tmp_path):
+    """ADVICE r3: a late micro-batch carrying an OLDER event (lower
+    tie_breaker) must NOT regress a PK that already holds a newer row —
+    the oracle's rule is global max-event_id, regardless of which batch
+    carried which row. An update with an EQUAL tie_breaker still
+    replaces (ON CONFLICT DO UPDATE)."""
+    import datetime as dt
+
+    from ltss_spark.sources.batch import upsert_partitioned, write_partitioned
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "time timestamp, entity_id string, state string, event_id long"
+        )
+
+    t = dt.datetime(2024, 5, 1)
+    base = str(tmp_path / "ooo")
+    # batch 1 lands the NEWER event (event_id 9)
+    write_partitioned(mk([(t, "a", "newer", 9), (t, "b", "v1", 5)]), base)
+    # batch 2 replays an OLDER event for a (id 3) and an EQUAL one for b
+    upsert_partitioned(
+        spark, base, mk([(t, "a", "older-replay", 3), (t, "b", "v1-retry", 5)])
+    )
+    got = {r["entity_id"]: (r["state"], r["event_id"])
+           for r in spark.read.parquet(base).collect()}
+    assert got["a"] == ("newer", 9), "older replay regressed the PK"
+    assert got["b"] == ("v1-retry", 5), "equal tie_breaker must let the update win"
+
+
 def test_tws_gated_or_matches_batch_prefix(spark):
     """State API v2 (transformWithStateInPandas) is wired but needs
     google.protobuf, absent in this container: the capability probe must
