@@ -306,3 +306,58 @@ def mixture_sample(
         .filter(F.col("sample_rank") <= F.col("quota"))
         .select(id_col, stratum_col, "sample_rank", "quota")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    context-window chunker every training/RAG pipeline runs before
+    tokenizer packing (the sibling of :func:`pack_sequences`, which bins
+    whole documents; this op splits the oversize ones).
+
+    Chunk k covers tokens [k*stride, k*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the LAST chunk may be shorter but
+    every token is covered exactly once by construction
+    (n_chunks = ceil((n - chunk)/stride) + 1, so the final window always
+    reaches the end — no trailing fragment already fully covered by its
+    predecessor).
+
+    Scale shape: tokenize once, ``sequence`` + ``explode`` fan out the
+    chunk index JVM-side, ``slice`` re-materializes each window — a
+    single narrow pipeline, no shuffle at all (the explode multiplies
+    rows ~n/stride, the same linear factor the output inherently has).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    from ltss_spark.operators.text import tokens
+
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int") + 1
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks"), n.alias("n_tok"),
+        n_chunks.alias("n_chunks"),
+    ).filter(F.col("n_tok") >= 1)
+    k = F.col("chunk_id")
+    start = k * stride
+    chunk = F.slice(F.col("toks"), start + 1, chunk_tokens)
+    return base.select(
+        "doc_id",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        start.cast("int").alias("start_tok"),
+        F.size(chunk).cast("int").alias("chunk_len"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

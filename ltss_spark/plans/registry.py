@@ -93,6 +93,9 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_upsert",
     "ext_dedup_span_remove",
     "ext_dedup_cluster_embed",
+    # --- new in round 4 ---
+    "sql_q11",
+    "ext_chunk_docs",
     # --- materially changed in round 4 (LSH plans + invariant oracles) ---
     "ext_dedup_embed",
     # --- previously-green fill (re-confirmation; r1/r2-era rows first) ---
@@ -122,7 +125,6 @@ _DRIVER_PRIORITY: list[str] = [
     "sql_q5",
     "sql_q13",
     "ext_dedup_cluster",
-    "stream_watermark",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -134,6 +136,7 @@ _CHANGED_ENTRIES: set[str] = {"ext_dedup_embed", "ext_dedup_cluster_embed"}
 # wider than the priority block re-confirms these.
 _DRIVER_SECOND: list[str] = [
     # r3-window entries (all driver-green in CORRECTNESS_r03)
+    "stream_watermark",
     "ext_dedup_pipeline",
     "ext_contamination",
     "ext_hash_split",

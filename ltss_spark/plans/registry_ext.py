@@ -1384,3 +1384,34 @@ def ext_dedup_cluster_embed(spark, sf_dir):
     return n_vec.crossJoin(pair_audit).select(
         "n_vectors", "n_true_pairs", "cluster_ok"
     )
+
+
+@register(
+    "ext_chunk_docs",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    b AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) <= 64 THEN 1
+                  ELSE CAST(ceil((len(t) - 64) / 48.0) AS INT) + 1 END AS n_chunks
+      FROM d WHERE len(t) >= 1
+    )
+    SELECT doc_id,
+           CAST(u.k AS INT) AS chunk_id,
+           CAST(u.k * 48 AS INT) AS start_tok,
+           CAST(len(t[u.k * 48 + 1 : u.k * 48 + 64]) AS INT) AS chunk_len,
+           array_to_string(t[u.k * 48 + 1 : u.k * 48 + 64], ' ') AS chunk_text
+    FROM b, UNNEST(generate_series(0, CAST(n_chunks AS BIGINT) - 1)) AS u(k)
+    """,
+    survey="ext_text_stats fn_array (context-window chunking: fixed-size token windows with overlap)",
+)
+def ext_chunk_docs(spark, sf_dir):
+    """Fixed-size token chunking with overlap (operators/corpus.
+    chunk_documents): chunk 64 / overlap 16 over the documents table —
+    tokenize once, sequence+explode+slice, zero shuffles. The value hash
+    pins every chunk's exact text and offsets."""
+    from ltss_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )

@@ -587,3 +587,50 @@ def sql_q22(spark, sf_dir):
     the date predicate pushed into the orders scan."""
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(_Q22)
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important-stock identification (global scalar subquery reused as a
+# HAVING threshold). Adapted: no partsupp, so a part's "value held by
+# GERMANY's suppliers" is the extendedprice volume its suppliers shipped
+# (lineitem bridge, nation via supplier); the tested shape — a per-group
+# exact sum filtered against a fraction of the SAME aggregate computed
+# globally in a scalar subquery — is intact. Threshold arithmetic stays
+# in DECIMAL until one final cast (a double re-sum of group values would
+# be order-dependent and flap the boundary rows between engines).
+# ---------------------------------------------------------------------------
+
+_Q11 = """
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS value
+    FROM lineitem, supplier, nation
+    WHERE l_suppkey = s_suppkey
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_9'
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) > (
+        SELECT CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(38,6)))
+                    * CAST(0.001 AS DECIMAL(10,6)) AS DOUBLE)
+        FROM lineitem l2, supplier s2, nation n2
+        WHERE l2.l_suppkey = s2.s_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_name = 'NATION_9'
+    )
+    ORDER BY value DESC, l_partkey
+"""
+
+
+@register(
+    "sql_q11",
+    _Q11,
+    survey="B1 agg_basic join_inner (TPC-H Q11 shape: HAVING vs global scalar-subquery fraction)",
+)
+def sql_q11(spark, sf_dir):
+    """Catalyst plans the scalar subquery as its own aggregate executed
+    once and broadcast into the HAVING filter; both the group sums and
+    the global threshold are exact DECIMAL sums with a single final
+    double cast, so the boundary comparison is bit-deterministic across
+    engines. Completes the TPC-H sweep: Q1/Q3 shapes live in
+    registry_agg/registry_ltss, q2-q22 here and in registry_ltss."""
+    _views(spark, sf_dir, "lineitem", "supplier", "nation")
+    return spark.sql(_Q11)

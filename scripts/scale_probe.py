@@ -93,6 +93,38 @@ def replicated_embeddings(spark, sf_dir, factor, base_dir, tag=""):
     return spark.read.parquet(path)
 
 
+def replicated_embeddings_shifted(spark, sf_dir, factor, base_dir, tag=""):
+    """factor re-ided copies of embeddings, each replica's vectors
+    circular-shifted by i positions — shifted random vectors are
+    near-orthogonal, so replicas are NOT near-duplicates of each other and
+    the TRUE pair set grows linearly with factor (the same reason
+    replicated_docs token-tags text: measure the algorithm, not a
+    quadratically growing answer)."""
+    from ltss_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    parts = []
+    for i in range(factor):
+        shifted = F.concat(
+            F.slice("embedding", i + 1, 64 - i), F.slice("embedding", 1, i)
+        ) if i else F.col("embedding")
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+                shifted.alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    path = os.path.join(base_dir, f"embsh{tag}_x{factor}")
+    out.repartition(spark.sparkContext.defaultParallelism).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return spark.read.parquet(path)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "scale_probe.json"
@@ -103,7 +135,13 @@ def main():
     from ltss_spark.operators.corpus import repetition_stats
     from ltss_spark.operators.dedup import exact_dedup_groups, minhash_lsh_pairs
     from ltss_spark.operators.graph import connected_components
-    from ltss_spark.operators.similarity import cosine_topk_lsh, pq_codebooks, pq_encode
+    from ltss_spark.operators.similarity import (
+        cosine_topk_lsh,
+        embedding_dup_pairs,
+        pq_codebooks,
+        pq_encode,
+    )
+    from ltss_spark.sources.batch import upsert_partitioned, write_partitioned
     from ltss_spark.session import pin_session_for_oracle
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -146,6 +184,7 @@ def main():
     compress_states(states1, value_cols=("state",)).count()
     cosine_topk_lsh(emb1, probe_q).count()
     pq_encode(emb1, books).count()
+    embedding_dup_pairs(emb1, threshold=0.3, method="lsh", dim=64).count()
 
     from ltss_spark.operators.cagg import refresh_rollup
     from ltss_spark.operators.dedup import duplicate_span_stats
@@ -227,6 +266,36 @@ def main():
         row["span_rows"], row["span_audit_sec"] = timed(
             lambda: duplicate_span_stats(docs).count()
         )
+        # round-4 (VERDICT r3 item 7a): the embed-dedup LSH path now
+        # REGISTERED by ext_dedup_embed. Replicas are shift-decorrelated
+        # (linear true-pair growth); bits scale with density — one extra
+        # sign bit per data doubling keeps expected bucket occupancy
+        # constant, which is the knob a 100 TB deployment turns (candidate
+        # volume ~ tables * n^2 / 2^bits; fixed bits would be quadratic BY
+        # DESIGN, not an implementation flaw). Recall per table drops with
+        # bits; production compensates with more tables — held fixed here
+        # so the timed work stays comparable.
+        import math
+
+        embsh = replicated_embeddings_shifted(spark, sf_dir, factor, base)
+        bits = 4 + int(math.log2(factor))
+        row["embed_dedup_pairs"], row["embed_dedup_sec"] = timed(
+            lambda: embedding_dup_pairs(
+                embsh, threshold=0.3, method="lsh", bits=bits, dim=64
+            ).count()
+        )
+        # round-4 (item 7b): the PK-upsert sink. Base table = this factor's
+        # states; the update slice is ONE fixed day re-delivered — the
+        # micro-batch shape. Cost must track the touched months' data
+        # (linear here: month size grows with factor), never total history.
+        up_dir = os.path.join(base, f"upsert_x{factor}")
+        write_partitioned(states, up_dir)
+        upd = states.filter(F.dayofmonth("time") == 15)
+        t0 = time.time()
+        upsert_partitioned(spark, up_dir, upd, pk=("time", "entity_id"),
+                           tie_breaker=None)
+        row["upsert_sec"] = round(time.time() - t0, 2)
+        row["upsert_rows"] = upd.count()
         # cagg: full rebuild vs single-stale-day refresh — refresh must
         # track the CHANGED slice (1/30th of the days), not the table
         cagg_dir = os.path.join(base, f"cagg_x{factor}")

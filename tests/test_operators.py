@@ -1155,3 +1155,58 @@ def test_rollup_empty_first_build_returns_typed_empty(spark, tmp_path):
     out = read_rollup(spark, path)
     assert out.count() == 0
     assert set(out.columns) == {"bucket", "entity_id", "avg_value"}
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token position is covered, consecutive chunks overlap by
+    exactly `overlap` tokens (except possibly the shorter last chunk),
+    a short doc yields one chunk, and reassembling non-overlapped slices
+    reproduces the normalized document."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from ltss_spark.operators.corpus import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "only three tokens"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=10, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.chunk_id)
+
+    # doc 1: n=25, stride=6 -> n_chunks = ceil((25-10)/6)+1 = 4
+    c1 = by_doc[1]
+    assert [r.start_tok for r in c1] == [0, 6, 12, 18]
+    assert [r.chunk_len for r in c1] == [10, 10, 10, 7]
+    # full coverage: last chunk reaches token 25
+    assert c1[-1].start_tok + c1[-1].chunk_len == 25
+    # overlap: chunk k's last 4 tokens == chunk k+1's first 4
+    for a, b in zip(c1, c1[1:]):
+        assert a.chunk_text.split()[-4:] == b.chunk_text.split()[:4]
+    # reassembly from non-overlapped prefixes
+    rebuilt = " ".join(
+        " ".join(r.chunk_text.split()[: 6 if i < len(c1) - 1 else None])
+        for i, r in enumerate(c1)
+    )
+    assert rebuilt == words
+
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_len == 3
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_text == "x"
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+    # scale shape: a single narrow pipeline — no exchange anywhere
+    plan_df = chunk_documents(docs, chunk_tokens=10, overlap=4)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("simple")
+    assert "Exchange" not in buf.getvalue()
