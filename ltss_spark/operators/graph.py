@@ -102,27 +102,54 @@ def connected_components(
     # One extra small job buys exactly-once evaluation of the candidate
     # generator.
     edges = edges.localCheckpoint()
-    # LAZY localCheckpoint per round: lineage is cut every round (each star
-    # references its input 2-3x, so an uncut plan grows exponentially with
-    # rounds), but the checkpoint blocks are written by the checksum
-    # aggregate's own job — ONE job per round where an eager checkpoint +
-    # checksum pair costs two.
-    edges = _large_star(edges).localCheckpoint(eager=False)
-    prev = _edge_checksum(edges)
-    for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        cur = _edge_checksum(edges)
-        if cur == prev:
-            break
-        prev = cur
-    # Converged state is a star per component: (member, min). Components
-    # of size >= 2 have one row per non-min member; add the min itself.
-    return (
-        edges.select(F.col("a").alias("node"), F.col("b").alias("component"))
-        .union(edges.select(F.col("b").alias("node"), F.col("b").alias("component")))
-        .groupBy("node")
-        .agg(F.min("component").alias("component"))
-    )
+    # Size the loop's shuffle parallelism to the GRAPH, not the session:
+    # each round is ~5 tiny stages, and on a small edge set the fixed cost
+    # of scheduling session-default-many shuffle tasks dominates the round
+    # (measured at sf0.1: 32 -> 4 partitions cuts the loop ~25 % even with
+    # AQE coalescing, which trims reducers but not the mapper fan-out). A
+    # large edge set keeps the session's full parallelism — ~50k edges per
+    # partition before we grow toward it. Count is one cheap job over the
+    # checkpointed blocks; the conf is restored even on error.
+    spark = edges.sparkSession
+    conf = spark.conf
+    prev_shuf = conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        sess_parts = int(prev_shuf)
+    except (TypeError, ValueError):
+        sess_parts = None  # non-numeric (custom session) — leave untouched
+    if sess_parts is not None:
+        n_edges = edges.count()
+        target = min(sess_parts, max(4, (n_edges + 49_999) // 50_000 * 4))
+        conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        # LAZY localCheckpoint per round: lineage is cut every round (each
+        # star references its input 2-3x, so an uncut plan grows
+        # exponentially with rounds), but the checkpoint blocks are written
+        # by the checksum aggregate's own job — ONE job per round where an
+        # eager checkpoint + checksum pair costs two.
+        edges = _large_star(edges).localCheckpoint(eager=False)
+        prev = _edge_checksum(edges)
+        for _ in range(max_iter):
+            edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+            cur = _edge_checksum(edges)
+            if cur == prev:
+                break
+            prev = cur
+        # Converged state is a star per component: (member, min).
+        # Components of size >= 2 have one row per non-min member; add the
+        # min itself. The aggregate runs inside the scoped parallelism too
+        # (it is sized by the same edge set).
+        return (
+            edges.select(F.col("a").alias("node"), F.col("b").alias("component"))
+            .union(
+                edges.select(F.col("b").alias("node"), F.col("b").alias("component"))
+            )
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+    finally:
+        if sess_parts is not None:
+            conf.set("spark.sql.shuffle.partitions", prev_shuf)
 
 
 def dedup_clusters(
