@@ -135,11 +135,13 @@ def refresh_rollup(
     # groups, so data/ has no parquet footers to infer from (ADVICE r3) —
     # read_rollup reconstructs the empty typed frame from this instead of
     # throwing 'Unable to infer schema'. Tiny, rewritten per refresh.
-    import json as _json
-
     schema_json = fresh.drop("p_bucket").schema.json()
-    spark.createDataFrame([(schema_json,)], "schema_json string").coalesce(
-        1
+    # range(...,numPartitions=1) + lit: a pure-JVM 1-row/1-task write.
+    # (createDataFrame([...]).coalesce(1) pays ~7 s here: the local-list
+    # frame is a 32-partition pickled RDD and the coalesce funnels every
+    # stub through one Python-worker chain — measured, not guessed.)
+    spark.range(0, 1, 1, 1).select(
+        F.lit(schema_json).alias("schema_json")
     ).write.mode("overwrite").parquet(f"{rollup_path}/_schema")
     return stale_keys
 
