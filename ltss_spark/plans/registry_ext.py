@@ -482,9 +482,14 @@ def ext_dedup_embed(spark, sf_dir):
     violations at every sf). Raw pair output is pinned by
     tests/test_operators.py."""
     emb = _t(spark, sf_dir, "embeddings")
+    # lazy checkpoint: the LSH pair set feeds BOTH audit branches (recall
+    # left-join + soundness anti-join); un-cut, the physical plan carries
+    # the whole signature pipeline once PER BRANCH (verified: 4x
+    # ArrowEvalPython / 8x parquet scans without the checkpoint) — a wash
+    # at fixture size, a full duplicate corpus pass at scale
     lsh = embedding_dup_pairs(emb, threshold=0.3, method="lsh", dim=64).select(
         "id_a", "id_b"
-    )
+    ).localCheckpoint(eager=False)
     sample_exact = embedding_dup_pairs(
         emb.filter(F.col("vec_id") < _EMBED_AUDIT_CAP), threshold=0.3, method="exact"
     ).select("id_a", "id_b")
@@ -1357,9 +1362,12 @@ def ext_dedup_cluster_embed(spark, sf_dir):
     comp = connected_components(pairs, src="id_a", dst="id_b").withColumnRenamed(
         "node", "vec_id"
     )
+    # lazy checkpoint: the cluster assignment feeds THREE branches (n_vec
+    # count, both sides of the pair audit) — cut the lineage so the
+    # join-over-CC subplan executes once, not per branch
     clusters = emb.select("vec_id").join(comp, "vec_id", "left").select(
         "vec_id", F.coalesce("component", "vec_id").alias("cluster_id")
-    )
+    ).localCheckpoint(eager=False)
     sample_exact = embedding_dup_pairs(
         emb.filter(F.col("vec_id") < _EMBED_AUDIT_CAP), threshold=0.4, method="exact"
     ).select("id_a", "id_b")
