@@ -153,10 +153,15 @@ def plan_setup_ddl(
     """
     has_postgis = "postgis" in available_extensions
     has_tsdb = "timescaledb" in available_extensions
-    location = has_postgis if with_location is None else with_location
+    # the geometry column exists only where PostGIS does — exactly the
+    # reference's rule (location activation happens inside the
+    # postgis-available branch, __init__.py:320-328); a with_location=True
+    # request on a non-PostGIS server must not emit a column whose type
+    # does not exist there
+    location = has_postgis and (with_location is None or with_location)
 
     ddl: list[str] = []
-    if location and has_postgis:
+    if location:
         ddl.append("CREATE EXTENSION IF NOT EXISTS postgis CASCADE")
     if has_tsdb:
         ddl.append("CREATE EXTENSION IF NOT EXISTS timescaledb CASCADE")

@@ -232,3 +232,20 @@ def test_write_jdbc_seeds_pg_options(monkeypatch, spark):
     I._write_jdbc(FakeDF2(), "jdbc:derby:/tmp/x", "t", "append", {})
     assert "createTableColumnTypes" not in captured["opts"]
     assert "stringtype" not in captured["opts"]
+
+
+def test_plan_setup_ddl_timescale_without_postgis():
+    """The reference's test_timescaledb configuration (tests/pytest/
+    test_databases.py:70-91): TimescaleDB image without PostGIS -> the
+    table IS a hypertable but has NO location column and no postgis
+    extension."""
+    ddl = P.plan_setup_ddl({"timescaledb": "2.14", "plpgsql": "1.0"})
+    assert ddl[0] == "CREATE EXTENSION IF NOT EXISTS timescaledb CASCADE"
+    assert not any("postgis" in s for s in ddl)
+    assert not any("location" in s for s in ddl)
+    assert any("create_hypertable('ltss'" in s for s in ddl)
+    # and the forced-location variant still requires postgis to be there
+    ddl2 = P.plan_setup_ddl({"timescaledb": "2.14"}, with_location=True)
+    assert not any("location" in s for s in ddl2), (
+        "location column without postgis would fail at CREATE TABLE"
+    )
