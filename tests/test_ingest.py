@@ -473,3 +473,96 @@ def test_events_from_ha_serialize_or_deadletter(spark):
     states = events_to_states(valid, with_location=False)
     st = {r.entity_id: r.state for r in states.collect()}
     assert st == {"sensor.temp": "21.5", "sensor.empty": "off"}
+
+
+def test_filter_precedence_property_vs_python_reference(spark):
+    """Property test: the compiled Column must implement HA's
+    convert_include_exclude_filter precedence (cases 1-4c in the
+    EntityFilter docstring) for EVERY config shape. The oracle is a pure
+    Python restatement evaluated with fnmatch — an independent execution
+    path (the Column goes through glob_to_regex -> Java regex -> Catalyst
+    boolean algebra), so regex translation or precedence bugs diverge."""
+    import fnmatch as fn
+    import itertools
+
+    from ltss_spark.ingest import EntityFilter
+
+    DOMAINS = ("light", "sensor", "person")
+    NAMES = ("a", "b", "temp_x", "temp_y")
+    ENTITIES = [f"{d}.{n}" for d in DOMAINS for n in NAMES]
+    GLOBS = ("sensor.temp_*", "*.a", "light.?", "person.*")
+
+    def py_keep(entity, f: EntityFilter) -> bool:
+        domain = entity.split(".")[0]
+
+        def match(ds, es, gs):
+            return (
+                domain in ds
+                or entity in es
+                or any(fn.fnmatch(entity, g) for g in gs)
+            )
+
+        has_inc = bool(
+            f.include_domains or f.include_entities or f.include_globs
+        )
+        has_exc = bool(
+            f.exclude_domains or f.exclude_entities or f.exclude_globs
+        )
+        if not has_inc and not has_exc:
+            return True
+        if not has_exc:
+            return match(f.include_domains, f.include_entities, f.include_globs)
+        if not has_inc:
+            return not match(
+                f.exclude_domains, f.exclude_entities, f.exclude_globs
+            )
+        listed = entity in f.include_entities
+        if f.include_domains or f.include_globs:
+            return listed or (
+                match(f.include_domains, (), f.include_globs)
+                and not match((), f.exclude_entities, f.exclude_globs)
+            )
+        if f.exclude_domains or f.exclude_globs:
+            if match(f.exclude_domains, (), f.exclude_globs):
+                return listed
+            return entity not in f.exclude_entities
+        return listed
+
+    df = spark.createDataFrame([(e,) for e in ENTITIES], "entity_id string")
+
+    # seeded sweep over the config lattice: every combination of
+    # (domains x entities x globs) presence on both sides, with two value
+    # choices per present slot — 200+ configs covering all 4a/4b/4c arms
+    import random
+
+    rng = random.Random(42)
+    cases = []
+    for inc_d, inc_e, inc_g, exc_d, exc_e, exc_g in itertools.product(
+        (0, 1), repeat=6
+    ):
+        for _ in range(4):
+            cases.append(
+                EntityFilter(
+                    include_domains=tuple(rng.sample(DOMAINS, inc_d and rng.randint(1, 2))),
+                    include_entities=tuple(rng.sample(ENTITIES, inc_e and rng.randint(1, 3))),
+                    include_globs=tuple(rng.sample(GLOBS, inc_g and rng.randint(1, 2))),
+                    exclude_domains=tuple(rng.sample(DOMAINS, exc_d and rng.randint(1, 2))),
+                    exclude_entities=tuple(rng.sample(ENTITIES, exc_e and rng.randint(1, 3))),
+                    exclude_globs=tuple(rng.sample(GLOBS, exc_g and rng.randint(1, 2))),
+                )
+            )
+    # ONE action for all configs: every filter compiles to a boolean
+    # Column, so evaluate them as parallel columns of a single select —
+    # 256 Spark jobs collapse into one
+    import pyspark.sql.functions as F
+
+    wide = df.select(
+        "entity_id", *[f.expr().alias(f"c{i}") for i, f in enumerate(cases)]
+    ).collect()
+    mismatches = []
+    for i, f in enumerate(cases):
+        want = {e for e in ENTITIES if py_keep(e, f)}
+        got = {r.entity_id for r in wide if r[f"c{i}"]}
+        if got != want:
+            mismatches.append((f, sorted(got ^ want)))
+    assert not mismatches, mismatches[:3]
