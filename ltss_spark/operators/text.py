@@ -234,3 +234,85 @@ def unigram_logprob(
             6,
         ).alias("avg_logprob"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 document ranking for a bag-of-words query — the keyword
+    retrieval baseline that sits beside the vector ANN operators in any
+    training-data / RAG pipeline (Lucene's ranking function; the +1 idf
+    variant so scores stay positive).
+
+    Composition (all linear, term filter BEFORE the shuffle):
+    explode tokens -> keep only query terms -> per-(doc, term) TF (one
+    hash agg with map-side combine) -> per-term DF from the same frame ->
+    corpus stats (N, avgdl as exact-decimal avg) as a broadcast 1-row
+    aggregate -> per-pair score -> exact-decimal sum per doc -> top-k.
+    Shuffle volume is |docs x query terms| at most, NOT |doc-token pairs|.
+
+    Determinism for the oracle: idf (transcendental ln) is rounded to 8
+    BEFORE use; each term contribution is rounded to 9 and summed as
+    DECIMAL (order-free); the final score rounds to 6 with doc_id as the
+    rank tie-break.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    ).filter(F.col("term").isin(*query_terms))
+    tf = (
+        base.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+        .localCheckpoint(eager=False)  # feeds both DF agg and score join
+    )
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(F.size(tokens(F.col(text_col))).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ),
+        8,
+    )
+    contrib = F.round(
+        idf
+        * (
+            F.col("tf")
+            * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        ),
+        9,
+    )
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(contrib.cast("decimal(38,9)")).cast("double"), 6
+            ).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+        )
+    )
+    # global top-k via orderBy().limit(k): Spark plans TakeOrdered —
+    # per-partition partial top-k, then a k-row merge on the driver. A
+    # row_number() window here would funnel EVERY matched doc through one
+    # task; the rank window below runs over the k survivors only.
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        id_col, "score", "n_terms_matched", "rank"
+    )

@@ -59,6 +59,30 @@ def latest_state(
     )
 
 
+def snapshot_at(
+    states: DataFrame,
+    at,
+    by: str = "entity_id",
+    tie_breaker: str = "state",
+) -> DataFrame:
+    """State of the WORLD at time ``at``: for every entity, its last state
+    at or before the instant — the reference's "what did the house look
+    like at 3pm" Grafana/SQL-sensor pattern (README.md:23-26), i.e.
+    :func:`latest_state` of the history filtered to ``time <= at``.
+
+    Same 100 TB shape as latest_state: the time predicate pushes into the
+    scan (and prunes whole month partitions on a partitioned table), then
+    ONE max_by hash aggregation — no window sort. Entities whose first
+    event is after ``at`` are absent, exactly like the reference's table.
+    """
+    at_col = F.lit(at).cast("timestamp") if not isinstance(at, Column) else at
+    return latest_state(
+        states.filter(F.col("time") <= at_col), by=by, tie_breaker=tie_breaker
+    ).withColumnRenamed("last_time", "as_of_time").withColumnRenamed(
+        "last_state", "as_of_state"
+    )
+
+
 def time_bucket_agg(
     states: DataFrame,
     bucket: str = "1 hour",

@@ -96,6 +96,8 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 4 ---
     "sql_q11",
     "ext_chunk_docs",
+    "ltss_snapshot",
+    "ext_bm25",
     # --- materially changed in round 4 (LSH plans + invariant oracles) ---
     "ext_dedup_embed",
     # --- previously-green fill (re-confirmation; r1/r2-era rows first) ---
@@ -123,8 +125,6 @@ _DRIVER_PRIORITY: list[str] = [
     "agg_percentile",
     "ts_lttb",
     "sql_q5",
-    "sql_q13",
-    "ext_dedup_cluster",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -136,6 +136,8 @@ _CHANGED_ENTRIES: set[str] = {"ext_dedup_embed", "ext_dedup_cluster_embed"}
 # wider than the priority block re-confirms these.
 _DRIVER_SECOND: list[str] = [
     # r3-window entries (all driver-green in CORRECTNESS_r03)
+    "sql_q13",
+    "ext_dedup_cluster",
     "stream_watermark",
     "ext_dedup_pipeline",
     "ext_contamination",

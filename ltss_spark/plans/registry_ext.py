@@ -1423,3 +1423,53 @@ def ext_chunk_docs(spark, sf_dir):
     return chunk_documents(
         _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
     )
+
+
+_BM25_TERMS = ("hash", "join", "vector")
+_BM25_TERM_LIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "ext_bm25",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    base AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM d),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      FROM base WHERE term IN ({_BM25_TERM_LIST})
+      GROUP BY doc_id, term
+    ),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CAST(len(t) AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM d
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             round(CAST(SUM(CAST(round(
+               round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 8)
+               * (tf * (1.2 + 1.0)
+                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 9)
+             AS DECIMAL(38,9))) AS DOUBLE), 6) AS score,
+             CAST(COUNT(*) AS INT) AS n_terms_matched
+      FROM tf JOIN dfc USING (term) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score, n_terms_matched,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+    FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+    survey="ext_text_stats fn_math agg_basic topk_group (BM25 keyword retrieval, the lexical baseline beside ANN)",
+)
+def ext_bm25(spark, sf_dir):
+    """BM25 top-10 for the query {hash, join, vector} (operators/text.
+    bm25_topk): term-filtered explode, one TF hash agg, broadcast DF +
+    corpus stats, exact-decimal score sum, TakeOrdered top-k. Every score
+    value-hash-checked against DuckDB computing the identical arithmetic."""
+    from ltss_spark.operators.text import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), list(_BM25_TERMS), k=10)

@@ -245,6 +245,34 @@ def ltss_latest(spark, sf_dir):
 
 
 @register(
+    "ltss_snapshot",
+    f"""
+    WITH {_STATES_CTE},
+    ranked AS (
+      SELECT entity_id, time, state, event_id,
+             row_number() OVER (PARTITION BY entity_id
+                                ORDER BY time DESC, event_id DESC) AS rn
+      FROM states
+      WHERE time <= TIMESTAMP '2024-01-15 12:00:00'
+    )
+    SELECT entity_id, time AS as_of_time, state AS as_of_state
+    FROM ranked WHERE rn = 1
+    """,
+    survey="B3 agg_minmax_by filter_basic (state-of-the-world snapshot at an instant)",
+)
+def ltss_snapshot(spark, sf_dir):
+    """State of every entity as of a fixed instant (operators/timeseries.
+    snapshot_at): the time predicate pushes into the scan (partition
+    pruning on a month-partitioned table), then one max_by hash
+    aggregation — the reference's 'world at time T' query without the
+    per-entity DESC index walk."""
+    from ltss_spark.operators.timeseries import snapshot_at
+
+    states = states_from_events(_t(spark, sf_dir, "events"))
+    return snapshot_at(states, "2024-01-15 12:00:00", tie_breaker="event_id")
+
+
+@register(
     "ltss_bucket",
     f"""
     WITH {_STATES_CTE}

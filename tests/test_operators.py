@@ -1210,3 +1210,66 @@ def test_chunk_documents_coverage_and_overlap(spark):
     with contextlib.redirect_stdout(buf):
         plan_df.explain("simple")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_bm25_ranks_term_rich_docs_and_plans_take_ordered(spark):
+    """BM25 sanity on a constructed corpus: a doc saturated with query
+    terms outranks one with a single hit; docs without any query term are
+    absent; rank is contiguous from 1. Plan check: the global top-k is
+    TakeOrdered (per-partition partial top-k), NOT a single-partition
+    row_number window over every matched doc."""
+    import contextlib
+    import io
+
+    import pyspark.sql.functions as F
+
+    from ltss_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash join vector hash"),
+            (2, "hash table scan"),
+            (3, "sort merge only no match terms"),
+            (4, "vector vector filler filler filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["hash", "join", "vector"], k=3).collect()
+    by_rank = {r.rank: r for r in out}
+    assert by_rank[1].doc_id == 1  # richest doc wins
+    assert {r.doc_id for r in out} <= {1, 2, 4}  # doc 3 never appears
+    assert sorted(by_rank) == list(range(1, len(out) + 1))
+    assert by_rank[1].n_terms_matched == 3
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bm25_topk(docs, ["hash"], k=3).explain("simple")
+    assert "TakeOrdered" in buf.getvalue()
+
+
+def test_snapshot_at_reconstructs_world_state(spark):
+    """snapshot_at: last state per entity at or before T; entities born
+    after T are absent; ties at T break on the tie_breaker."""
+    import datetime as dt
+
+    from ltss_spark.operators.timeseries import snapshot_at
+
+    t = dt.datetime
+    states = spark.createDataFrame(
+        [
+            (t(2024, 1, 1), "a", "1", 1),
+            (t(2024, 1, 10), "a", "2", 2),
+            (t(2024, 1, 20), "a", "3", 3),   # after T — invisible
+            (t(2024, 1, 15, 12), "b", "x", 4),  # exactly at T — visible
+            (t(2024, 1, 15, 12), "b", "y", 5),  # same instant, higher id wins
+            (t(2024, 1, 16), "c", "new", 6),    # born after T — absent
+        ],
+        "time timestamp, entity_id string, state string, event_id long",
+    )
+    got = {
+        r.entity_id: (r.as_of_state, r.as_of_time)
+        for r in snapshot_at(states, "2024-01-15 12:00:00", tie_breaker="event_id").collect()
+    }
+    assert set(got) == {"a", "b"}
+    assert got["a"][0] == "2"
+    assert got["b"][0] == "y"
