@@ -98,6 +98,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_chunk_docs",
     "ltss_snapshot",
     "ext_bm25",
+    "sql_q1",
+    "sql_q3",
     # --- materially changed in round 4 (LSH plans + invariant oracles) ---
     "ext_dedup_embed",
     # --- previously-green fill (re-confirmation; r1/r2-era rows first) ---
@@ -122,8 +124,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_multimodal",
     "ext_quality_filter",
     "ext_pack_sequences",
-    "agg_percentile",
-    "ts_lttb",
     "sql_q5",
 ]
 
@@ -136,6 +136,8 @@ _CHANGED_ENTRIES: set[str] = {"ext_dedup_embed", "ext_dedup_cluster_embed"}
 # wider than the priority block re-confirms these.
 _DRIVER_SECOND: list[str] = [
     # r3-window entries (all driver-green in CORRECTNESS_r03)
+    "agg_percentile",
+    "ts_lttb",
     "sql_q13",
     "ext_dedup_cluster",
     "stream_watermark",

@@ -634,3 +634,80 @@ def sql_q11(spark, sf_dir):
     registry_agg/registry_ltss, q2-q22 here and in registry_ltss."""
     _views(spark, sf_dir, "lineitem", "supplier", "nation")
     return spark.sql(_Q11)
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary report. The fixture carries EVERY canonical column
+# (returnflag/linestatus/quantity/extendedprice/discount/tax/shipdate), so
+# this is the real Q1, not an adaptation: four exact-decimal sums, two
+# exact-decimal averages, a count, grouped and ordered by the flags. The
+# per-row disc_price/charge products are bit-deterministic IEEE; only the
+# aggregation goes through DECIMAL.
+# ---------------------------------------------------------------------------
+
+_Q1 = f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {oracle_dsum('l_quantity', 2)} AS sum_qty,
+           {oracle_dsum('l_extendedprice', 2)} AS sum_base_price,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+           {oracle_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {oracle_davg('l_quantity', 2)} AS avg_qty,
+           {oracle_davg('l_extendedprice', 2)} AS avg_price,
+           {oracle_davg('l_discount', 2)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql_q1",
+    _Q1,
+    survey="B1 agg_basic fn_math (TPC-H Q1: the pricing summary, all six aggregate families)",
+)
+def sql_q1(spark, sf_dir):
+    """The canonical warehouse scan-agg: one pass over lineitem, map-side
+    partial aggregation into 6 exact-decimal aggregates per (returnflag,
+    linestatus) — the query every OLAP engine's codegen is tuned for."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q1)
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping-priority candidates. Adapted: no o_shippriority column in
+# the fixture (TESTDATA.md), so the select list drops it; the tested shape
+# — 3-way join, date window from both sides, revenue aggregate, top-10 by
+# revenue — is intact. (registry_ltss.sql_select exercises the same family
+# over the ltss tables; this is the canonical TPC-H form.)
+# ---------------------------------------------------------------------------
+
+_Q3 = f"""
+    SELECT l_orderkey,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+@register(
+    "sql_q3",
+    _Q3,
+    survey="B1 join_inner agg_basic topk_group (TPC-H Q3: join tree + revenue top-10)",
+)
+def sql_q3(spark, sf_dir):
+    """Catalyst broadcast-joins the filtered customer dim, shuffles the
+    fact side once on orderkey; top-10 plans as TakeOrdered. Tie-broken
+    on l_orderkey for cross-engine determinism."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q3)
