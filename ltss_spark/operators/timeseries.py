@@ -41,10 +41,13 @@ def latest_state(
     """B3: latest state per entity (the SQL-sensor pattern,
     /root/reference/README.md:23, served by the DESC index models.py:79).
 
-    ``max_by`` (argmax) is a single hash aggregation — partial aggregation
-    map-side, one shuffle on entity_id; no global sort, no window. At 100 TB
-    this beats the row_number() formulation (which must sort every
-    partition's history) by doing O(1) state per group.
+    ``max_by`` (argmax) is a single aggregation pass — partial aggregation
+    map-side, one shuffle on entity_id; no window. Spark plans the
+    struct-ordered argmax as SortAggregate (struct ordering keys have no
+    mutable hash buffer), which still holds O(1) state per group across
+    the exchange; at 100 TB this beats the row_number() formulation,
+    which must materialize and rank EVERY row of every entity's history
+    before discarding all but one.
 
     Ties at the max time break on ``tie_breaker`` DESC — pass the
     event/sequence id when the frame carries one (the registry's
