@@ -249,3 +249,44 @@ def test_plan_setup_ddl_timescale_without_postgis():
     assert not any("location" in s for s in ddl2), (
         "location column without postgis would fail at CREATE TABLE"
     )
+
+
+def test_pg_upsert_sink_retry_is_idempotent(monkeypatch, spark):
+    """A sink failure AFTER the staging append but BEFORE the merge must
+    not duplicate rows on retry: the retry re-runs the pre-DDL, whose
+    TRUNCATE clears the partial staging append before the next one. Pin
+    the exact replayed statement stream."""
+    from ltss_spark.streaming import ingest as I
+
+    events: list = []
+    fail_once = {"armed": True}
+
+    def fake_run(spark_, url, statements):
+        events.extend(("sql", s) for s in statements)
+        if fail_once["armed"] and any(s.startswith("INSERT") for s in statements):
+            fail_once["armed"] = False
+            raise RuntimeError("connection reset mid-merge")
+
+    def fake_write(batch, url, table, mode, options):
+        events.append(("append", table))
+
+    monkeypatch.setattr(I, "_write_jdbc", fake_write)
+    sink = I.make_pg_upsert_sink(
+        "jdbc:postgresql://db/ha",
+        table="ltss",
+        run_statements=fake_run,
+        backoff_s=0.0,
+    )
+    batch = spark.createDataFrame([("a", "on")], "entity_id string, state string")
+    sink(batch, epoch_id=1)  # succeeds on the second attempt
+
+    truncates = [i for i, e in enumerate(events) if e == ("sql", "TRUNCATE ltss_staging")]
+    appends = [i for i, e in enumerate(events) if e[0] == "append"]
+    merges = [i for i, e in enumerate(events) if e[0] == "sql" and e[1].startswith("INSERT")]
+    assert len(appends) == 2 and len(merges) == 2  # attempt 1 (failed) + attempt 2
+    # every append is preceded by a TRUNCATE later than the previous append
+    assert truncates[0] < appends[0] < merges[0]
+    second_truncate_before_append2 = [t for t in truncates if appends[0] < t < appends[1]]
+    assert second_truncate_before_append2, (
+        "retry did not truncate staging before re-appending — duplicate rows"
+    )
