@@ -137,8 +137,15 @@ def connected_components(
             prev = cur
         # Converged state is a star per component: (member, min).
         # Components of size >= 2 have one row per non-min member; add the
-        # min itself. The aggregate runs inside the scoped parallelism too
-        # (it is sized by the same edge set).
+        # min itself. NOTE: this returned aggregate is LAZY — it executes
+        # after the finally below restores the session conf, so it plans
+        # at session parallelism (fine: it is one aggregation over the
+        # checkpointed edge blocks, and AQE coalesces it). Only the loop's
+        # own actions run under the scoped parallelism. The scoping is a
+        # session-wide conf for its duration: queries launched from OTHER
+        # threads of the same session while the loop runs would pick it
+        # up — acceptable for this engine's serial driver/bench/test
+        # execution, documented here for embedders.
         return (
             edges.select(F.col("a").alias("node"), F.col("b").alias("component"))
             .union(

@@ -169,7 +169,9 @@ def _infer_dim(corpus: DataFrame, vec_col: str, sample: int = 64) -> int:
     from collections import Counter
 
     (dim, n_modal), total = Counter(lens).most_common(1)[0], len(lens)
-    if n_modal * 2 < total:
+    # <=, not <: an exact 50/50 width split has no majority either — the
+    # most_common winner would be insertion-order arbitrary
+    if n_modal * 2 <= total:
         raise ValueError(
             f"cannot infer embedding dim: no majority width in sample "
             f"(counts={dict(Counter(lens))})"

@@ -244,6 +244,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    corpus_stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """BM25 document ranking for a bag-of-words query — the keyword
     retrieval baseline that sits beside the vector ANN operators in any
@@ -261,6 +262,13 @@ def bm25_topk(
     BEFORE use; each term contribution is rounded to 9 and summed as
     DECIMAL (order-free); the final score rounds to 6 with doc_id as the
     rank tie-break.
+
+    Corpus stats (N, avgdl) need EVERY document, so by default they cost
+    a second tokenize pass over the text column (pipelined, shuffle-free,
+    1-row output — cheaper than materializing the tokenized corpus, which
+    is the only single-pass alternative). A caller issuing many queries
+    against one corpus should compute them once and pass
+    ``corpus_stats=(n_docs, avgdl)`` — they are query-independent.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -274,13 +282,20 @@ def bm25_topk(
         .localCheckpoint(eager=False)  # feeds both DF agg and score join
     )
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.select(F.size(tokens(F.col(text_col))).alias("dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (
-            F.sum(F.col("dl").cast("decimal(38,6)")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("avgdl"),
-    )
+    if corpus_stats is not None:
+        n_docs, avgdl = corpus_stats
+        stats = docs.sparkSession.range(0, 1, 1, 1).select(
+            F.lit(int(n_docs)).alias("n_docs"),
+            F.lit(float(avgdl)).alias("avgdl"),
+        )
+    else:
+        stats = docs.select(F.size(tokens(F.col(text_col))).alias("dl")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("dl").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avgdl"),
+        )
     idf = F.round(
         F.log(
             (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0

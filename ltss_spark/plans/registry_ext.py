@@ -502,9 +502,13 @@ def ext_dedup_embed(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_true_pairs"),
-            (
+            # coalesce TRUE: zero true pairs in the sample makes the SUM
+            # NULL and NULL >= 0 is NULL — a vacuously-true audit must
+            # stay TRUE, not hash-mismatch the oracle's literal
+            F.coalesce(
                 F.sum(F.coalesce("found", F.lit(0)))
-                >= F.count(F.lit(1)) * F.lit(0.8)
+                >= F.count(F.lit(1)) * F.lit(0.8),
+                F.lit(True),
             ).alias("recall_ok"),
         )
     )
@@ -1382,9 +1386,12 @@ def ext_dedup_cluster_embed(spark, sf_dir):
         .join(cb, "id_b")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_true_pairs"),
-            (
+            # coalesce TRUE: vacuously-true on an empty sample (see
+            # recall_ok above)
+            F.coalesce(
                 F.sum((F.col("cl_a") == F.col("cl_b")).cast("int"))
-                >= F.count(F.lit(1)) * F.lit(0.75)
+                >= F.count(F.lit(1)) * F.lit(0.75),
+                F.lit(True),
             ).alias("cluster_ok"),
         )
     )

@@ -326,9 +326,12 @@ def upsert_partitioned(
     - only the month partitions the updates TOUCH are read back and
       rewritten (dynamic partition overwrite) — the untouched history is
       never scanned, the chunk-local rewrite a hypertable upsert does;
-    - within a touched month, updates WIN on PK collision (then
-      ``tie_breaker`` DESC among themselves) via one per-PK window over
-      existing ∪ updates — no row-at-a-time conflict handling.
+    - within a touched month, the NEWEST row per PK wins: ``tie_breaker``
+      DESC first (a late replay of an older event can never regress a PK
+      — ADVICE r3), updates beating existing rows only at equal
+      tie-breaker (the plain DO-UPDATE semantic, and the whole rule when
+      ``tie_breaker`` is None) via one per-PK window over existing ∪
+      updates — no row-at-a-time conflict handling.
 
     Returns the rewritten month keys. At 100 TB: cost ∝ updated months'
     data; the merge is one shuffle on the PK, co-located with the month

@@ -207,6 +207,7 @@ def upsert_sql(
     columns: list[str],
     conflict_cols: tuple[str, ...] = LTSS_PK,
     staging: str | None = None,
+    tie_breaker: str | None = None,
 ) -> str:
     """``INSERT ... ON CONFLICT (time, entity_id) DO UPDATE`` — the
     Postgres form of the reference's PK conflict semantics
@@ -235,8 +236,15 @@ def upsert_sql(
         )
     # DISTINCT ON dedupes within the staging batch itself — a micro-batch
     # can carry the same PK twice and ON CONFLICT forbids touching one
-    # target row twice in a single statement
+    # target row twice in a single statement. With a ``tie_breaker`` the
+    # survivor is the row with the highest tie-breaker value (Postgres
+    # DISTINCT ON keeps the first row per group in ORDER BY order);
+    # WITHOUT one, which duplicate survives is plan-dependent — callers
+    # either pass a monotonic column (event_id) or PK-dedup the batch
+    # upstream (dedup_primary_key) before the append.
     order = ", ".join(conflict_cols)
+    if tie_breaker:
+        order = f"{order}, {tie_breaker} DESC"
     return (
         f"INSERT INTO {table} ({collist}) "
         f"SELECT DISTINCT ON ({conflict}) {collist} FROM {staging} "
@@ -257,7 +265,10 @@ def staging_table_ddl(table: str, staging: str) -> list[str]:
 
 
 def upsert_batch_statements(
-    table: str, columns: list[str], staging: str
+    table: str,
+    columns: list[str],
+    staging: str,
+    tie_breaker: str | None = None,
 ) -> dict[str, list[str] | str]:
     """The full micro-batch upsert recipe for ``foreachBatch``:
 
@@ -270,7 +281,9 @@ def upsert_batch_statements(
     stay free of any driver/connection dependency."""
     return {
         "pre": staging_table_ddl(table, staging),
-        "merge": upsert_sql(table, columns, staging=staging),
+        "merge": upsert_sql(
+            table, columns, staging=staging, tie_breaker=tie_breaker
+        ),
         "post": [f"TRUNCATE {staging}"],
     }
 

@@ -177,14 +177,25 @@ def make_upsert_sink(
     return sink
 
 
-def _run_jdbc_statements(spark: SparkSession, url: str, statements) -> None:
+def _run_jdbc_statements(
+    spark: SparkSession, url: str, statements, options: dict | None = None
+) -> None:
     """Execute raw SQL statements over one JDBC connection via the JVM
     gateway (java.sql.DriverManager) — how foreachBatch reaches
     statement-level SQL (DDL, ON CONFLICT merges) that the DataFrame
     writer API cannot express. Driver-side and O(#statements), never
     O(rows): the row traffic goes through the parallel Spark JDBC
-    writer; this connection only runs the bounded setup/merge text."""
-    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    writer; this connection only runs the bounded setup/merge text.
+
+    ``options`` carries the same connection properties the Spark writer
+    gets (user/password/ssl...): an auth-protected server must see the
+    SAME credentials on this connection, not just on the row writer."""
+    props = spark._jvm.java.util.Properties()
+    for k, v in (options or {}).items():
+        # writer-only options (createTableColumnTypes, batchsize...) are
+        # harmless extras in Properties; the driver reads what it knows
+        props.setProperty(str(k), str(v))
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url, props)
     try:
         st = conn.createStatement()
         try:
@@ -201,6 +212,7 @@ def make_pg_upsert_sink(
     table: str = "ltss",
     staging: str | None = None,
     jdbc_options: dict | None = None,
+    tie_breaker: str | None = None,
     max_tries: int = DEFAULT_MAX_TRIES,
     backoff_s: float = DEFAULT_BACKOFF_S,
     run_statements=_run_jdbc_statements,
@@ -226,13 +238,16 @@ def make_pg_upsert_sink(
     def sink(batch: DataFrame, epoch_id: int) -> None:
         from ltss_spark.sources.pg_dialect import upsert_batch_statements
 
-        plan = upsert_batch_statements(table, batch.columns, staging)
+        plan = upsert_batch_statements(
+            table, batch.columns, staging, tie_breaker=tie_breaker
+        )
         spark = batch.sparkSession
+        opts = jdbc_options or {}
 
         def step() -> None:
-            run_statements(spark, jdbc_url, plan["pre"])
-            _write_jdbc(batch, jdbc_url, staging, "append", jdbc_options or {})
-            run_statements(spark, jdbc_url, [plan["merge"]] + plan["post"])
+            run_statements(spark, jdbc_url, plan["pre"], opts)
+            _write_jdbc(batch, jdbc_url, staging, "append", opts)
+            run_statements(spark, jdbc_url, [plan["merge"]] + plan["post"], opts)
 
         with_retries(step, max_tries, backoff_s)()
 

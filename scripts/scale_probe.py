@@ -95,11 +95,14 @@ def replicated_embeddings(spark, sf_dir, factor, base_dir, tag=""):
 
 def replicated_embeddings_shifted(spark, sf_dir, factor, base_dir, tag=""):
     """factor re-ided copies of embeddings, each replica's vectors
-    circular-shifted by i positions — shifted random vectors are
-    near-orthogonal, so replicas are NOT near-duplicates of each other and
-    the TRUE pair set grows linearly with factor (the same reason
-    replicated_docs token-tags text: measure the algorithm, not a
-    quadratically growing answer)."""
+    circular-shifted by i positions. Shifting DECORRELATES exact copies
+    (no identical twins across replicas) but the fixture's weakly-
+    clustered vectors remain partially correlated under rotation, so the
+    TRUE pair set still grows super-linearly with factor (measured ~29x
+    over 8x at threshold 0.3 — see docs/SCALING.md). The probe's honest
+    metric for this operator is therefore seconds PER EMITTED PAIR
+    (output-bound floor), not raw seconds: any correct algorithm must pay
+    for the answer it returns."""
     from ltss_spark.sources.batch import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

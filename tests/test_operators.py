@@ -1273,3 +1273,17 @@ def test_snapshot_at_reconstructs_world_state(spark):
     assert set(got) == {"a", "b"}
     assert got["a"][0] == "2"
     assert got["b"][0] == "y"
+
+
+def test_infer_dim_even_split_raises(spark):
+    import pytest
+
+    from ltss_spark.operators.similarity import _infer_dim
+
+    rows = [([0.0] * 4,)] * 8 + [([0.0] * 8,)] * 8
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    with pytest.raises(ValueError, match="no majority width"):
+        _infer_dim(df, "embedding")
+    # strict majority still resolves
+    df2 = spark.createDataFrame(rows + [([0.0] * 4,)], "embedding array<double>")
+    assert _infer_dim(df2, "embedding") == 4

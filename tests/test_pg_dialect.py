@@ -148,8 +148,9 @@ def test_pg_upsert_sink_statement_sequence(monkeypatch, spark):
 
     events: list = []
 
-    def fake_run(spark_, url, statements):
+    def fake_run(spark_, url, statements, options):
         assert url == "jdbc:postgresql://db/ha"
+        assert options.get("user") == "ltss"  # creds reach the stmt conn too
         events.extend(("sql", s) for s in statements)
 
     def fake_write(batch, url, table, mode, options):
@@ -157,7 +158,11 @@ def test_pg_upsert_sink_statement_sequence(monkeypatch, spark):
 
     monkeypatch.setattr(I, "_write_jdbc", fake_write)
     sink = I.make_pg_upsert_sink(
-        "jdbc:postgresql://db/ha", table="ltss", run_statements=fake_run
+        "jdbc:postgresql://db/ha",
+        table="ltss",
+        run_statements=fake_run,
+        jdbc_options={"user": "ltss", "password": "secret"},
+        tie_breaker="event_id",
     )
     batch = spark.createDataFrame(
         [("sensor.a", "on"), ("sensor.b", "off")], "entity_id string, state string"
@@ -172,6 +177,7 @@ def test_pg_upsert_sink_statement_sequence(monkeypatch, spark):
     assert events[2][1:] == ("jdbc:postgresql://db/ha", "ltss_staging", "append")
     assert events[3][1].startswith("INSERT INTO ltss (")
     assert "ON CONFLICT (time, entity_id)" in events[3][1]
+    assert "ORDER BY time, entity_id, event_id DESC" in events[3][1]
     assert events[4][1] == "TRUNCATE ltss_staging"
 
 
@@ -261,7 +267,7 @@ def test_pg_upsert_sink_retry_is_idempotent(monkeypatch, spark):
     events: list = []
     fail_once = {"armed": True}
 
-    def fake_run(spark_, url, statements):
+    def fake_run(spark_, url, statements, options):
         events.extend(("sql", s) for s in statements)
         if fail_once["armed"] and any(s.startswith("INSERT") for s in statements):
             fail_once["armed"] = False
@@ -290,3 +296,29 @@ def test_pg_upsert_sink_retry_is_idempotent(monkeypatch, spark):
     assert second_truncate_before_append2, (
         "retry did not truncate staging before re-appending — duplicate rows"
     )
+
+
+def test_upsert_sql_staging_tie_breaker_golden():
+    sql = P.upsert_sql(
+        "ltss", ["time", "entity_id", "state", "event_id"],
+        staging="ltss_staging", tie_breaker="event_id",
+    )
+    assert "ORDER BY time, entity_id, event_id DESC" in sql
+
+
+def test_bm25_precomputed_stats_skip_corpus_pass(spark):
+    """With corpus_stats supplied the plan must contain exactly ONE scan
+    of the documents relation (the TF path), not two."""
+    import contextlib
+    import io
+
+    from ltss_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "hash join"), (2, "vector scan")], "doc_id long, text string"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bm25_topk(docs, ["hash"], corpus_stats=(2, 2.0)).explain("simple")
+    plan = buf.getvalue()
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 2
