@@ -37,3 +37,34 @@ def test_scratch_root_removed_at_exit():
     root = out.stdout.strip().splitlines()[-1]
     assert root.startswith("/tmp") or "ltss_scratch_" in root
     assert not os.path.exists(root), "scratch root must be removed at exit"
+
+
+def test_load_table_cache_invalidates_on_rewrite(spark, tmp_path):
+    """The DataFrame-handle cache must serve the SAME handle for an
+    unchanged file and a FRESH one (new data visible) after the file is
+    rewritten — keyed by (appId, path, mtime, size)."""
+    import os
+    import shutil
+
+    from ltss_spark.sources.batch import load_table
+
+    sf = str(tmp_path)
+    src = "/root/testdata/sf0.001/nation.parquet"
+    dst = f"{sf}/nation.parquet"
+    shutil.copyfile(src, dst)
+
+    df1 = load_table(spark, sf, "nation")
+    n1 = df1.count()
+    assert load_table(spark, sf, "nation") is df1  # cache hit, same handle
+
+    rows = spark.read.parquet(src).limit(3)
+    rows.write.mode("overwrite").parquet(f"{sf}/tmp_nation")
+    # single-file replace with different mtime/size
+    part = [f for f in os.listdir(f"{sf}/tmp_nation") if f.endswith(".parquet")][0]
+    os.remove(dst)
+    shutil.copyfile(f"{sf}/tmp_nation/{part}", dst)
+    os.utime(dst, (1_700_000_000, 1_700_000_000))
+
+    df2 = load_table(spark, sf, "nation")
+    assert df2 is not df1
+    assert df2.count() == 3 != n1
