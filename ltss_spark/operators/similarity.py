@@ -108,38 +108,47 @@ def _sig_udf(tables: int, bits: int, dim: int):
     closure. Map-side only — the operator's shuffle shape is unchanged."""
     from pyspark.sql.functions import pandas_udf
 
-    mat = np.empty((tables * bits, dim), dtype=np.float64)
-    for t in range(tables):
-        for b in range(bits):
-            mat[t * bits + b] = _hyperplane(t, b, dim)
-    mat_t = mat.T.copy()
+    mat_t = _sig_matrix_t(tables, bits, dim)
 
     @pandas_udf("array<string>")
     def sigs(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        # NULL or wrong-length vectors get an EMPTY signature list: they
-        # fall out of the posexplode and can never collide — the same
-        # "null matches nothing" semantics the pure-expression form had,
-        # instead of np.stack crashing the whole task
-        vals = v.tolist()
-        valid = [i for i, x in enumerate(vals) if x is not None and len(x) == dim]
-        out: list[list[str]] = [[] for _ in vals]
-        if valid:
-            vecs = np.stack([np.asarray(vals[i], dtype=np.float64) for i in valid])
-            chars = np.where(vecs @ mat_t >= 0, "1", "0").astype("U1")
-            packed = [
-                np.ascontiguousarray(chars[:, t * bits : (t + 1) * bits])
-                .view(f"<U{bits}")
-                .ravel()
-                for t in range(tables)
-            ]
-            rows = np.stack(packed, axis=1).tolist()
-            for i, sig in zip(valid, rows):
-                out[i] = sig
-        return pd.Series(out)
+        return pd.Series(_sig_kernel(v.tolist(), tables, bits, dim, mat_t))
 
     return sigs
+
+
+def _sig_matrix_t(tables: int, bits: int, dim: int) -> "np.ndarray":
+    """(dim x tables*bits) transposed hyperplane matrix for _sig_kernel."""
+    mat = np.empty((tables * bits, dim), dtype=np.float64)
+    for t in range(tables):
+        for b in range(bits):
+            mat[t * bits + b] = _hyperplane(t, b, dim)
+    return mat.T.copy()
+
+
+def _sig_kernel(vals, tables: int, bits: int, dim: int, mat_t) -> list:
+    """The signature computation itself: list of vectors -> list of
+    per-vector signature lists. NULL or wrong-length vectors get an EMPTY
+    signature list: they fall out of the posexplode and can never collide
+    — the same "null matches nothing" semantics the old pure-expression
+    form had, instead of np.stack crashing the whole task."""
+    valid = [i for i, x in enumerate(vals) if x is not None and len(x) == dim]
+    out: list[list[str]] = [[] for _ in vals]
+    if valid:
+        vecs = np.stack([np.asarray(vals[i], dtype=np.float64) for i in valid])
+        chars = np.where(vecs @ mat_t >= 0, "1", "0").astype("U1")
+        packed = [
+            np.ascontiguousarray(chars[:, t * bits : (t + 1) * bits])
+            .view(f"<U{bits}")
+            .ravel()
+            for t in range(tables)
+        ]
+        rows = np.stack(packed, axis=1).tolist()
+        for i, sig in zip(valid, rows):
+            out[i] = sig
+    return out
 
 
 def _infer_dim(corpus: DataFrame, vec_col: str, sample: int = 64) -> int:
@@ -218,6 +227,11 @@ def cosine_topk_lsh(
             F.posexplode(sig_udf(F.col(vec_col))).alias("table", "sig"),
         )
 
+    # NOTE (measured, do not "optimize"): computing the probe-side
+    # signatures driver-side (collect + numpy + createDataFrame + join)
+    # is SLOWER than this Arrow stage — the local-list frame is a
+    # pickled-RDD scan that spawns Python workers on every action
+    # (A/B at sf0.1: local 1.48-1.64 s vs distributed 1.22-1.35 s).
     qs = with_sigs(queries, "query_id")
     cs = with_sigs(corpus, "candidate_id")
     # score per collision row, then dedupe multi-table collisions by id —

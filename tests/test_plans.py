@@ -265,10 +265,11 @@ def test_registry_wide_plan_audit(spark):
         "ext_dedup_embed",
         "ext_dedup_cluster_embed",
         # broadcast of the 1-ROW corpus-size aggregate onto the tf frame
-        # (operators/text.tfidf_topk / unigram_logprob) — bounded by
-        # construction
+        # (operators/text.tfidf_topk / unigram_logprob / bm25_topk) —
+        # bounded by construction
         "ext_tfidf",
         "ext_unigram_lm",
+        "ext_bm25",
     }
     # streaming/sink entries run real side-effecting queries — covered by
     # their own tests
