@@ -74,16 +74,26 @@ def snapshot_at(
     :func:`latest_state` of the history filtered to ``time <= at``.
 
     Same 100 TB shape as latest_state: the time predicate pushes into the
-    scan (and prunes whole month partitions on a partitioned table), then
-    ONE max_by hash aggregation — no window sort. Entities whose first
-    event is after ``at`` are absent, exactly like the reference's table.
+    scan (parquet min/max stats skip row groups), then ONE max_by
+    aggregation — no window sort. Entities whose first event is after
+    ``at`` are absent, exactly like the reference's table.
+
+    Partition pruning: a ``time <= T`` predicate alone does NOT prune a
+    ``month=``-partitioned layout (Spark cannot infer the month bound
+    from the time bound), so when the frame carries the layout's
+    ``month`` column this adds the derived ``month <= yyyy-MM(T)``
+    predicate explicitly — THAT reaches PartitionFilters and is the
+    hypertable chunk-exclusion analogue.
     """
     at_col = F.lit(at).cast("timestamp") if not isinstance(at, Column) else at
-    return latest_state(
-        states.filter(F.col("time") <= at_col), by=by, tie_breaker=tie_breaker
-    ).withColumnRenamed("last_time", "as_of_time").withColumnRenamed(
-        "last_state", "as_of_state"
-    )
+    filtered = states.filter(F.col("time") <= at_col)
+    if "month" in states.columns:
+        filtered = filtered.filter(
+            F.col("month") <= F.date_format(at_col, "yyyy-MM")
+        )
+    return latest_state(filtered, by=by, tie_breaker=tie_breaker).withColumnRenamed(
+        "last_time", "as_of_time"
+    ).withColumnRenamed("last_state", "as_of_state")
 
 
 def time_bucket_agg(

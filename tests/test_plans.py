@@ -533,3 +533,31 @@ def test_salted_join_spreads_hot_keys(spark):
     a = {tuple(r) for r in salted.select("event_id", "m").collect()}
     b = {tuple(r) for r in plain.select("event_id", "m").collect()}
     assert a == b
+
+
+def test_snapshot_prunes_month_partitions(spark):
+    """snapshot_at over a month-partitioned table must reach
+    PartitionFilters with the derived month bound (time <= T alone cannot
+    prune the layout), and the answer must match the unpartitioned one."""
+    from ltss_spark.ingest import states_from_events
+    from ltss_spark.operators.timeseries import snapshot_at
+    from ltss_spark.sources.batch import load_table, write_partitioned
+
+    out = f"{tempfile.gettempdir()}/ltss_snap_{uuid.uuid4().hex}"
+    states = states_from_events(load_table(spark, SF_SMOKE, "events"))
+    write_partitioned(states, out)
+    part = spark.read.parquet(out)
+
+    snap = snapshot_at(part, "2024-01-15 12:00:00", tie_breaker="event_id")
+    s = _formatted(snap)
+    pf = s.split("PartitionFilters:")[1].splitlines()[0]
+    assert "month" in pf and "2024-01" in pf
+
+    want = {
+        (r.entity_id, r.as_of_state)
+        for r in snapshot_at(
+            states, "2024-01-15 12:00:00", tie_breaker="event_id"
+        ).collect()
+    }
+    got = {(r.entity_id, r.as_of_state) for r in snap.collect()}
+    assert got == want
