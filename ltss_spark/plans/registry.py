@@ -11,7 +11,15 @@ value hashes, so every entry follows the determinism rules:
   two engines aggregate in different orders;
 - transcendental outputs rounded (libm vs JVM last-ulp differences);
 - every top-k ordered by a unique key (ties broken explicitly);
-- only md5 as a cross-engine hash (bit-identical everywhere).
+- only md5 as a cross-engine hash (bit-identical everywhere);
+- integer aggregates: CAST(... AS BIGINT) in the oracle — DuckDB promotes
+  SUM over integers to HUGEINT, which pandas renders float64 while Spark
+  returns bigint, so the driver's value hash sees `123.0` vs `123` (the
+  r4 sql_q12 / ext_dedup_spans reds). Nullable integer columns from outer
+  joins / lag-lead carry the same hazard once the fixture stops producing
+  NULLs; pin BOTH sides (Spark .cast("long"), oracle CAST AS BIGINT) when
+  in doubt. tests/test_oracle_parity.py::test_dtype_parity enforces this
+  registry-wide.
 
 Per-row IEEE arithmetic (x*y, x-y, x/y) is bit-deterministic across engines
 and is NOT rounded.
@@ -423,7 +431,8 @@ def join_inner(spark, sf_dir):
 @register(
     "join_left",
     """
-    SELECT o_orderkey, o_orderstatus, l.l_linenumber, l.l_quantity
+    SELECT o_orderkey, o_orderstatus,
+           CAST(l.l_linenumber AS BIGINT) AS l_linenumber, l.l_quantity
     FROM orders o
     LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 48) l
       ON o.o_orderkey = l.l_orderkey
@@ -434,14 +443,17 @@ def join_left(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
     return o.join(l, o.o_orderkey == l.l_orderkey, "left").select(
-        "o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity"
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_quantity",
     )
 
 
 @register(
     "join_right",
     """
-    SELECT c_custkey, c_name, o.o_orderkey
+    SELECT c_custkey, c_name, CAST(o.o_orderkey AS BIGINT) AS o_orderkey
     FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
     RIGHT JOIN customer ON o.o_custkey = c_custkey
     """,
@@ -451,7 +463,9 @@ def join_right(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     c = _t(spark, sf_dir, "customer")
     return o.join(c, o.o_custkey == c.c_custkey, "right").select(
-        "c_custkey", "c_name", "o_orderkey"
+        "c_custkey",
+        "c_name",
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
     )
 
 
@@ -466,7 +480,8 @@ def join_right(spark, sf_dir):
       SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
       FROM supplier WHERE s_acctbal > 8000 GROUP BY 1
     )
-    SELECT COALESCE(ch.nationkey, sh.nationkey) AS nationkey, n_cust, n_supp
+    SELECT COALESCE(ch.nationkey, sh.nationkey) AS nationkey,
+           CAST(n_cust AS BIGINT) AS n_cust, CAST(n_supp AS BIGINT) AS n_supp
     FROM ch FULL OUTER JOIN sh ON ch.nationkey = sh.nationkey
     """,
     survey="join_full",
@@ -586,7 +601,7 @@ def join_theta(spark, sf_dir):
 @register(
     "join_range",
     f"""
-    SELECT date_trunc('month', o_orderdate) AS order_month,
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
            COUNT(*) AS n_shipments,
            {oracle_dsum('l_extendedprice', 2)} AS shipped_value
     FROM orders

@@ -276,7 +276,8 @@ def win_rank(spark, sf_dir):
            lag(value)  OVER w AS prev_value,
            lead(value) OVER w AS next_value,
            value - lag(value) OVER w AS delta,
-           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_micros
+           CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT)
+             AS gap_micros
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     """,
@@ -523,7 +524,8 @@ def fn_string(spark, sf_dir):
            CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
            CAST(EXTRACT(month FROM l_shipdate) AS INT) AS ship_month,
            CAST(EXTRACT(day FROM l_shipdate) AS INT) AS ship_day,
-           date_trunc('month', l_shipdate) AS ship_month_start,
+           CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+             AS ship_month_start,
            epoch_us(l_shipdate) AS ship_micros,
            CAST(date_diff('day', TIMESTAMP '1995-01-01', l_shipdate) AS INT) AS days_since_95,
            l_shipdate + INTERVAL 30 DAY AS ship_plus_30

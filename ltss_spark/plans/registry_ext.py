@@ -894,9 +894,10 @@ def ext_hash_split(spark, sf_dir):
     """
     SELECT doc_id, lang, sample_rank FROM (
       SELECT doc_id, lang,
-             ROW_NUMBER() OVER (
+             CAST(ROW_NUMBER() OVER (
                PARTITION BY lang
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank,
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+               AS sample_rank,
              CAST(ceil(COUNT(*) OVER (PARTITION BY lang) * 0.2) AS BIGINT) AS quota
       FROM documents
     ) WHERE sample_rank <= quota
@@ -922,7 +923,8 @@ def ext_sample_group(spark, sf_dir):
       FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
       WHERE len(t[u.i:u.i + 2]) = 3
     )
-    SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT gram) AS n_distinct,
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_grams,
+           CAST(COUNT(DISTINCT gram) AS INT) AS n_distinct,
            round(1 - COUNT(DISTINCT gram) / COUNT(*), 6) AS rep_ratio
     FROM g GROUP BY doc_id
     """,
@@ -1135,9 +1137,10 @@ def ext_sim_search_pq(spark, sf_dir):
     """
     SELECT doc_id, lang, sample_rank, quota FROM (
       SELECT doc_id, lang,
-             ROW_NUMBER() OVER (
+             CAST(ROW_NUMBER() OVER (
                PARTITION BY lang
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank,
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+               AS sample_rank,
              CAST(CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
                             WHEN 'zh' THEN 20 WHEN 'fr' THEN 5
                             WHEN 'es' THEN 5 ELSE 0 END AS BIGINT) AS quota
@@ -1266,10 +1269,11 @@ def ext_unigram_lm(spark, sf_dir):
     gdf AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM wins GROUP BY 1),
     scored AS (SELECT doc_id, pos, df > 1 AS is_dup FROM wins JOIN gdf USING (gram))
     SELECT doc_id, COUNT(*) AS n_windows,
-           SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_windows,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
            round(CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS dup_ratio,
-           MIN(CASE WHEN is_dup THEN pos END) AS first_dup_pos
+           CAST(MIN(CASE WHEN is_dup THEN pos END) AS INT) AS first_dup_pos
     FROM scored GROUP BY doc_id
     """,
     survey="ext_dedup_near ext_text_stats fn_string (cross-doc duplicate k-gram SPANS: substring-dedup audit, positional)",

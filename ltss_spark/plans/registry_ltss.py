@@ -341,9 +341,9 @@ def ltss_json_attr(spark, sf_dir):
     f"""
     WITH {_STATES_CTE}
     SELECT entity_id, time, state,
-           epoch_us(lead(time) OVER (PARTITION BY entity_id
-                                     ORDER BY time ASC, event_id ASC))
-             - epoch_us(time) AS micros_in_state
+           CAST(epoch_us(lead(time) OVER (PARTITION BY entity_id
+                                          ORDER BY time ASC, event_id ASC))
+                - epoch_us(time) AS BIGINT) AS micros_in_state
     FROM states
     """,
     survey="win_lag_lead (time-in-state, the canonical change-log derivation)",
@@ -1201,7 +1201,7 @@ def sql_q18(spark, sf_dir):
     "sql_q8",
     """
     WITH flat AS (
-      SELECT year(o_orderdate) AS o_year,
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
              CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS volume,
              n2.n_name AS supp_nation
       FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
@@ -1326,7 +1326,8 @@ def sink_zorder_q(spark, sf_dir):
     "ts_ohlc",
     f"""
     WITH keyed AS (
-      SELECT event_type, date_trunc('day', ts) AS bucket_start, value,
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start, value,
              strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|'
                || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
       FROM events
@@ -1655,7 +1656,7 @@ def geo_bbox_join_q(spark, sf_dir):
 @register(
     "ltss_cagg_refresh",
     f"""
-    SELECT date_trunc('day', ts) AS bucket, event_type,
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
            COUNT(*) AS n_events,
            {oracle_dsum('value', 2)} AS sum_value,
            MIN(value) AS min_value,

@@ -160,7 +160,7 @@ _Q7_BODY = """
 
 _Q7 = f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           EXTRACT(YEAR FROM l_shipdate) AS l_year,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
            {oracle_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
     {_Q7_BODY}
     GROUP BY supp_nation, cust_nation, l_year
@@ -205,7 +205,8 @@ _Q9_BODY = """
 """
 
 _Q9 = f"""
-    SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
            {oracle_dsum('l_extendedprice * (1 - l_discount)', 6)} AS sum_profit
     {_Q9_BODY}
     GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
@@ -243,10 +244,10 @@ def sql_q9(spark, sf_dir):
 
 _Q12 = """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders, lineitem
     WHERE o_orderkey = l_orderkey
       AND l_shipdate > o_orderdate + INTERVAL 60 DAY
