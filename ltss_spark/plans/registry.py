@@ -69,137 +69,126 @@ def register(name: str, oracle: str | None, survey: str = ""):
 # Driver CORRECTNESS-window priority.
 #
 # The per-round driver check covers roughly the first 50 `queries()` entries
-# in dict order. Rounds 1–3 verified 147 distinct entries. Round 4 executes
-# the rotation planned in r3: the 21 entries that have never had a driver
-# row (r3 spillover) head the window, followed by the entries materially
-# changed this round (the embed-dedup pair, converted from exact-pinned
-# all-pairs plans to LSH plans with invariant-form oracles — VERDICT r3
-# "What's wrong" #2). Previously-green entries fill the remaining slots and
-# the tail (re-confirmation).
+# in dict order. Rounds 1-4 gave every one of the 174 registry entries at
+# least one driver row. Round 5 re-verifies the r4 reds and every entry
+# whose ORACLE changed in the dtype-pinning pass (BIGINT/INT/TIMESTAMP casts
+# -- see the determinism header and test_dtype_parity), then rotates in the
+# least-recently-verified surface: the r1-era fills, now four rounds stale.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY: list[str] = [
-    # --- 21 never-driver-verified entries (judge parity-green in r3) ---
-    "sql_q6",
+    # --- the two r4 driver-reds (HUGEINT->float64 hash artifact), fixed ---
     "sql_q12",
-    "sql_q19",
-    "sql_q20",
-    "scan_jdbc",
-    "ts_sessionize",
-    "geo_bbox_join",
-    "ext_tfidf",
-    "ltss_cagg_refresh",
-    "agg_mode",
-    "win_ntile",
-    "join_skew_salted",
-    "ext_unigram_lm",
     "ext_dedup_spans",
-    "sink_upsert",
-    "ltss_attr_keys",
-    "agg_corr",
-    "win_time_range",
-    "stream_upsert",
-    "ext_dedup_span_remove",
-    "ext_dedup_cluster_embed",
-    # --- new in round 4 ---
-    "sql_q11",
-    "ext_chunk_docs",
-    "ltss_snapshot",
-    "ext_bm25",
-    "sql_q1",
-    "sql_q3",
-    # --- materially changed in round 4 (LSH plans + invariant oracles) ---
-    "ext_dedup_embed",
-    # --- previously-green fill (re-confirmation; r1/r2-era rows first) ---
-    "ext_dedup_exact",
-    "ext_dedup_minhash",
-    "ext_dedup_simhash",
-    "ext_dedup_ngram",
-    "ext_sim_search",
-    "ext_text_stats",
-    "ltss_latest",
-    "ltss_bucket",
-    "join_asof",
-    "ts_gapfill",
-    "geo_distance",
-    "udf_scalar",
-    "udaf",
-    "udtf",
-    "stream_ingest",
-    "stream_dedup",
-    "stream_stateful",
-    "sink_partitioned",
-    "ext_multimodal",
-    "ext_quality_filter",
-    "ext_pack_sequences",
-    "sql_q5",
+    # --- oracles materially changed by the r5 dtype-pinning pass ---
+    "join_left",
+    "join_right",
+    "join_full",
+    "win_lag_lead",
+    "ltss_timeinstate",
+    "join_range",
+    "fn_date",
+    "ts_ohlc",
+    "ltss_cagg_refresh",
+    "sql_q7",
+    "sql_q8",
+    "sql_q9",
+    "ext_sample_group",
+    "ext_mixture_sample",
+    "ext_repetition",
+    # --- least-recently-verified rotation (r1-era driver rows) ---
+    "scan_parquet",
+    "project",
+    "filter_basic",
+    "filter_null",
+    "filter_in",
+    "filter_like",
+    "filter_entity",
+    "join_inner",
+    "join_semi",
+    "join_anti",
+    "join_broadcast",
+    "join_theta",
+    "agg_basic",
+    "agg_distinct",
+    "agg_groupsets",
+    "agg_minmax_by",
+    "agg_first_last",
+    "agg_pivot",
+    "win_rank",
+    "win_frame",
+    "win_cumulative",
+    "sort",
+    "limit",
+    "topk_group",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "fn_string",
+    "fn_math",
+    "fn_array",
+    "fn_map",
+    "fn_json",
+    "agg_skew_distinct",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
 #: changed materially afterwards — they justify a window slot exactly like a
 #: never-verified entry (tests/test_plans.py window-packing guard).
-_CHANGED_ENTRIES: set[str] = {"ext_dedup_embed", "ext_dedup_cluster_embed"}
-
-# Entries with an existing green driver row; order is cosmetic — any window
-# wider than the priority block re-confirms these.
-_DRIVER_SECOND: list[str] = [
-    # r3-window entries (all driver-green in CORRECTNESS_r03)
-    "agg_percentile",
-    "ts_lttb",
-    "sql_q13",
-    "ext_dedup_cluster",
-    "stream_watermark",
-    "ext_dedup_pipeline",
-    "ext_contamination",
-    "ext_hash_split",
+_CHANGED_ENTRIES: set[str] = {
+    "sql_q12",
+    "ext_dedup_spans",
+    "join_left",
+    "join_right",
+    "join_full",
+    "win_lag_lead",
+    "ltss_timeinstate",
+    "join_range",
+    "fn_date",
+    "ts_ohlc",
+    "ltss_cagg_refresh",
+    "sql_q7",
+    "sql_q8",
+    "sql_q9",
     "ext_sample_group",
     "ext_mixture_sample",
     "ext_repetition",
-    "ext_pii_redact",
-    "ext_dedup_incremental",
-    "ltss_compress",
-    "ltss_retention",
-    "ltss_state_periods",
-    "ts_ohlc",
-    "ts_heartbeat",
-    "stream_join",
-    "sink_zorder",
-    "agg_sketch_rollup",
-    "sink_bucketed",
-    "sink_compact",
-    "ltss_geo_wkt",
-    "join_asof_fwd",
-    "join_asof_near",
-    "ts_histogram",
-    "ts_trend",
-    "ext_sim_search_pq",
-    "ext_sim_search_ivfpq",
-    "sql_q8",
-    "sql_q10",
-    "sql_q18",
-    "sql_q21",
-    "ddl_upgrade",
-    "agg_approx",
-    "ext_sim_search_lsh",
-    "ext_sim_search_ivf",
-    "sql_q17",
-    "sql_q2",
-    "sql_q15",
-    "sql_q4",
-    "sql_q22",
-    "sql_q16",
-    "sql_q14",
-    "sql_q7",
-    "sql_q9",
+}
+
+# Entries with an existing green driver row; order is least-recently-verified
+# first (r1 spillover, then r2, r3, r4) — any window wider than the priority
+# block re-confirms the stalest surface next.
+_DRIVER_SECOND: list[str] = [
+    "agg_unpivot",
+    "win_distribution",
+    "fn_conditional",
+    "agg_collect",
+    "sql_subquery",
+    "sort_nulls",
+    "win_range_frame",
+    "fn_fuzzy",
+    "filter_not_in",
+    "ltss_states",
+    "ltss_geo_ingest",
+    "ddl_migrate",
+    "ltss_entity_range",
+    "ltss_json_attr",
+    "ts_interpolate",
+    "sql_select",
+    "ltss_deadletter",
+    "ltss_json_contains",
+    "ltss_attr_materialize",
+    "ts_counter_delta",
+    "ts_timeweight",
     "ext_text_quality",
-    "ext_langid",
     "ext_lang_dist",
+    "ext_langid",
     "ext_fingerprint",
-    "ext_token_topk",
-    "ext_url_canonical",
     "ext_multimodal_resize",
     "ext_multimodal_frames",
+    "ext_token_topk",
     "ext_multimodal_audio",
+    "ext_url_canonical",
     "scan_stream",
     "sink_append",
     "stream_window_tumbling",
@@ -207,18 +196,93 @@ _DRIVER_SECOND: list[str] = [
     "stream_window_session",
     "stream_late_drop",
     "stream_rollup",
-    "ltss_entity_range",
-    "ltss_json_attr",
-    "ltss_json_contains",
-    "ltss_timeinstate",
-    "ltss_geo_ingest",
-    "ltss_attr_materialize",
-    "ltss_deadletter",
-    "ddl_migrate",
-    "sql_select",
-    "ts_interpolate",
-    "ts_timeweight",
-    "ts_counter_delta",
+    "agg_approx",
+    "agg_percentile",
+    "agg_sketch_rollup",
+    "ltss_geo_wkt",
+    "ddl_upgrade",
+    "sink_bucketed",
+    "sql_q10",
+    "join_asof_fwd",
+    "ts_histogram",
+    "ts_lttb",
+    "ts_trend",
+    "join_asof_near",
+    "sql_q18",
+    "sql_q21",
+    "sink_zorder",
+    "ts_heartbeat",
+    "ltss_retention",
+    "ltss_state_periods",
+    "ltss_compress",
+    "ext_sim_search_lsh",
+    "ext_sim_search_ivf",
+    "ext_dedup_cluster",
+    "ext_dedup_pipeline",
+    "ext_contamination",
+    "ext_hash_split",
+    "ext_pii_redact",
+    "ext_dedup_incremental",
+    "ext_sim_search_pq",
+    "ext_sim_search_ivfpq",
+    "sink_compact",
+    "stream_watermark",
+    "stream_join",
+    "sql_q2",
+    "sql_q4",
+    "sql_q13",
+    "sql_q14",
+    "sql_q15",
+    "sql_q16",
+    "sql_q17",
+    "sql_q22",
+    "agg_mode",
+    "win_ntile",
+    "join_skew_salted",
+    "agg_corr",
+    "win_time_range",
+    "ltss_latest",
+    "ltss_snapshot",
+    "ltss_bucket",
+    "join_asof",
+    "ts_gapfill",
+    "geo_distance",
+    "sink_partitioned",
+    "stream_ingest",
+    "sql_q5",
+    "ts_sessionize",
+    "geo_bbox_join",
+    "sink_upsert",
+    "ltss_attr_keys",
+    "stream_upsert",
+    "ext_text_stats",
+    "ext_dedup_exact",
+    "ext_dedup_ngram",
+    "ext_dedup_minhash",
+    "ext_dedup_simhash",
+    "ext_sim_search",
+    "ext_dedup_embed",
+    "ext_multimodal",
+    "ext_quality_filter",
+    "ext_pack_sequences",
+    "ext_tfidf",
+    "ext_unigram_lm",
+    "ext_dedup_span_remove",
+    "ext_dedup_cluster_embed",
+    "ext_chunk_docs",
+    "ext_bm25",
+    "scan_jdbc",
+    "stream_dedup",
+    "stream_stateful",
+    "udf_scalar",
+    "udaf",
+    "udtf",
+    "sql_q6",
+    "sql_q19",
+    "sql_q20",
+    "sql_q11",
+    "sql_q1",
+    "sql_q3",
 ]
 
 
