@@ -336,11 +336,18 @@ def events_from_ha(spark, raw_events: list[dict]) -> DataFrame:
         # so a missing key means {} and a NULL in the output column means
         # exactly one thing: the encoder could not serialize the payload
         attrs = ns.get("attributes") or {}
+        # NUL sanitization at event construction, like the reference's
+        # LTSS.from_event (models.py:67) — Postgres TEXT rejects \x00, and
+        # this frame can feed make_pg_upsert_sink directly without passing
+        # through events_to_states' sanitize_state column.
+        state = ns.get("state")
+        if isinstance(state, str):
+            state = state.replace("\x00", "�")
         rows.append(
             (
                 tf,
                 ev.get("entity_id"),
-                ns.get("state"),
+                state,
                 encode_attributes(attrs),
             )
         )

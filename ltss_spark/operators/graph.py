@@ -85,6 +85,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    tune_session_shuffle: bool = False,
 ) -> DataFrame:
     """Component assignment for every node appearing in ``pairs``: returns
     (node, component) where component is the MINIMUM node id of the
@@ -92,6 +93,21 @@ def connected_components(
 
     ``max_iter`` is a safety bound: large/small-star provably converges in
     O(log^2 n) alternations, so 25 covers any physically storable graph.
+
+    ``tune_session_shuffle`` (opt-in) scopes spark.sql.shuffle.partitions
+    to the EDGE COUNT for the loop's duration: each round is ~5 tiny
+    stages, and on a small edge set the fixed cost of scheduling
+    session-default-many shuffle tasks dominates the round (measured at
+    sf0.1: 32 -> 4 partitions cuts the loop ~25 % even with AQE
+    coalescing, which trims reducers but not the mapper fan-out). A large
+    edge set keeps the session's full parallelism — ~50k edges per
+    partition before we grow toward it. The knob costs one edges.count()
+    job and mutates a SESSION-WIDE conf for the loop's duration (restored
+    even on error): queries launched from other threads of the same
+    session while the loop runs would silently inherit the reduced
+    parallelism — hence opt-in, left off by default so the operator stays
+    side-effect-free. The registry/bench entries enable it (serial
+    execution, measured win).
     """
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
@@ -102,21 +118,15 @@ def connected_components(
     # One extra small job buys exactly-once evaluation of the candidate
     # generator.
     edges = edges.localCheckpoint()
-    # Size the loop's shuffle parallelism to the GRAPH, not the session:
-    # each round is ~5 tiny stages, and on a small edge set the fixed cost
-    # of scheduling session-default-many shuffle tasks dominates the round
-    # (measured at sf0.1: 32 -> 4 partitions cuts the loop ~25 % even with
-    # AQE coalescing, which trims reducers but not the mapper fan-out). A
-    # large edge set keeps the session's full parallelism — ~50k edges per
-    # partition before we grow toward it. Count is one cheap job over the
-    # checkpointed blocks; the conf is restored even on error.
     spark = edges.sparkSession
     conf = spark.conf
     prev_shuf = conf.get("spark.sql.shuffle.partitions", "200")
-    try:
-        sess_parts = int(prev_shuf)
-    except (TypeError, ValueError):
-        sess_parts = None  # non-numeric (custom session) — leave untouched
+    sess_parts = None
+    if tune_session_shuffle:
+        try:
+            sess_parts = int(prev_shuf)
+        except (TypeError, ValueError):
+            sess_parts = None  # non-numeric (custom session) — leave untouched
     if sess_parts is not None:
         n_edges = edges.count()
         target = min(sess_parts, max(4, (n_edges + 49_999) // 50_000 * 4))
@@ -141,11 +151,7 @@ def connected_components(
         # after the finally below restores the session conf, so it plans
         # at session parallelism (fine: it is one aggregation over the
         # checkpointed edge blocks, and AQE coalesces it). Only the loop's
-        # own actions run under the scoped parallelism. The scoping is a
-        # session-wide conf for its duration: queries launched from OTHER
-        # threads of the same session while the loop runs would pick it
-        # up — acceptable for this engine's serial driver/bench/test
-        # execution, documented here for embedders.
+        # own actions run under the (opt-in) scoped parallelism.
         return (
             edges.select(F.col("a").alias("node"), F.col("b").alias("component"))
             .union(
@@ -165,13 +171,16 @@ def dedup_clusters(
     id_col: str = "doc_id",
     src: str = "doc_a",
     dst: str = "doc_b",
+    tune_session_shuffle: bool = False,
 ) -> DataFrame:
     """Cluster every document: (doc_id, cluster_id, n_members, is_survivor).
 
     Docs not in any pair are singleton clusters of themselves. Survivor =
     the cluster minimum (deterministic). The only joins are on doc_id /
     cluster_id equi-keys; cluster sizes come from one hash aggregation."""
-    comp = connected_components(pairs, src, dst)
+    comp = connected_components(
+        pairs, src, dst, tune_session_shuffle=tune_session_shuffle
+    )
     labeled = docs.select(F.col(id_col).alias("doc_id")).join(
         comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
     )

@@ -136,9 +136,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # same table frame up to 6 times (sql_q5). The logical plan is
     # immutable and session-bound, so reuse it — keyed by application id
     # (never leaks across sessions) and file mtime/size (a regenerated
-    # fixture invalidates). On a cluster this is the same pattern as a
-    # catalog-cached table handle; correctness is untouched because every
-    # action re-resolves the cached LOGICAL plan against the files.
+    # fixture invalidates). Caveat: spark.read.parquet pins its file
+    # listing (InMemoryFileIndex) at PLAN BUILD time, and the
+    # (mtime_ns, size) key is taken on the top-level path only — so the
+    # cache is valid only for whole-path rewrites (replace the file /
+    # directory wholesale, as the fixtures do). A rewrite INSIDE a
+    # partition subdirectory neither bumps the parent mtime nor refreshes
+    # the captured listing; directory datasets mutated in place must
+    # bypass this cache (load_table_uncached).
     try:
         st = os.stat(path)
         cache_key = (

@@ -232,12 +232,24 @@ def make_pg_upsert_sink(
     onto its own PKs. ``run_statements`` is the seam the no-Postgres test
     environment replaces (tests/test_pg_dialect.py asserts the exact
     statement sequence); against a live server the default executes over
-    java.sql.DriverManager."""
+    java.sql.DriverManager.
+
+    Intra-batch PK duplicates: with a ``tie_breaker`` the merge's
+    ``DISTINCT ON`` keeps the highest tie-breaker row (deterministic,
+    server-side). WITHOUT one, DISTINCT ON's survivor would be
+    plan-dependent, so the batch is PK-deduped Spark-side
+    (dedup_primary_key) before the staging append — which duplicate
+    survives is still arbitrary (there is no ordering column to prefer),
+    but it is decided once, before the data leaves Spark, not by the
+    Postgres plan."""
     staging = staging or f"{table}_staging"
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
+        from ltss_spark.ingest import dedup_primary_key
         from ltss_spark.sources.pg_dialect import upsert_batch_statements
 
+        if tie_breaker is None and {"time", "entity_id"} <= set(batch.columns):
+            batch = dedup_primary_key(batch)
         plan = upsert_batch_statements(
             table, batch.columns, staging, tie_breaker=tie_breaker
         )

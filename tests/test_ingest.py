@@ -475,6 +475,27 @@ def test_events_from_ha_serialize_or_deadletter(spark):
     assert st == {"sensor.temp": "21.5", "sensor.empty": "off"}
 
 
+def test_events_from_ha_sanitizes_nul_state(spark):
+    """NUL sanitization at event construction, like the reference's
+    LTSS.from_event (models.py:67): a \\x00 in the raw state must become
+    U+FFFD in the frame itself, so a direct events_from_ha ->
+    make_pg_upsert_sink wiring never ships \\x00 to a Postgres TEXT
+    column."""
+    import datetime as dt
+
+    from ltss_spark.ingest import events_from_ha
+
+    raw = [
+        {
+            "entity_id": "sensor.nul",
+            "time_fired": dt.datetime(2024, 3, 1, 10, 0, 0),
+            "new_state": {"state": "a\x00b", "attributes": {}},
+        }
+    ]
+    (row,) = events_from_ha(spark, raw).collect()
+    assert row.state == "a�b"
+
+
 def test_filter_precedence_property_vs_python_reference(spark):
     """Property test: the compiled Column must implement HA's
     convert_include_exclude_filter precedence (cases 1-4c in the

@@ -181,6 +181,38 @@ def test_pg_upsert_sink_statement_sequence(monkeypatch, spark):
     assert events[4][1] == "TRUNCATE ltss_staging"
 
 
+def test_pg_upsert_sink_dedupes_without_tie_breaker(monkeypatch, spark):
+    """With tie_breaker=None the default sink must PK-dedup the batch
+    Spark-side before the staging append — otherwise the merge's DISTINCT
+    ON has no ORDER BY tie-break and the surviving duplicate would be
+    Postgres-plan-dependent."""
+    import datetime as dt
+
+    from ltss_spark.streaming import ingest as I
+
+    appended: list = []
+
+    def fake_run(spark_, url, statements, options):
+        pass
+
+    def fake_write(batch, url, table, mode, options):
+        appended.extend(batch.collect())
+
+    monkeypatch.setattr(I, "_write_jdbc", fake_write)
+    sink = I.make_pg_upsert_sink(
+        "jdbc:postgresql://db/ha", table="ltss", run_statements=fake_run
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    batch = spark.createDataFrame(
+        [(t0, "sensor.a", "on"), (t0, "sensor.a", "off"), (t0, "sensor.b", "on")],
+        "time timestamp, entity_id string, state string",
+    )
+    sink(batch, epoch_id=1)
+    pks = sorted((r["time"], r["entity_id"]) for r in appended)
+    assert len(appended) == 2, "intra-batch PK duplicate must not reach staging"
+    assert pks == [(t0, "sensor.a"), (t0, "sensor.b")]
+
+
 def test_write_jdbc_seeds_pg_options(monkeypatch, spark):
     """_write_jdbc against a jdbc:postgresql URL must inject the dialect
     options (createTableColumnTypes, stringtype) while caller options win."""
