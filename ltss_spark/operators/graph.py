@@ -86,6 +86,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 25,
     tune_session_shuffle: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Component assignment for every node appearing in ``pairs``: returns
     (node, component) where component is the MINIMUM node id of the
@@ -139,12 +140,18 @@ def connected_components(
         # eager checkpoint + checksum pair costs two.
         edges = _large_star(edges).localCheckpoint(eager=False)
         prev = _edge_checksum(edges)
+        rounds = 1
         for _ in range(max_iter):
             edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
             cur = _edge_checksum(edges)
+            rounds += 1
             if cur == prev:
                 break
             prev = cur
+        if stats is not None:
+            # observability for the scale probe: star rounds grow
+            # O(log^2 n); the probe charts this at 1x-32x (docs/SCALING.md)
+            stats["rounds"] = rounds
         # Converged state is a star per component: (member, min).
         # Components of size >= 2 have one row per non-min member; add the
         # min itself. NOTE: this returned aggregate is LAZY — it executes

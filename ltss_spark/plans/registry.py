@@ -80,6 +80,8 @@ _DRIVER_PRIORITY: list[str] = [
     # --- the two r4 driver-reds (HUGEINT->float64 hash artifact), fixed ---
     "sql_q12",
     "ext_dedup_spans",
+    # --- new in round 5 (never driver-verified) ---
+    "ext_dedup_embed_capped",
     # --- oracles materially changed by the r5 dtype-pinning pass ---
     "join_left",
     "join_right",
@@ -129,7 +131,6 @@ _DRIVER_PRIORITY: list[str] = [
     "fn_array",
     "fn_map",
     "fn_json",
-    "agg_skew_distinct",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -159,6 +160,7 @@ _CHANGED_ENTRIES: set[str] = {
 # first (r1 spillover, then r2, r3, r4) — any window wider than the priority
 # block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
+    "agg_skew_distinct",
     "agg_unpivot",
     "win_distribution",
     "fn_conditional",

@@ -522,6 +522,106 @@ def ext_dedup_embed(spark, sf_dir):
 
 
 @register(
+    "ext_dedup_embed_capped",
+    f"""
+    WITH s AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_EMBED_AUDIT_CAP}
+    ),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)) AS dot,
+             SUM(CAST(a.embedding[g.i] AS DOUBLE) * CAST(a.embedding[g.i] AS DOUBLE)) AS na2,
+             SUM(CAST(b.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)) AS nb2
+      FROM s a
+      JOIN s b ON a.vec_id < b.vec_id,
+      UNNEST(generate_series(1, 64)) AS g(i)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT id_a, id_b, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cosine
+      FROM dots
+      WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 6) >= 0.3
+    ),
+    sym AS (
+      SELECT id_a, id_b, cosine, id_a AS vid, id_b AS partner FROM scored
+      UNION ALL
+      SELECT id_a, id_b, cosine, id_b AS vid, id_a AS partner FROM scored
+    ),
+    ranked AS (
+      SELECT id_a, id_b,
+             ROW_NUMBER() OVER (PARTITION BY vid
+                                ORDER BY cosine DESC, partner ASC) AS r
+      FROM sym
+    ),
+    kept AS (SELECT DISTINCT id_a, id_b FROM ranked WHERE r <= 5),
+    tot AS (
+      SELECT id, COUNT(*) AS n_pairs_total FROM (
+        SELECT id_a AS id FROM scored UNION ALL SELECT id_b FROM scored
+      ) GROUP BY 1
+    ),
+    kc AS (
+      SELECT id, COUNT(*) AS n_pairs_kept FROM (
+        SELECT id_a AS id FROM kept UNION ALL SELECT id_b FROM kept
+      ) GROUP BY 1
+    )
+    SELECT t.id AS vec_id,
+           CAST(n_pairs_total AS BIGINT) AS n_pairs_total,
+           CAST(COALESCE(n_pairs_kept, 0) AS BIGINT) AS n_pairs_kept,
+           CAST(n_pairs_total - COALESCE(n_pairs_kept, 0) AS BIGINT)
+             AS n_truncated
+    FROM tot t LEFT JOIN kc USING (id)
+    """,
+    survey="ext_dedup_near win_rank (pair-materialization guard: top-m-per-vector cap with per-vector truncation audit)",
+)
+def ext_dedup_embed_capped(spark, sf_dir):
+    """The VERDICT r4 pair-explosion guard, oracle-checked end-to-end:
+    cap_pairs_per_vector keeps a pair iff it is a top-5 link of either
+    endpoint (cosine desc, partner-id tie-break — deterministic), bounding
+    the materialized pair set at 5n rows however dense the corpus. The
+    audit returns, per vector, the uncapped pair count, the kept count,
+    and the truncation count — DuckDB reproduces the exact keep-rule with
+    the same two ROW_NUMBER windows. Runs on the capped exact pair set
+    (vec_id < 250) so the oracle is complete; the LSH path reuses the same
+    cap via embedding_dup_pairs(max_pairs_per_vector=...) and its
+    boundedness at growing scale is measured in scale_probe.json."""
+    from ltss_spark.operators.similarity import (
+        cap_pairs_per_vector,
+        embedding_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _EMBED_AUDIT_CAP)
+    # one broadcast self-join, checkpointed: the capped and uncapped
+    # branches both consume it, and the cap's windows must rank the SAME
+    # scored frame the totals count
+    pairs = embedding_dup_pairs(emb, threshold=0.3, method="exact").localCheckpoint(
+        eager=False
+    )
+    kept = cap_pairs_per_vector(pairs, 5)
+
+    def per_vector(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.col("id_a").alias("id"))
+            .unionAll(df.select(F.col("id_b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    tot = per_vector(pairs, "n_pairs_total")
+    kc = per_vector(kept, "n_pairs_kept")
+    return (
+        tot.join(kc, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            "n_pairs_total",
+            F.coalesce("n_pairs_kept", F.lit(0)).alias("n_pairs_kept"),
+            (F.col("n_pairs_total") - F.coalesce("n_pairs_kept", F.lit(0))).alias(
+                "n_truncated"
+            ),
+        )
+    )
+
+
+@register(
     "ext_sim_search_ivf",
     _ANN_AUDIT_ORACLE,
     survey="ext_sim_search (IVF coarse quantizer, FAISS-IVF-flat shape)",

@@ -250,6 +250,49 @@ def test_embedding_dup_pairs_symmetric_and_thresholded(spark):
     assert {(r.id_a, r.id_b) for r in got} == want
 
 
+def test_cap_pairs_per_vector_keeps_top_links(spark):
+    """The pair-materialization guard: (a) output is a subset of the input
+    pair set with unchanged schema, (b) every surviving pair is a top-m
+    link of at least one endpoint, (c) every endpoint's single strongest
+    link always survives (the edge that stitches a duplicate cluster), and
+    (d) the LSH path with the cap bounds output at <= 2*m*n pairs."""
+    from ltss_spark.operators.similarity import (
+        cap_pairs_per_vector,
+        embedding_dup_pairs,
+    )
+    from ltss_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") < 150)
+    pairs = embedding_dup_pairs(emb, threshold=0.2, method="exact")
+    full = {(r.id_a, r.id_b): r.cosine for r in pairs.collect()}
+    m = 3
+    kept = {(r.id_a, r.id_b): r.cosine for r in
+            cap_pairs_per_vector(pairs, m).collect()}
+    assert set(kept) <= set(full) and kept  # subset, non-trivial fixture
+    assert len(kept) < len(full), "cap did not truncate a dense pair set"
+
+    # python-side re-derivation of the keep rule
+    by_vec: dict = {}
+    for (a, b), c in full.items():
+        by_vec.setdefault(a, []).append((-c, b, (a, b)))
+        by_vec.setdefault(b, []).append((-c, a, (a, b)))
+    want = set()
+    for links in by_vec.values():
+        for _, _, pair in sorted(links)[:m]:
+            want.add(pair)
+    assert set(kept) == want
+
+    # each vector's strongest link survives
+    for links in by_vec.values():
+        assert sorted(links)[0][2] in kept
+
+    n = emb.count()
+    capped_lsh = embedding_dup_pairs(
+        emb, threshold=0.2, method="lsh", dim=64, max_pairs_per_vector=m
+    ).count()
+    assert capped_lsh <= 2 * m * n
+
+
 def test_interpolate_matches_duckdb_on_random_data(spark):
     """Randomized differential: linear interpolation == DuckDB window SQL,
     including leading/trailing gaps (stay NULL) and multi-day holes."""
