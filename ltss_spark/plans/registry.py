@@ -308,6 +308,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+#: (session wrapper id, view name) -> the exact DataFrame handle last
+#: registered under that name. Registering a temp view is a catalog RPC per
+#: call; the SQL-text entries re-register the same tables on every
+#: invocation, which at bench cadence (21 queries x 2 runs) is pure fixed
+#: cost. Holding the handle itself (not an id()) makes the check an `is`
+#: comparison AND keeps the frame alive, so a fixture rewrite or sf_dir
+#: switch — which gives load_table a different handle (its cache keys on
+#: path+mtime+size) — re-registers, while a repeat call skips the RPC.
+#: Keyed on the session OBJECT because temp views live in the SESSION
+#: catalog: a different session wrapper (even over the same JVM app)
+#: conservatively re-registers rather than assuming the view exists there.
+#: The strong ref also rules out id-reuse false hits.
+_VIEWS: dict[tuple[SparkSession, str], DataFrame] = {}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        df = load_table(spark, sf_dir, t)
+        key = (spark, t)
+        if _VIEWS.get(key) is not df:
+            df.createOrReplaceTempView(t)
+            _VIEWS[key] = df
+    if len(_VIEWS) > 1024:  # bound: dead sessions' keys
+        _VIEWS.clear()
+
+
 # =========================================================================
 # Scans / projections / filters (SURVEY §2.C scan_parquet, project,
 # filter_basic/_null/_in/_like/_entity)

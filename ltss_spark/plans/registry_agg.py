@@ -8,7 +8,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from ltss_spark.functions.numeric import davg, dsum, oracle_davg, oracle_dsum
-from ltss_spark.plans.registry import _t, register
+from ltss_spark.plans.registry import _t, register, register_views
 
 
 # =========================================================================
@@ -809,8 +809,7 @@ def sql_subquery(spark, sf_dir):
     """Correlated scalar subqueries + uncorrelated scalar filter, through
     the SQL entry: Catalyst decorrelates both into aggregating joins (no
     per-row re-execution — check the plan for the two left joins)."""
-    for t in ("customer", "orders"):
-        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    register_views(spark, sf_dir, "customer", "orders")
     return spark.sql(
         """
         SELECT c_custkey, c_name, n_orders, spent
@@ -930,8 +929,7 @@ def filter_not_in(spark, sf_dir):
     the NOT IN subquery makes the predicate UNKNOWN for every row (count
     0), while NOT EXISTS keeps anti-join semantics. An engine with naive
     set semantics would disagree on the middle variant."""
-    for t in ("customer", "orders"):
-        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    register_views(spark, sf_dir, "customer", "orders")
     return spark.sql(
         """
         WITH probe AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
@@ -1189,8 +1187,7 @@ def win_time_range(spark, sf_dir):
     irregular sampling is handled exactly. Decimal window sum keeps the
     result order-insensitive. Rows with equal ts are RANGE-peers on both
     engines, so counts are deterministic without a tie-break."""
-    for t in ("events",):
-        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    register_views(spark, sf_dir, "events")
     return spark.sql(
         """
         SELECT event_id, user_id, ts,

@@ -14,7 +14,7 @@ from ltss_spark.operators.asof import asof_join
 from ltss_spark.operators.gapfill import time_bucket_gapfill, time_bucket_interpolate
 from ltss_spark.operators.geo import haversine_km, in_bbox
 from ltss_spark.operators.timeseries import time_bucket_agg, time_in_state
-from ltss_spark.plans.registry import _t, register
+from ltss_spark.plans.registry import _t, register, register_views
 from ltss_spark.scratch import scratch_dir, session_tag
 
 #: oracle CTE for the canonical state table (mirrors states_from_events)
@@ -645,8 +645,7 @@ def stream_ingest_q(spark, sf_dir):
 def sql_select(spark, sf_dir):
     """B1: 'Fully SQL compatible' (reference README.md:23) — the engine's
     SQL entry point: register views, run ANSI SQL through Catalyst."""
-    for t in ("customer", "orders", "lineitem"):
-        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    register_views(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql(
         """
         SELECT l_orderkey,
@@ -685,8 +684,7 @@ def sql_q10(spark, sf_dir):
     """B1 depth check: 4-table star join + aggregate + deterministic top-20
     through the SQL entry point. Catalyst broadcasts nation automatically
     (AQE size estimate); the fact-side joins shuffle on their keys."""
-    for t in ("customer", "orders", "lineitem", "nation"):
-        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    register_views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
     return spark.sql(
         """
         SELECT c_custkey, c_name,
@@ -838,8 +836,7 @@ def sql_q5(spark, sf_dir):
     """B1 depth: the 6-table local-supplier-volume join. The
     customer-supplier same-nation equality rides the join graph; nation and
     region broadcast; the two fact-side joins shuffle on their keys."""
-    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
-        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    register_views(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
     return spark.sql(
         """
         SELECT n_name,
@@ -1178,8 +1175,7 @@ def sql_q18(spark, sf_dir):
     """Large-volume-customer query: the IN-subquery over a grouped HAVING
     becomes a semi-join against an aggregate — Catalyst plans the
     aggregation once, no correlated re-execution."""
-    for t in ("customer", "orders", "lineitem"):
-        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    register_views(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql(
         """
         SELECT c_custkey, c_name, o_orderkey, o_totalprice,
@@ -1222,8 +1218,7 @@ def sql_q18(spark, sf_dir):
 def sql_q8(spark, sf_dir):
     """National market share: 7-table join, conditional aggregation, exact
     decimal volume sums so the share ratio is order-insensitive."""
-    for t in ("lineitem", "orders", "customer", "supplier", "nation", "region"):
-        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    register_views(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region")
     return spark.sql(
         """
         WITH flat AS (
@@ -1276,8 +1271,7 @@ def sql_q21(spark, sf_dir):
     shape — a correlated EXISTS and a correlated NOT EXISTS over the same
     fact table become one semi-join and one anti-join against shared
     aggregated subplans; no per-row re-execution."""
-    for t in ("supplier", "lineitem", "orders", "nation"):
-        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    register_views(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
     return spark.sql(
         """
         SELECT s_name, COUNT(*) AS numwait

@@ -23,12 +23,7 @@ aliases both sides.
 from __future__ import annotations
 
 from ltss_spark.functions.numeric import oracle_davg, oracle_dsum
-from ltss_spark.plans.registry import _t, register
-
-
-def _views(spark, sf_dir, *tables):
-    for t in tables:
-        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+from ltss_spark.plans.registry import _t, register, register_views as _views
 
 
 # ---------------------------------------------------------------------------

@@ -64,7 +64,22 @@ def pin_session_for_oracle(spark: SparkSession) -> None:
     Also pins the runtime-settable performance knobs: a foreign session may
     carry the 200-partition default (50x too many tasks for local data) and
     AQE off — both safely settable per-session at any time.
+
+    Every registry entry calls this on build and each conf.set is a py4j
+    round trip, so repeat pins are bench fixed cost. After the first full
+    pin of a session, subsequent calls collapse to ONE round trip: read
+    the session timezone — the canary that flags a foreign/mutated
+    session — and skip the other six sets while it still reads UTC. A
+    caller that mutates a non-TZ knob mid-session owns re-pinning it
+    (none of ours do — the one scoped override, connected_components'
+    opt-in shuffle tuning, restores the previous value itself); mutating
+    the timezone re-triggers the full pin, which keeps the hostile-session
+    contract (tests/test_plans.py::test_hostile_session_timezone_is_pinned).
     """
+    key = spark.sparkContext.applicationId
+    if key in _PINNED and spark.conf.get("spark.sql.session.timeZone") == "UTC":
+        return
+    _PINNED.add(key)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -72,3 +87,7 @@ def pin_session_for_oracle(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+
+#: applicationIds already pinned — see pin_session_for_oracle docstring
+_PINNED: set[str] = set()

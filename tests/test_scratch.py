@@ -68,3 +68,37 @@ def test_load_table_cache_invalidates_on_rewrite(spark, tmp_path):
     df2 = load_table(spark, sf, "nation")
     assert df2 is not df1
     assert df2.count() == 3 != n1
+
+
+def test_register_views_skips_repeat_and_follows_rewrite(spark, tmp_path):
+    """The temp-view cache must (a) skip the catalog RPC when the SAME
+    table handle is already registered under this session, and (b)
+    re-register — making new data visible to SQL — when a fixture rewrite
+    gives load_table a fresh handle."""
+    import os
+    import shutil
+
+    from ltss_spark.plans.registry import _VIEWS, register_views
+
+    sf = str(tmp_path)
+    src = "/root/testdata/sf0.001/nation.parquet"
+    dst = f"{sf}/nation.parquet"
+    shutil.copyfile(src, dst)
+
+    register_views(spark, sf, "nation")
+    n1 = spark.sql("SELECT count(*) AS n FROM nation").collect()[0]["n"]
+    handle1 = _VIEWS[(spark, "nation")]
+    register_views(spark, sf, "nation")
+    assert _VIEWS[(spark, "nation")] is handle1  # repeat call: no re-register
+
+    rows = spark.read.parquet(src).limit(2)
+    rows.write.mode("overwrite").parquet(f"{sf}/tmp_nation")
+    part = [f for f in os.listdir(f"{sf}/tmp_nation") if f.endswith(".parquet")][0]
+    os.remove(dst)
+    shutil.copyfile(f"{sf}/tmp_nation/{part}", dst)
+    os.utime(dst, (1_700_000_001, 1_700_000_001))
+
+    register_views(spark, sf, "nation")
+    assert _VIEWS[(spark, "nation")] is not handle1
+    n2 = spark.sql("SELECT count(*) AS n FROM nation").collect()[0]["n"]
+    assert n2 == 2 != n1
