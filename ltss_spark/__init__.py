@@ -24,4 +24,5 @@ Everything here is public-knowledge PySpark; no custom JVM code.
 
 __version__ = "0.1.0"
 
+from ltss_spark.config import LtssConfig, load_yaml_config, parse_config  # noqa: F401
 from ltss_spark.session import get_spark  # noqa: F401
