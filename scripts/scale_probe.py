@@ -167,6 +167,12 @@ def main():
         return out, round(min(d1, time.time() - t), 2)
 
     base = os.path.join(tempfile.gettempdir(), f"scale_probe_{uuid.uuid4().hex}")
+    # replica tables are GBs at the deep factors — remove them however the
+    # probe exits (a leaked base dir per run was measured at ~100 MB each)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     results = {"sf_dir": sf_dir, "factors": {}}
     # warm/fixed copies live under their own paths: the factor loop
     # re-writes <name>_x1 with overwrite, which would delete the files the
