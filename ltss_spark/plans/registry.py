@@ -82,6 +82,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_dedup_spans",
     # --- new in round 5 (never driver-verified) ---
     "ext_dedup_embed_capped",
+    "scan_csv",
+    "scan_json",
     # --- oracles materially changed by the r5 dtype-pinning pass ---
     "join_left",
     "join_right",
@@ -129,8 +131,6 @@ _DRIVER_PRIORITY: list[str] = [
     "fn_string",
     "fn_math",
     "fn_array",
-    "fn_map",
-    "fn_json",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -160,6 +160,8 @@ _CHANGED_ENTRIES: set[str] = {
 # first (r1 spillover, then r2, r3, r4) — any window wider than the priority
 # block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
+    "fn_map",
+    "fn_json",
     "agg_skew_distinct",
     "agg_unpivot",
     "win_distribution",

@@ -36,6 +36,77 @@ def scan_stream(spark, sf_dir):
     return run_to_memory(raw, "append", "scan_stream")
 
 
+_EVENTS_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+_EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+#: second-line precision so CSV/JSON text round-trips the micros the
+#: parquet table carries (both formats default to millis and would
+#: silently truncate — a value-hash mismatch, not an error)
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _text_roundtrip(spark, sf_dir, fmt: str, options: dict):
+    """Shared body for the text-source scans: land events as fmt, read it
+    back with an EXPLICIT schema, return the full rows. The explicit
+    schema is the 100 TB posture — schema inference on a text source is a
+    full extra pass over the data; production declares the schema and
+    keeps the scan single-pass. Files stay one-record-per-line
+    (multiLine off), so the source remains SPLITTABLE: a 100 TB text
+    dataset still fans out by HDFS/S3 block, unlike a multiline JSON blob
+    that serializes into one task."""
+    from ltss_spark.plans.registry import _t
+
+    out = scratch_dir(f"ltss_scan_{fmt}")
+    e = _t(spark, sf_dir, "events").select(*_EVENTS_COLS)
+    e.write.mode("overwrite").format(fmt).options(**options).save(out)
+    return (
+        spark.read.format(fmt)
+        .schema(_EVENTS_DDL)
+        .options(**options)
+        .load(out)
+        .filter(F.col("value") > 50.0)
+    )
+
+
+@register(
+    "scan_csv",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    WHERE value > 50.0
+    """,
+    survey="scan_parquet A1 (CSV source: splittable text scan, explicit schema, quoted-field and timestamp-precision fidelity)",
+)
+def scan_csv_q(spark, sf_dir):
+    """CSV round trip, byte-faithful: header on, default quoting (the
+    props column carries commas and quotes inside JSON), timestamps at
+    micros precision, doubles via Java shortest-round-trip repr — the
+    read-back must hash-match the parquet original exactly. Doubles and
+    timestamps are the columns text formats corrupt silently; the oracle
+    compares against the PARQUET values, so any lossy edge in the
+    writer/parser pair goes red."""
+    return _text_roundtrip(
+        spark, sf_dir, "csv", {"header": "true", "timestampFormat": _TS_FMT}
+    )
+
+
+@register(
+    "scan_json",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    WHERE value > 50.0
+    """,
+    survey="scan_parquet A1 fn_json (JSON-lines source: splittable text scan, explicit schema, nested-string escaping fidelity)",
+)
+def scan_json_q(spark, sf_dir):
+    """JSON-lines round trip: one record per line (splittable), explicit
+    schema (no inference pass), micros timestamps; the props column is a
+    JSON string INSIDE the JSON record, so writer escaping and parser
+    unescaping must be exact inverses for the hash to match."""
+    return _text_roundtrip(spark, sf_dir, "json", {"timestampFormat": _TS_FMT})
+
+
 #: one Derby database per (process, sf_dir): the entry's subject is the
 #: READ path; re-runs in the same session reuse the landed table instead
 #: of re-inserting 10k rows per call.
