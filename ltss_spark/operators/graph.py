@@ -98,17 +98,15 @@ def connected_components(
     ``tune_session_shuffle`` (opt-in) scopes spark.sql.shuffle.partitions
     to the EDGE COUNT for the loop's duration: each round is ~5 tiny
     stages, and on a small edge set the fixed cost of scheduling
-    session-default-many shuffle tasks dominates the round (measured at
-    sf0.1: 32 -> 4 partitions cuts the loop ~25 % even with AQE
-    coalescing, which trims reducers but not the mapper fan-out). A large
-    edge set keeps the session's full parallelism — ~50k edges per
-    partition before we grow toward it. The knob costs one edges.count()
-    job and mutates a SESSION-WIDE conf for the loop's duration (restored
-    even on error): queries launched from other threads of the same
-    session while the loop runs would silently inherit the reduced
-    parallelism — hence opt-in, left off by default so the operator stays
-    side-effect-free. The registry/bench entries enable it (serial
-    execution, measured win).
+    session-default-many shuffle tasks can dominate the round. Measured
+    history: r3 saw ~25 % from 32 -> 4 partitions; re-measured in r5
+    (interleaved 4x reps at sf0.1) the knob is NEUTRAL — AQE partition
+    coalescing now captures the win, and the knob costs one edges.count()
+    job plus a SESSION-WIDE conf mutation for the loop's duration
+    (restored even on error) that other threads of the same session would
+    silently inherit. Hence off by default and no longer enabled by the
+    registry entries; retained for sessions that must run with AQE
+    disabled, where the r3 rationale still applies.
     """
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")

@@ -901,9 +901,7 @@ def ext_dedup_cluster(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, k=5, num_hashes=12, bands=4)
-    comp = connected_components(pairs, tune_session_shuffle=True).withColumnRenamed(
-        "node", "doc_id"
-    )
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
     return docs.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
     )
@@ -928,7 +926,7 @@ def ext_dedup_pipeline(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, k=5, num_hashes=12, bands=4)
-    return dedup_clusters(docs, pairs, tune_session_shuffle=True)
+    return dedup_clusters(docs, pairs)
 
 
 def _oracle_hex4(expr: str) -> str:
@@ -1469,9 +1467,7 @@ def ext_dedup_cluster_embed(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     pairs = embedding_dup_pairs(emb, threshold=0.4, method="lsh", dim=64)
-    comp = connected_components(
-        pairs, src="id_a", dst="id_b", tune_session_shuffle=True
-    ).withColumnRenamed(
+    comp = connected_components(pairs, src="id_a", dst="id_b").withColumnRenamed(
         "node", "vec_id"
     )
     # lazy checkpoint: the cluster assignment feeds THREE branches (n_vec

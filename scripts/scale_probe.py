@@ -240,9 +240,7 @@ def main():
         )
         cc_stats: dict = {}
         row["cc_components"], row["cc_sec"] = timed(
-            lambda: connected_components(
-                minhash_lsh_pairs(docs), tune_session_shuffle=True, stats=cc_stats
-            ).count()
+            lambda: connected_components(minhash_lsh_pairs(docs), stats=cc_stats).count()
         )
         row["cc_rounds"] = cc_stats.get("rounds")
         row["exact_groups"], row["exact_sec"] = timed(
@@ -372,9 +370,7 @@ def main():
         pairs = minhash_lsh_pairs(docs)
         cc_stats = {}
         comps, sec = timed(
-            lambda: connected_components(
-                pairs, tune_session_shuffle=True, stats=cc_stats
-            ).count()
+            lambda: connected_components(pairs, stats=cc_stats).count()
         )
         results["cc_deep_scaling"][str(factor)] = {
             "n_docs": docs.count(),
