@@ -307,6 +307,7 @@ def run_ingest_availablenow(
     jdbc_table: str = "ltss",
     jdbc_options: dict | None = None,
     upsert: bool = False,
+    path_glob: str = "events.parquet",
 ) -> None:
     """Drive the ingest pipeline over the driver's ``events`` parquet as a
     bounded stream (Trigger.AvailableNow) and land canonical state rows at
@@ -328,12 +329,18 @@ def run_ingest_availablenow(
       (/root/reference/tests/pytest/test_databases.py:20-45).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{source_dir}/events.parquet").schema
-    # the file streaming source needs a directory; pathGlobFilter narrows it
-    # to the events table
+    # the file streaming source needs a directory; pathGlobFilter narrows
+    # it to the events table for the driver fixture (one file named
+    # events.parquet). A production source is a DIRECTORY that accumulates
+    # files — pass path_glob="*.parquet" and the checkpoint makes restarts
+    # exactly-once over whatever files have arrived since
+    # (tests/test_streaming.py::test_ingest_checkpoint_resume_exactly_once).
+    schema = (
+        spark.read.option("pathGlobFilter", path_glob).parquet(source_dir).schema
+    )
     raw = (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", path_glob)
         .parquet(source_dir)
     )
     states = states_from_events(normalize_event_times(raw))
