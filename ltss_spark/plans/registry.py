@@ -84,6 +84,9 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_dedup_embed_capped",
     "scan_csv",
     "scan_json",
+    # --- ANN rerank depth made corpus-adaptive in r5 (sf0.1 recall fix) ---
+    "ext_sim_search_pq",
+    "ext_sim_search_ivfpq",
     # --- oracles materially changed by the r5 dtype-pinning pass ---
     "join_left",
     "join_right",
@@ -129,14 +132,14 @@ _DRIVER_PRIORITY: list[str] = [
     "set_intersect",
     "set_except",
     "fn_string",
-    "fn_math",
-    "fn_array",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
 #: changed materially afterwards — they justify a window slot exactly like a
 #: never-verified entry (tests/test_plans.py window-packing guard).
 _CHANGED_ENTRIES: set[str] = {
+    "ext_sim_search_pq",
+    "ext_sim_search_ivfpq",
     "sql_q12",
     "ext_dedup_spans",
     "join_left",
@@ -160,6 +163,8 @@ _CHANGED_ENTRIES: set[str] = {
 # first (r1 spillover, then r2, r3, r4) — any window wider than the priority
 # block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
+    "fn_math",
+    "fn_array",
     "fn_map",
     "fn_json",
     "agg_skew_distinct",
@@ -227,8 +232,6 @@ _DRIVER_SECOND: list[str] = [
     "ext_hash_split",
     "ext_pii_redact",
     "ext_dedup_incremental",
-    "ext_sim_search_pq",
-    "ext_sim_search_ivfpq",
     "sink_compact",
     "stream_watermark",
     "stream_join",

@@ -1218,15 +1218,22 @@ def ext_pack_sequences(spark, sf_dir):
 def ext_sim_search_pq(spark, sf_dir):
     """PQ-compressed ANN recall audit: corpus encoded to 16 centroid codes
     per vector (16x read-volume cut vs raw float32), scanned with
-    broadcast ADC lookup tables, top-100 re-scored exactly
-    (operators/similarity.py cosine_topk_pq; measured 4-5 common at
-    sf0.001/sf0.01, floor 3). Equality at rerank=all in pytest."""
+    broadcast ADC lookup tables, rerank deepest candidates re-scored
+    exactly (operators/similarity.py cosine_topk_pq). Rerank depth SCALES
+    with the corpus — max(100, n/5) capped at 1000 — because ADC ranking
+    quality is relative: a fixed top-100 is 20% of a 500-vector corpus
+    but 5% of 2000, and the sf0.1 sweep measured recall falling 4-5/5 ->
+    1/5 for one query at fixed 100 (restored to 4-5/5 at n/5=400). Past
+    the cap, recall is the PQ codebook's job (m/kc), not rerank's.
+    Measured 4-5 common at sf0.001/0.01/0.1 with the adaptive depth,
+    floor 3. Equality at rerank=all in pytest."""
     from ltss_spark.operators.similarity import cosine_topk_pq
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
+    rerank = min(1000, max(100, emb.count() // 5))
     return _ann_recall_audit(
-        cosine_topk_pq(emb, q, k=5, rerank=100, dim=64),
+        cosine_topk_pq(emb, q, k=5, rerank=rerank, dim=64),
         cosine_topk(emb, q, k=5),
         min_common=3,
     )
@@ -1272,15 +1279,21 @@ def ext_sim_search_ivfpq(spark, sf_dir):
     """IVF+PQ composed ANN recall audit: nprobe/n_centroids bounds which
     candidates are scanned, m-byte PQ codes bound the read per candidate,
     exact rescore restores precision (operators/similarity.py
-    cosine_topk_ivfpq; measured 3-5 common at sf0.001/sf0.01 at
-    nprobe=10/rerank=100, floor 2). Equality at full probe in pytest."""
+    cosine_topk_ivfpq). Rerank depth scales with the corpus like
+    ext_sim_search_pq (fixed 100 measured 1/5 recall for one sf0.1 query;
+    n/5 restores 5/5); nprobe stays 10/16 — probing a subset is the
+    POINT of IVF, and the residual miss (one sf0.1 query at 3/5 whose
+    neighbors live in unprobed lists) is the honest IVF trade, above the
+    floor. Measured 3-5 common at sf0.001/0.01/0.1, floor 2. Equality at
+    full probe in pytest."""
     from ltss_spark.operators.similarity import cosine_topk_ivfpq
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
+    rerank = min(1000, max(100, emb.count() // 5))
     return _ann_recall_audit(
         cosine_topk_ivfpq(
-            emb, q, k=5, n_centroids=16, nprobe=10, rerank=100
+            emb, q, k=5, n_centroids=16, nprobe=10, rerank=rerank
         ),
         cosine_topk(emb, q, k=5),
         min_common=2,
