@@ -1330,3 +1330,20 @@ def test_infer_dim_even_split_raises(spark):
     # strict majority still resolves
     df2 = spark.createDataFrame(rows + [([0.0] * 4,)], "embedding array<double>")
     assert _infer_dim(df2, "embedding") == 4
+
+
+def test_ann_audit_entries_green_at_sf01(spark):
+    """Scale-dependence regression pin (r5): the PQ/IVFPQ recall audits
+    went red at sf0.1 with a FIXED rerank=100 (ADC rank quality is
+    relative to corpus size) while staying green at the driver's sf0.01 —
+    this test runs the registered audit entries at sf0.1 so the
+    corpus-adaptive rerank depth can't silently regress at the scale the
+    driver never checks."""
+    import ltss_spark.plans as plans
+
+    by_name = {q.name: q for q in plans.REGISTRY}
+    for name in ("ext_sim_search_pq", "ext_sim_search_ivfpq"):
+        rows = by_name[name].build(spark, "/root/testdata/sf0.1").collect()
+        assert rows, name
+        for r in rows:
+            assert r["recall_ok"], f"{name}: recall floor broken at sf0.1"
