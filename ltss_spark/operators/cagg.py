@@ -64,14 +64,29 @@ def refresh_rollup(
     time_col: str = "time",
     unit: str = "day",
     sig_cols: list[str] | None = None,
+    source_stats: DataFrame | None = None,
 ) -> list[str]:
     """Bring the materialized rollup at ``rollup_path`` up to date with
     ``source``, re-aggregating only stale buckets. ``agg`` maps a source
     slice to its rollup rows and must carry the ``bucket`` column through
     (grouping on it). Returns the refreshed bucket keys (ISO strings) —
-    empty when the rollup was already current."""
+    empty when the rollup was already current.
+
+    ``source_stats`` (the petabyte path — docs/ARCHITECTURE.md): a
+    (bucket, src_rows, src_sig) frame recorded at WRITE time
+    (sources/batch.write_bucket_stats, same bucket_fingerprints kernel,
+    same ``unit`` and ``sig_cols``) replaces the fingerprint scan of
+    ``source`` — change detection becomes a sidecar read of |buckets|
+    rows; only the stale-slice re-aggregation touches data. The caller
+    owns the contract that the stats describe the SAME content as
+    ``source`` (both normally derive from one partitioned table,
+    tests/test_cagg.py::test_refresh_from_write_time_stats)."""
     sig_cols = sig_cols or [c for c in source.columns]
-    fps = bucket_fingerprints(source, time_col, unit, sig_cols)
+    fps = (
+        source_stats.select("bucket", "src_rows", "src_sig")
+        if source_stats is not None
+        else bucket_fingerprints(source, time_col, unit, sig_cols)
+    )
 
     try:
         stored = spark.read.parquet(f"{rollup_path}/_fingerprints")

@@ -1698,6 +1698,89 @@ def ltss_cagg_refresh_q(spark, sf_dir):
 
 
 @register(
+    "ltss_cagg_stats_refresh",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
+           COUNT(*) AS n_events,
+           {oracle_dsum('value', 2)} AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey="B4 agg_basic sink_partitioned B8 (metadata-driven cagg refresh: write-time fingerprint sidecar, scan-free change detection)",
+)
+def ltss_cagg_stats_refresh_q(spark, sf_dir):
+    """The petabyte form of ltss_cagg_refresh: change detection from the
+    fingerprint sidecar RECORDED AT WRITE TIME (sources/batch.
+    write_bucket_stats via write_partitioned/upsert_partitioned
+    stats_unit) instead of re-scanning the source — refresh_rollup's
+    source scan collapses to a |buckets|-row metadata read, and the upsert
+    maintains the sidecar incrementally (touched months only). Flow:
+    partial history lands WITH stats -> sidecar-driven build; the
+    withheld late-replay slice upserts in (sidecar updated
+    incrementally) -> sidecar-driven refresh touches only the changed
+    days. The readback must hash-match the direct GROUP BY over the
+    complete table — incremental-maintenance convergence with zero
+    fingerprint scans, proven by oracle."""
+    from ltss_spark.functions.numeric import dsum
+    from ltss_spark.operators.cagg import read_rollup, refresh_rollup
+    from ltss_spark.sources.batch import (
+        read_bucket_stats,
+        upsert_partitioned,
+        write_partitioned,
+    )
+
+    base = scratch_dir("ltss_cagg_stats")
+    table, rollup = f"{base}/table", f"{base}/rollup"
+    e = _t(spark, sf_dir, "events")
+
+    def agg(src):
+        return src.groupBy("bucket", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 2).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    v1 = e.filter(
+        (F.col("ts") < F.lit("2024-01-25").cast("timestamp"))
+        & ~(
+            (F.col("event_id") % 97 == 0)
+            & (F.col("ts") < F.lit("2024-01-11").cast("timestamp"))
+        )
+    )
+    sig = ["event_id", "value"]
+    write_partitioned(v1, table, time_col="ts", stats_unit="day", stats_sig_cols=sig)
+    refresh_rollup(
+        spark,
+        spark.read.parquet(table).drop("month"),
+        rollup,
+        agg,
+        time_col="ts",
+        unit="day",
+        sig_cols=sig,
+        source_stats=read_bucket_stats(spark, table),
+    )
+    late = e.join(v1.select("event_id"), "event_id", "left_anti")
+    upsert_partitioned(
+        spark, table, late, pk=("event_id",), time_col="ts",
+        tie_breaker=None, stats_unit="day", stats_sig_cols=sig,
+    )
+    refresh_rollup(
+        spark,
+        spark.read.parquet(table).drop("month"),
+        rollup,
+        agg,
+        time_col="ts",
+        unit="day",
+        sig_cols=sig,
+        source_stats=read_bucket_stats(spark, table),
+    )
+    return read_rollup(spark, rollup)
+
+
+@register(
     "sink_upsert",
     f"""
     WITH {_STATES_CTE},

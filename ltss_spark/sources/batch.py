@@ -231,6 +231,8 @@ def write_partitioned(
     time_col: str = "time",
     bucket_fmt: str = "yyyy-MM",
     mode: str = "overwrite",
+    stats_unit: str | None = None,
+    stats_sig_cols: list[str] | None = None,
 ) -> None:
     """Time-partitioned append sink — the hypertable-chunking analogue
     (reference: create_hypertable + chunk_time_interval,
@@ -242,6 +244,10 @@ def write_partitioned(
     (entity_id, time) so parquet row-group min/max stats can skip files for
     per-entity scans — the stand-in for the reference's
     (entity_id, time DESC) composite index (models.py:78-80).
+
+    ``stats_unit`` additionally records the per-bucket fingerprint sidecar
+    at that granularity (write_bucket_stats) so downstream
+    refresh_rollup(source_stats=...) change detection is a metadata read.
     """
     bucketed = df.withColumn("month", F.date_format(F.col(time_col), bucket_fmt))
     (
@@ -249,6 +255,74 @@ def write_partitioned(
         if "entity_id" in df.columns
         else bucketed
     ).write.mode(mode).partitionBy("month").parquet(path)
+    if stats_unit is not None:
+        write_bucket_stats(
+            df.sparkSession,
+            path,
+            time_col=time_col,
+            unit=stats_unit,
+            sig_cols=stats_sig_cols,
+            bucket_fmt=bucket_fmt,
+        )
+
+
+#: sidecar directory for write-time per-bucket content fingerprints
+_STATS_DIR = "_bucket_stats"
+
+
+def write_bucket_stats(
+    spark: SparkSession,
+    path: str,
+    time_col: str = "time",
+    unit: str = "day",
+    sig_cols: list[str] | None = None,
+    months: list[str] | None = None,
+    bucket_fmt: str = "yyyy-MM",
+) -> None:
+    """Record per-bucket content fingerprints for the partitioned table at
+    ``path`` — the metadata that turns continuous-aggregate change
+    detection into a sidecar read instead of a source scan
+    (docs/ARCHITECTURE.md "known limits": at petabyte scale the
+    fingerprint pass should come from statistics recorded at write).
+
+    Fingerprints are computed by RE-READING the just-written files (the
+    stats describe what is on disk, not what the writer intended — a
+    column-pruned scan of sig_cols, partition-pruned to ``months`` when
+    given), at ``unit`` granularity via the same
+    :func:`ltss_spark.operators.cagg.bucket_fingerprints` the scan-based
+    refresh uses, so sidecar-driven and scan-driven refreshes are
+    bit-comparable. With ``months`` the sidecar is MERGED: rows for
+    untouched months carry over, touched months' buckets are replaced —
+    the upsert path's incremental maintenance.
+    """
+    from ltss_spark.operators.cagg import bucket_fingerprints
+
+    src = spark.read.parquet(path)
+    if months is not None:
+        src = src.filter(F.col("month").isin(list(months)))
+    cols = sig_cols or [c for c in src.columns if c != "month"]
+    fresh = bucket_fingerprints(src, time_col, unit, cols)
+    stats_path = f"{path}/{_STATS_DIR}"
+    if months is not None:
+        try:
+            kept = (
+                spark.read.parquet(stats_path)
+                .filter(~F.date_format("bucket", bucket_fmt).isin(list(months)))
+                # materialize BEFORE the overwrite deletes the files the
+                # lazy plan reads
+                .localCheckpoint()
+            )
+            fresh = kept.unionByName(fresh)
+        except Exception:
+            pass  # no sidecar yet -> fresh covers the touched months only
+    fresh.write.mode("overwrite").parquet(stats_path)
+
+
+def read_bucket_stats(spark: SparkSession, path: str) -> DataFrame:
+    """The write-time fingerprint sidecar: (bucket, src_rows, src_sig) —
+    feed to refresh_rollup(source_stats=...) for scan-free change
+    detection. Raises if the table was written without stats."""
+    return spark.read.parquet(f"{path}/{_STATS_DIR}")
 
 
 def _interleave_bits(a, b, bits: int):
@@ -323,6 +397,8 @@ def upsert_partitioned(
     time_col: str = "time",
     bucket_fmt: str = "yyyy-MM",
     tie_breaker: str | None = "event_id",
+    stats_unit: str | None = None,
+    stats_sig_cols: list[str] | None = None,
 ) -> list[str]:
     """PK upsert into a month-partitioned table — the reference's
     ``ON CONFLICT (time, entity_id) DO UPDATE`` write semantic
@@ -397,4 +473,18 @@ def upsert_partitioned(
         out.write.mode("overwrite").partitionBy("month").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if stats_unit is not None:
+        # incremental sidecar maintenance: fingerprints recomputed only for
+        # the touched months (a column-pruned, partition-pruned re-read of
+        # what was just written), untouched months' rows carried over —
+        # cost stays proportional to the updated slice, like the rewrite
+        write_bucket_stats(
+            spark,
+            path,
+            time_col=time_col,
+            unit=stats_unit,
+            sig_cols=stats_sig_cols,
+            months=sorted(months),
+            bucket_fmt=bucket_fmt,
+        )
     return sorted(months)

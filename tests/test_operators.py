@@ -1076,6 +1076,82 @@ def test_cagg_refresh_touches_only_stale_buckets(spark, tmp_path):
     assert got == {("b", 1), ("c", 1)}
 
 
+def test_refresh_from_write_time_stats(spark, tmp_path):
+    """The petabyte change-detection path: refresh_rollup driven by the
+    fingerprint sidecar recorded at WRITE time (write_partitioned /
+    upsert_partitioned stats_unit) must detect exactly the buckets the
+    scan-based path would — no source scan — and produce an identical
+    rollup. The upsert maintains the sidecar incrementally (only touched
+    months recomputed), so a one-day update flags exactly that day."""
+    from ltss_spark.operators.cagg import read_rollup, refresh_rollup
+    from ltss_spark.sources.batch import (
+        read_bucket_stats,
+        upsert_partitioned,
+        write_partitioned,
+    )
+
+    d1 = dt.datetime(2024, 3, 1, 10)
+    d2 = dt.datetime(2024, 3, 2, 11)
+    d3 = dt.datetime(2024, 4, 3, 12)  # second month
+    table = str(tmp_path / "tbl")
+    rollup = str(tmp_path / "cagg")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "time timestamp, entity_id string, v double"
+        )
+
+    def agg(src):
+        return src.groupBy("bucket", "entity_id").agg(F.count(F.lit(1)).alias("n"))
+
+    v1 = mk(
+        [
+            (d1, "a", 1.0),
+            (d1.replace(hour=12), "a", 2.0),  # distinct PK (time differs)
+            (d2, "b", 3.0),
+            (d3, "c", 4.0),
+        ]
+    )
+    write_partitioned(v1, table, stats_unit="day", stats_sig_cols=["entity_id", "v"])
+
+    src = spark.read.parquet(table).drop("month")
+    stats = read_bucket_stats(spark, table)
+    assert stats.count() == 3  # three distinct days
+
+    first = refresh_rollup(
+        spark, src, rollup, agg, unit="day",
+        sig_cols=["entity_id", "v"], source_stats=stats,
+    )
+    assert len(first) == 3
+    # unchanged: sidecar-driven refresh is a no-op, no source scan needed
+    assert refresh_rollup(
+        spark, src, rollup, agg, unit="day",
+        sig_cols=["entity_id", "v"], source_stats=read_bucket_stats(spark, table),
+    ) == []
+
+    # upsert ONE row on day 2 (same month as day 1): incremental sidecar
+    # maintenance recomputes only March, but fingerprint equality keeps
+    # day 1 fresh — exactly day 2 goes stale. April's sidecar rows carry
+    # over untouched.
+    upsert_partitioned(
+        spark, table, mk([(d2, "b", 99.0)]), pk=("time", "entity_id"),
+        tie_breaker=None, stats_unit="day", stats_sig_cols=["entity_id", "v"],
+    )
+    src2 = spark.read.parquet(table).drop("month")
+    stale = refresh_rollup(
+        spark, src2, rollup, agg, unit="day",
+        sig_cols=["entity_id", "v"], source_stats=read_bucket_stats(spark, table),
+    )
+    assert stale == [d2.replace(hour=0, minute=0).isoformat()]
+
+    # the sidecar-driven rollup equals a scan-based rebuild from scratch
+    rollup2 = str(tmp_path / "cagg_scan")
+    refresh_rollup(spark, src2, rollup2, agg, unit="day", sig_cols=["entity_id", "v"])
+    a = {tuple(r) for r in read_rollup(spark, rollup).collect()}
+    b = {tuple(r) for r in read_rollup(spark, rollup2).collect()}
+    assert a == b
+
+
 def test_duplicate_spans_cross_doc_only(spark):
     """A 6-token sentence shared by docs 1 and 2 yields exactly two dup
     k=5 windows in each, positioned where the sentence sits; intra-doc
