@@ -1425,26 +1425,24 @@ def ts_heartbeat_q(spark, sf_dir):
     survey="sink_partitioned filter_basic (drop_chunks retention analogue: partition-level TTL, no data rewrite)",
 )
 def ltss_retention_q(spark, sf_dir):
-    """TimescaleDB drop_chunks / retention-policy analogue: expire whole
-    time partitions by DELETING PARTITION DIRECTORIES — file-listing
-    metadata work, never a scan-and-rewrite of surviving rows. The oracle
-    checks the surviving set equals a time-predicate filter; the unit test
-    asserts the dropped partition's files are gone from disk. At 100 TB a
-    month's retention is one directory unlink per partition, the same cost
-    profile as drop_chunks."""
-    import shutil
+    """TimescaleDB drop_chunks / retention-policy analogue
+    (sources/batch.drop_partitions): expire whole time partitions by
+    deleting partition directories through the Hadoop FileSystem API
+    (works unchanged on s3a/hdfs) — metadata work, never a
+    scan-and-rewrite of surviving rows; the fingerprint sidecar, when
+    present, is pruned in the same call. The oracle checks the surviving
+    set equals a time-predicate filter; the unit test asserts the dropped
+    partition's files are gone from disk. At 100 TB a month's retention
+    is one directory unlink per partition, the same cost profile as
+    drop_chunks."""
+    from ltss_spark.sources.batch import drop_partitions
 
     out = scratch_dir("ltss_retain")
     e = _t(spark, sf_dir, "events").withColumn(
         "month", F.date_format("ts", "yyyy-MM")
     ).select("event_id", "ts", "value", "month")
     e.write.mode("overwrite").partitionBy("month").parquet(out)
-    # retention: drop every chunk older than the cutoff — directory ops only
-    import os
-
-    for d in os.listdir(out):
-        if d.startswith("month=") and d.split("=", 1)[1] < "2024-01":
-            shutil.rmtree(os.path.join(out, d))
+    drop_partitions(spark, out, before="2024-01")
     return spark.read.parquet(out).select(
         "event_id", "ts", "value", F.col("month").cast("string").alias("month")
     )

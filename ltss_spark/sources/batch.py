@@ -325,6 +325,53 @@ def read_bucket_stats(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/{_STATS_DIR}")
 
 
+def drop_partitions(
+    spark: SparkSession,
+    path: str,
+    before: str,
+    partition_col: str = "month",
+    bucket_fmt: str = "yyyy-MM",
+) -> list[str]:
+    """Retention: delete every ``partition_col=<key>`` directory with
+    key < ``before`` — TimescaleDB's ``drop_chunks`` on a partitioned
+    parquet table (the reference promotes its table to a hypertable
+    precisely to make retention a chunk drop, __init__.py:336-344).
+
+    Directory unlinks through the Hadoop FileSystem API, so the same call
+    works on s3a://, hdfs://, and local paths — never a scan-and-rewrite
+    of surviving rows; cost is one listing plus one delete per expired
+    partition. If the table carries a write-time fingerprint sidecar
+    (write_bucket_stats), the dropped months' rows are pruned from it
+    too, so a sidecar-driven refresh_rollup sees the deletion as stale
+    buckets instead of trusting stale metadata. Returns dropped keys."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    prefix = f"{partition_col}="
+    dropped: list[str] = []
+    if not fs.exists(jpath):
+        return dropped
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(prefix):
+            key = name[len(prefix):]
+            if key < before:
+                fs.delete(status.getPath(), True)
+                dropped.append(key)
+    if dropped:
+        stats_path = f"{path}/{_STATS_DIR}"
+        try:
+            kept = (
+                spark.read.parquet(stats_path)
+                .filter(~F.date_format("bucket", bucket_fmt).isin(dropped))
+                .localCheckpoint()  # materialize before the overwrite
+            )
+            kept.write.mode("overwrite").parquet(stats_path)
+        except Exception:
+            pass  # no sidecar — nothing to prune
+    return sorted(dropped)
+
+
 def _interleave_bits(a, b, bits: int):
     """Morton/Z value of two bucket ids: bit j of `a` lands at position 2j,
     bit j of `b` at 2j+1. Pure integer arithmetic — codegen-friendly."""

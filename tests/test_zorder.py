@@ -75,10 +75,17 @@ def test_zorder_roundtrip_and_two_dim_skipping(spark):
 
 
 def test_retention_drops_partition_dirs(spark):
-    """Retention must remove expired month directories (metadata-only) and
-    leave surviving partitions byte-identical."""
+    """drop_partitions must remove expired month directories through the
+    Hadoop FS API (metadata-only), leave surviving partitions
+    byte-identical, prune the fingerprint sidecar's dropped months, and
+    report the dropped keys."""
     import datetime as dt
-    import shutil
+
+    from ltss_spark.sources.batch import (
+        drop_partitions,
+        read_bucket_stats,
+        write_partitioned,
+    )
 
     ym = [(2023, 11), (2023, 12), (2024, 1)]
     rows = [
@@ -86,18 +93,31 @@ def test_retention_drops_partition_dirs(spark):
     ]
     df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
     out = f"{tempfile.gettempdir()}/retain_{uuid.uuid4().hex}"
-    df.withColumn("month", F.date_format("ts", "yyyy-MM")).write.partitionBy(
-        "month"
-    ).parquet(out)
+    write_partitioned(
+        df, out, time_col="ts", stats_unit="day", stats_sig_cols=["event_id"]
+    )
     assert sorted(
         d for d in os.listdir(out) if d.startswith("month=")
     ) == ["month=2023-11", "month=2023-12", "month=2024-01"]
-    for d in os.listdir(out):
-        if d.startswith("month=") and d.split("=", 1)[1] < "2024-01":
-            shutil.rmtree(os.path.join(out, d))
+    n_stats = read_bucket_stats(spark, out).count()
+    assert n_stats == 3  # one day per month in this fixture
+
+    assert drop_partitions(spark, out, before="2024-01") == [
+        "2023-11", "2023-12"
+    ]
     back = spark.read.parquet(out)
     assert sorted(d for d in os.listdir(out) if d.startswith("month=")) == [
         "month=2024-01"
     ]
     kept = sorted(r["event_id"] for r in back.collect())
     assert kept == sorted(i for i in range(30) if i % 3 == 2)
+    # sidecar pruned with the partitions: only 2024-01's day remains
+    months = {
+        r["m"]
+        for r in read_bucket_stats(spark, out)
+        .select(F.date_format("bucket", "yyyy-MM").alias("m"))
+        .collect()
+    }
+    assert months == {"2024-01"}
+    # idempotent: nothing left to drop
+    assert drop_partitions(spark, out, before="2024-01") == []
