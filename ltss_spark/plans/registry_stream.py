@@ -107,6 +107,40 @@ def scan_json_q(spark, sf_dir):
     return _text_roundtrip(spark, sf_dir, "json", {"timestampFormat": _TS_FMT})
 
 
+@register(
+    "scan_corrupt_tolerant",
+    """
+    SELECT event_id, event_type, value FROM events WHERE value > 50.0
+    """,
+    survey="scan_parquet A10 (corrupt-object tolerance: ignoreCorruptFiles scan policy, the file-level dead-letter)",
+)
+def scan_corrupt_tolerant_q(spark, sf_dir):
+    """A 100 TB dataset always contains a few corrupt objects (truncated
+    uploads, bit rot); one bad footer must not kill a thousand-executor
+    job. This entry lands real rows, PLANTS a garbage .parquet beside
+    them, and scans with ``ignoreCorruptFiles`` — the corrupt object is
+    skipped (logged per-file JVM-side) and the result hash-matches the
+    intact rows exactly. The file-level analogue of the row-level
+    dead-letter policy (reference drops bad EVENTS, __init__.py:212-216;
+    ltss_deadletter diverts them). Explicit schema, so not even schema
+    inference touches the bad footer."""
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.scratch import scratch_dir
+
+    out = scratch_dir("ltss_corrupt")
+    e = _t(spark, sf_dir, "events").filter(F.col("value") > 50.0).select(
+        "event_id", "event_type", "value"
+    )
+    e.write.parquet(out)
+    with open(f"{out}/part-99999-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a parquet file \x00\xff garbage")
+    return (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .schema("event_id long, event_type string, value double")
+        .parquet(out)
+    )
+
+
 #: one Derby database per (process, sf_dir): the entry's subject is the
 #: READ path; re-runs in the same session reuse the landed table instead
 #: of re-inserting 10k rows per call.
