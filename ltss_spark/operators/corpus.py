@@ -361,3 +361,44 @@ def chunk_documents(
         F.size(chunk).cast("int").alias("chunk_len"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def shuffle_shard(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "ltss",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the final step before
+    training: break source-order correlations (a corpus arrives grouped
+    by crawl/domain/time, and a model fed megabatches of one domain
+    drifts) and emit stable shard/position assignments any worker can
+    reproduce.
+
+    The permutation key is md5(seed || id): uniform, engine-portable, and
+    a pure function of the id — re-running on the same corpus gives the
+    same assignment (no RNG state, no Spark-partition dependence); a
+    different ``seed`` gives an independent permutation (epoch
+    reshuffles). Shard = first md5 bytes mod n_shards (balanced to
+    binomial fluctuation — how real training shards are split); position
+    = rank of the key WITHIN the shard.
+
+    Scale shape: ONE shuffle (the shard-partitioned window); no global
+    total order anywhere — a single-reducer ``row_number() OVER (ORDER BY
+    hash)`` would serialize the corpus through one task, which is exactly
+    the plan-audit anti-pattern this form avoids. Output (id, shard, pos)
+    is a metadata assignment; consumers writing shard-partitioned keep
+    the join back to payloads shard-local.
+    """
+    key = F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(F.col("__k"), 1, 8), 16, 10).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("__k").asc(), F.col("id").asc())
+    return (
+        docs.select(F.col(id_col).alias("id"), key.alias("__k"))
+        .withColumn("shard", shard)
+        .withColumn("pos_in_shard", F.row_number().over(w))
+        .select("id", "shard", "pos_in_shard")
+    )

@@ -937,6 +937,15 @@ def _oracle_hex4(expr: str) -> str:
     ) + ")"
 
 
+def _oracle_hex_prefix(col: str, n: int) -> str:
+    """First ``n`` hex chars of an md5 STRING column as a BIGINT — the
+    DuckDB mirror of Spark's conv(substring(k, 1, n), 16, 10)."""
+    digit = f"(strpos('0123456789abcdef', substr({col}, {{j}}, 1)) - 1)"
+    return "(" + " + ".join(
+        f"{digit.format(j=j)} * {16 ** (n - j)}" for j in range(1, n + 1)
+    ) + ")"
+
+
 @register(
     "ext_contamination",
     f"""
@@ -966,6 +975,39 @@ def ext_contamination(spark, sf_dir):
     return contamination(
         d.filter(F.col("doc_id") % 10 != 0), d.filter(F.col("doc_id") % 10 == 0), k=5
     )
+
+
+@register(
+    "ext_shuffle_shard",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id AS id,
+             md5('ltss|' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ),
+    sharded AS (
+      SELECT id, k,
+             CAST({_oracle_hex_prefix('k', 8)} % 8 AS INT) AS shard
+      FROM keyed
+    )
+    SELECT id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, id) AS INT)
+             AS pos_in_shard
+    FROM sharded
+    """,
+    survey="ext_hash_split win_rank fn_string (deterministic shuffle-and-shard: training-order assignment, epoch-reseedable)",
+)
+def ext_shuffle_shard(spark, sf_dir):
+    """Deterministic global shuffle + sharding (operators/corpus.
+    shuffle_shard): md5(seed || id) is the permutation key, shard = key
+    prefix mod n, position = key rank within the shard — stable across
+    runs and engines, reseedable per epoch, and executed as ONE
+    shard-partitioned window (no single-reducer global ORDER BY). The
+    final pipeline step that breaks crawl/domain/time ordering before
+    training."""
+    from ltss_spark.operators.corpus import shuffle_shard
+
+    return shuffle_shard(_t(spark, sf_dir, "documents"), n_shards=8)
 
 
 @register(

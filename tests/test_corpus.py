@@ -184,3 +184,54 @@ def test_mixture_sample_quotas_and_stability(spark):
     en2 = {r["doc_id"] for r in out2 if r["lang"] == "en"}
     assert en2 == by_lang["en"]
     assert len([r for r in out2 if r["lang"] == "de"]) == 10  # now fillable
+
+
+def test_shuffle_shard_properties(spark):
+    """The training-order assignment: (a) every doc appears exactly once,
+    (b) positions within a shard are 1..|shard| dense, (c) the assignment
+    is deterministic across invocations, (d) a different seed produces a
+    genuinely different permutation (epoch reshuffle), and (e) the order
+    is decorrelated from doc_id order (the whole point)."""
+    from ltss_spark.operators.corpus import shuffle_shard
+    from ltss_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    out = shuffle_shard(docs, n_shards=4).collect()
+    assert len(out) == n and len({r["id"] for r in out}) == n
+
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # binomial balance: no shard wildly off n/4
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) < 2 * n / 4 and min(sizes) > n / 8
+
+    again = shuffle_shard(docs, n_shards=4).collect()
+    assert {(r["id"], r["shard"], r["pos_in_shard"]) for r in again} == {
+        (r["id"], r["shard"], r["pos_in_shard"]) for r in out
+    }
+
+    epoch2 = shuffle_shard(docs, n_shards=4, seed="epoch2").collect()
+    same = sum(
+        1
+        for a, b in zip(
+            sorted(out, key=lambda r: r["id"]),
+            sorted(epoch2, key=lambda r: r["id"]),
+        )
+        if (a["shard"], a["pos_in_shard"]) == (b["shard"], b["pos_in_shard"])
+    )
+    assert same < n * 0.05, "epoch reseed must give an independent permutation"
+
+    # decorrelation: within shard 0, consecutive positions should not be
+    # consecutive doc_ids (source order broken)
+    s0 = sorted(
+        (r for r in out if r["shard"] == 0), key=lambda r: r["pos_in_shard"]
+    )
+    adjacent = sum(
+        1 for a, b in zip(s0, s0[1:]) if abs(a["id"] - b["id"]) == 1
+    )
+    assert adjacent < len(s0) * 0.05
