@@ -404,3 +404,52 @@ def sessionize(
             F.unix_micros(F.max(time_col)) - F.unix_micros(F.min(time_col))
         ).alias("duration_us"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str = "value",
+    key_cols: tuple[str, ...] = ("user_id",),
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-key robust outlier flags: |value - median| > k * 1.4826 * MAD —
+    the monitoring query a TimescaleDB deployment runs over sensor series
+    (median/MAD instead of mean/stddev so the outliers themselves cannot
+    drag the threshold; 1.4826 scales MAD to sigma under normality).
+
+    Two grouped exact-percentile aggregations (median, then MAD of the
+    residuals) + broadcast joins of the per-key statistics back onto the
+    rows — the stats frames are |keys| rows, so the row scan is never
+    shuffled; exact percentile sorts within each key group, fine for
+    bounded key cardinality (unbounded keys: swap in percentile_approx,
+    same shape). A key with MAD = 0 (constant series) flags any deviation
+    from the median.
+
+    Median/MAD round to 6 decimals so downstream comparisons are
+    cross-engine deterministic (registry rule: interpolated percentiles
+    are transcendental-class outputs).
+    """
+    keys = list(key_cols)
+    med = df.groupBy(*keys).agg(
+        F.round(F.percentile(F.col(value_col), F.lit(0.5)), 6).alias("med")
+    )
+    with_med = df.join(F.broadcast(med), keys)
+    mad = (
+        with_med.groupBy(*keys)
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col(value_col) - F.col("med")), F.lit(0.5)), 6
+            ).alias("mad")
+        )
+    )
+    scale = F.lit(k) * F.lit(1.4826) * F.col("mad")
+    dev = F.abs(F.col(value_col) - F.col("med"))
+    return (
+        with_med.join(F.broadcast(mad), keys)
+        .withColumn(
+            "is_outlier",
+            F.when(F.col("mad") == 0.0, F.col(value_col) != F.col("med")).otherwise(
+                dev > scale
+            ),
+        )
+    )

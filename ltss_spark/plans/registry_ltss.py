@@ -928,6 +928,42 @@ def ts_counter_delta(spark, sf_dir):
 
 
 @register(
+    "ts_outliers",
+    """
+    WITH med AS (
+      SELECT user_id, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY user_id
+    ),
+    mad AS (
+      SELECT e.user_id,
+             round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+      FROM events e JOIN med m USING (user_id)
+      GROUP BY e.user_id
+    )
+    SELECT e.event_id, e.user_id, e.value, m.med, d.mad,
+           CASE WHEN d.mad = 0.0 THEN e.value <> m.med
+                ELSE abs(e.value - m.med) > 3.0 * 1.4826 * d.mad
+           END AS is_outlier
+    FROM events e JOIN med m USING (user_id) JOIN mad d USING (user_id)
+    """,
+    survey="agg_basic join_broadcast fn_math B3 (robust per-key outlier flags: median/MAD, the sensor-monitoring query)",
+)
+def ts_outliers_q(spark, sf_dir):
+    """Per-key robust z-score outliers (operators/timeseries.
+    robust_outliers): |v - median| > 3 * 1.4826 * MAD. Median/MAD are
+    exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`, R-7), rounded to 6 before the threshold comparison
+    so both engines flag identical rows; the per-key stats frames are
+    |keys| rows and broadcast — the event scan never shuffles."""
+    from ltss_spark.operators.timeseries import robust_outliers
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return robust_outliers(e, value_col="value", key_cols=("user_id",)).select(
+        "event_id", "user_id", "value", "med", "mad", "is_outlier"
+    )
+
+
+@register(
     "ts_histogram",
     f"""
     WITH {_STATES_CTE},
