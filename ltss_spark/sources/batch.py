@@ -297,11 +297,20 @@ def write_bucket_stats(
     """
     from ltss_spark.operators.cagg import bucket_fingerprints
 
+    # month-scoped incremental maintenance assumes every stats bucket lies
+    # INSIDE one month partition; a coarser unit (year/quarter) spans
+    # months, so a touched-month recompute would see only a slice of the
+    # bucket and record a wrong fingerprint — recompute the whole sidecar
+    # instead (still metadata-cheap relative to the rewrite it follows).
+    if months is not None and unit in ("year", "quarter"):
+        months = None
     src = spark.read.parquet(path)
     if months is not None:
         src = src.filter(F.col("month").isin(list(months)))
     cols = sig_cols or [c for c in src.columns if c != "month"]
-    fresh = bucket_fingerprints(src, time_col, unit, cols)
+    fresh = bucket_fingerprints(src, time_col, unit, cols).withColumn(
+        "unit", F.lit(unit)
+    )
     stats_path = f"{path}/{_STATS_DIR}"
     if months is not None:
         try:
@@ -319,9 +328,11 @@ def write_bucket_stats(
 
 
 def read_bucket_stats(spark: SparkSession, path: str) -> DataFrame:
-    """The write-time fingerprint sidecar: (bucket, src_rows, src_sig) —
-    feed to refresh_rollup(source_stats=...) for scan-free change
-    detection. Raises if the table was written without stats."""
+    """The write-time fingerprint sidecar: (bucket, src_rows, src_sig,
+    unit) — feed to refresh_rollup(source_stats=...) for scan-free change
+    detection (it selects the fingerprint columns; ``unit`` records the
+    granularity the stats were computed at, which must equal the
+    rollup's). Raises if the table was written without stats."""
     return spark.read.parquet(f"{path}/{_STATS_DIR}")
 
 
@@ -361,12 +372,23 @@ def drop_partitions(
     if dropped:
         stats_path = f"{path}/{_STATS_DIR}"
         try:
-            kept = (
-                spark.read.parquet(stats_path)
-                .filter(~F.date_format("bucket", bucket_fmt).isin(dropped))
-                .localCheckpoint()  # materialize before the overwrite
-            )
-            kept.write.mode("overwrite").parquet(stats_path)
+            stats = spark.read.parquet(stats_path)
+            units = {r["unit"] for r in stats.select("unit").distinct().collect()} \
+                if "unit" in stats.columns else {None}
+            if units & {"year", "quarter"}:
+                # a coarser-than-month bucket spans dropped AND surviving
+                # months — month-scoped pruning would keep a fingerprint
+                # that no longer matches the surviving slice. Stale
+                # metadata is worse than none: drop the sidecar; the next
+                # write_bucket_stats (or a scan-based refresh) rebuilds it.
+                fs.delete(jvm.org.apache.hadoop.fs.Path(stats_path), True)
+            else:
+                kept = (
+                    stats.filter(
+                        ~F.date_format("bucket", bucket_fmt).isin(dropped)
+                    ).localCheckpoint()  # materialize before the overwrite
+                )
+                kept.write.mode("overwrite").parquet(stats_path)
         except Exception:
             pass  # no sidecar — nothing to prune
     return sorted(dropped)

@@ -121,3 +121,49 @@ def test_retention_drops_partition_dirs(spark):
     assert months == {"2024-01"}
     # idempotent: nothing left to drop
     assert drop_partitions(spark, out, before="2024-01") == []
+
+
+def test_coarse_unit_stats_guards(spark):
+    """Year-granular stats buckets span month partitions, so (a) a
+    month-scoped upsert must recompute the WHOLE sidecar (a touched-month
+    slice would fingerprint a partial year), and (b) retention must drop
+    the sidecar rather than month-prune it (stale metadata is worse than
+    none)."""
+    import datetime as dt
+
+    from ltss_spark.sources.batch import (
+        drop_partitions,
+        read_bucket_stats,
+        upsert_partitioned,
+        write_partitioned,
+    )
+
+    rows = [
+        (1, dt.datetime(2023, 11, 5), 1.0),
+        (2, dt.datetime(2024, 1, 5), 2.0),
+        (3, dt.datetime(2024, 2, 5), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = f"{tempfile.gettempdir()}/coarse_{uuid.uuid4().hex}"
+    write_partitioned(df, out, time_col="ts", stats_unit="year",
+                      stats_sig_cols=["event_id", "value"])
+    s0 = {str(r["bucket"]): r["src_rows"] for r in read_bucket_stats(spark, out).collect()}
+    assert s0 == {"2023-01-01 00:00:00": 1, "2024-01-01 00:00:00": 2}
+
+    # upsert touches only 2024-02, but the 2024 fingerprint must still
+    # cover the WHOLE year (3 rows -> edit keeps 3; sig changes)
+    upd = spark.createDataFrame(
+        [(3, dt.datetime(2024, 2, 5), 99.0)], "event_id long, ts timestamp, value double"
+    )
+    upsert_partitioned(spark, out, upd, pk=("event_id",), time_col="ts",
+                       tie_breaker=None, stats_unit="year",
+                       stats_sig_cols=["event_id", "value"])
+    s1 = {str(r["bucket"]): r["src_rows"] for r in read_bucket_stats(spark, out).collect()}
+    assert s1 == {"2023-01-01 00:00:00": 1, "2024-01-01 00:00:00": 2}
+
+    # retention drops 2023-11; the year-granular sidecar must vanish
+    assert drop_partitions(spark, out, before="2024-01") == ["2023-11"]
+    import pytest
+
+    with pytest.raises(Exception):
+        read_bucket_stats(spark, out).collect()
