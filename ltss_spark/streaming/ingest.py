@@ -335,9 +335,17 @@ def run_ingest_availablenow(
     # files — pass path_glob="*.parquet" and the checkpoint makes restarts
     # exactly-once over whatever files have arrived since
     # (tests/test_streaming.py::test_ingest_checkpoint_resume_exactly_once).
-    schema = (
-        spark.read.option("pathGlobFilter", path_glob).parquet(source_dir).schema
-    )
+    if path_glob == "events.parquet":
+        # single-file fixture: the raw schema is cacheable per file version
+        from ltss_spark.streaming.windows import raw_parquet_schema
+
+        schema = raw_parquet_schema(spark, f"{source_dir}/{path_glob}")
+    else:
+        # directory source: files accumulate (checkpoint-resume), so the
+        # schema peek must see the live listing — no cache key exists
+        schema = (
+            spark.read.option("pathGlobFilter", path_glob).parquet(source_dir).schema
+        )
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", path_glob)

@@ -26,12 +26,43 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ltss_spark.sources.batch import normalize_event_times
 
+#: (applicationId, path, mtime_ns, size) -> RAW file schema. Every stream
+#: entry pays a ~0.1 s footer read for the batch schema peek; the RAW
+#: schema (pre-normalization — readStream must see what is in the file,
+#: so load_table's cached normalized frame is the WRONG schema here) is
+#: immutable per file version, same invalidation rule as the table-handle
+#: cache.
+_RAW_SCHEMAS: dict[tuple, object] = {}
+
+
+def raw_parquet_schema(spark: SparkSession, path: str):
+    import os
+
+    try:
+        st = os.stat(path)
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(path),
+            st.st_mtime_ns,
+            st.st_size,
+        )
+    except OSError:
+        key = None
+    if key is not None and key in _RAW_SCHEMAS:
+        return _RAW_SCHEMAS[key]
+    schema = spark.read.parquet(path).schema
+    if key is not None:
+        if len(_RAW_SCHEMAS) > 256:
+            _RAW_SCHEMAS.clear()
+        _RAW_SCHEMAS[key] = schema
+    return schema
+
 
 def bounded_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """The driver's events table as a file stream (schema from a batch peek;
     pathGlobFilter narrows the directory to the one table)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{source_dir}/events.parquet").schema
+    schema = raw_parquet_schema(spark, f"{source_dir}/events.parquet")
     return normalize_event_times(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
