@@ -453,3 +453,56 @@ def robust_outliers(
             ),
         )
     )
+
+
+def time_in_state_bucketed(
+    states: DataFrame,
+    unit: str = "day",
+    tie_breaker: str | None = None,
+) -> DataFrame:
+    """Per-bucket time-in-state: each state's validity interval
+    [time, lead(time)) SPLIT across ``unit`` buckets, micros summed per
+    (entity, bucket, state) — TimescaleDB's ``state_agg``/``duration_in``
+    rolled up by time_bucket, i.e. the daily-uptime-percent dashboard
+    query ("how long was the heater on each day"). The last state of each
+    entity has an open interval and contributes nothing (matching
+    time_in_state's NULL duration — the observation window ends at the
+    last event).
+
+    Mechanism, all codegen: one per-entity window (lead) bounds the
+    intervals; ``sequence(trunc(start), trunc(end-1us))`` + ``explode``
+    fans each interval out to the buckets it overlaps; the per-bucket
+    overlap is ``least(end, bucket+1) - greatest(start, bucket)``. The
+    explode multiplies rows by the bucket span of each interval — exactly
+    the output's inherent size (a 3-day interval owes 3 daily rows);
+    intervals within one bucket stay single-row. One shuffle for the
+    window, one for the final rollup.
+    """
+    order = ["time"] + ([tie_breaker] if tie_breaker else [])
+    w = Window.partitionBy("entity_id").orderBy(*order)
+    iv = states.select(
+        "entity_id",
+        "state",
+        F.col("time").alias("start"),
+        F.lead("time").over(w).alias("end"),
+    ).filter(F.col("end").isNotNull() & (F.col("end") > F.col("start")))
+    # one bucket row per overlapped unit; end is exclusive, so an interval
+    # ending exactly on a boundary must not emit the next bucket — hence
+    # trunc(end - 1 microsecond)
+    bucket = F.explode(
+        F.sequence(
+            F.date_trunc(unit, F.col("start")),
+            F.date_trunc(unit, F.col("end") - F.expr("INTERVAL 1 MICROSECOND")),
+            F.expr(f"INTERVAL 1 {unit}"),
+        )
+    ).alias("bucket")
+    with_b = iv.select("entity_id", "state", "start", "end", bucket)
+    nxt_b = F.col("bucket") + F.expr(f"INTERVAL 1 {unit}")
+    overlap = F.unix_micros(F.least(F.col("end"), nxt_b)) - F.unix_micros(
+        F.greatest(F.col("start"), F.col("bucket"))
+    )
+    return (
+        with_b.select("entity_id", "bucket", "state", overlap.alias("mic"))
+        .groupBy("entity_id", "bucket", "state")
+        .agg(F.sum("mic").alias("micros_in_state"))
+    )

@@ -928,6 +928,46 @@ def ts_counter_delta(spark, sf_dir):
 
 
 @register(
+    "ltss_uptime",
+    f"""
+    WITH {_STATES_CTE},
+    iv AS (
+      SELECT entity_id, state, time AS s,
+             lead(time) OVER (PARTITION BY entity_id
+                              ORDER BY time ASC, event_id ASC) AS e
+      FROM states
+    ),
+    iv2 AS (SELECT * FROM iv WHERE e IS NOT NULL AND e > s),
+    b AS (
+      SELECT entity_id, state, s, e, g.bucket
+      FROM iv2,
+      UNNEST(generate_series(
+        CAST(date_trunc('day', s) AS TIMESTAMP),
+        CAST(date_trunc('day', e - INTERVAL 1 MICROSECOND) AS TIMESTAMP),
+        INTERVAL 1 DAY)) AS g(bucket)
+    )
+    SELECT entity_id, bucket, state,
+           CAST(SUM(epoch_us(least(e, bucket + INTERVAL 1 DAY))
+                    - epoch_us(greatest(s, bucket))) AS BIGINT)
+             AS micros_in_state
+    FROM b GROUP BY 1, 2, 3
+    """,
+    survey="win_lag_lead B4 fn_date (state_agg/duration_in rollup: validity intervals split across time buckets — the daily-uptime dashboard)",
+)
+def ltss_uptime_q(spark, sf_dir):
+    """Per-day time-in-state (operators/timeseries.time_in_state_bucketed):
+    each state's validity interval [time, lead(time)) is SPLIT across day
+    buckets (sequence+explode fan-out = the output's inherent size;
+    exclusive-end handled via trunc(end - 1µs)) and micros sum per
+    (entity, day, state) — TimescaleDB's state_agg/duration_in by
+    time_bucket, i.e. 'how long was each entity in each state, per day'."""
+    from ltss_spark.operators.timeseries import time_in_state_bucketed
+
+    states = states_from_events(_t(spark, sf_dir, "events"))
+    return time_in_state_bucketed(states, unit="day", tie_breaker="event_id")
+
+
+@register(
     "ts_outliers",
     """
     WITH med AS (

@@ -1423,3 +1423,44 @@ def test_ann_audit_entries_green_at_sf01(spark):
         assert rows, name
         for r in rows:
             assert r["recall_ok"], f"{name}: recall floor broken at sf0.1"
+
+
+def test_time_in_state_bucketed_conserves_duration(spark):
+    """Interval splitting must CONSERVE time: per entity, the bucketed
+    micros sum equals time_in_state's closed-interval total; a multi-day
+    interval splits into full-day middles and exact partial edges."""
+    import datetime as dt
+
+    from ltss_spark.operators.timeseries import (
+        time_in_state,
+        time_in_state_bucketed,
+    )
+
+    rows = [
+        ("e1", dt.datetime(2024, 1, 1, 18), "on"),
+        ("e1", dt.datetime(2024, 1, 4, 6), "off"),   # 2.5 days on
+        ("e1", dt.datetime(2024, 1, 4, 6, 30), "on"),
+        ("e2", dt.datetime(2024, 1, 2, 0), "x"),      # boundary start
+        ("e2", dt.datetime(2024, 1, 3, 0), "y"),      # ends ON a boundary
+    ]
+    states = spark.createDataFrame(rows, "entity_id string, time timestamp, state string")
+    out = time_in_state_bucketed(states, unit="day").collect()
+    got = {(r.entity_id, str(r.bucket), r.state): r.micros_in_state for r in out}
+    h = 3_600_000_000
+    assert got[("e1", "2024-01-01 00:00:00", "on")] == 6 * h
+    assert got[("e1", "2024-01-02 00:00:00", "on")] == 24 * h
+    assert got[("e1", "2024-01-03 00:00:00", "on")] == 24 * h
+    assert got[("e1", "2024-01-04 00:00:00", "on")] == 6 * h
+    assert got[("e1", "2024-01-04 00:00:00", "off")] == h // 2
+    # exactly-on-boundary interval: one bucket, no spill into the next day
+    assert got[("e2", "2024-01-02 00:00:00", "x")] == 24 * h
+    assert ("e2", "2024-01-03 00:00:00", "x") not in got
+
+    totals = {}
+    for r in out:
+        totals[r.entity_id] = totals.get(r.entity_id, 0) + r.micros_in_state
+    agg = {}
+    for r in time_in_state(states).collect():
+        if r.micros_in_state is not None:
+            agg[r.entity_id] = agg.get(r.entity_id, 0) + r.micros_in_state
+    assert totals == agg
