@@ -267,6 +267,17 @@ def main():
                 states, time_col="time", key_cols=("entity_id",), tie_breaker=None
             ).count()
         )
+        # round-5 ops: interval-split uptime (explode ∝ output rows) and
+        # the shard-partitioned shuffle (one hash exchange, no global sort)
+        from ltss_spark.operators.corpus import shuffle_shard
+        from ltss_spark.operators.timeseries import time_in_state_bucketed
+
+        row["uptime_rows"], row["uptime_sec"] = timed(
+            lambda: time_in_state_bucketed(states, unit="day").count()
+        )
+        row["shard_rows"], row["shuffle_shard_sec"] = timed(
+            lambda: shuffle_shard(docs).count()
+        )
         row["bbox_matches"], row["bbox_join_sec"] = timed(
             lambda: bbox_spatial_join(points_of(emb), boxes).count()
         )
