@@ -89,6 +89,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_shuffle_shard",
     "ts_outliers",
     "ltss_uptime",
+    "stream_dedup_near",
     # --- ANN rerank depth made corpus-adaptive in r5 (sf0.1 recall fix) ---
     "ext_sim_search_pq",
     "ext_sim_search_ivfpq",
@@ -131,7 +132,6 @@ _DRIVER_PRIORITY: list[str] = [
     "win_frame",
     "win_cumulative",
     "sort",
-    "limit",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -163,6 +163,7 @@ _CHANGED_ENTRIES: set[str] = {
 # first (r1 spillover, then r2, r3, r4) — any window wider than the priority
 # block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
+    "limit",
     "topk_group",
     "set_union",
     "set_intersect",

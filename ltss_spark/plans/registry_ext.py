@@ -271,7 +271,9 @@ def _oracle_base_hash() -> str:
     return f"(({terms}) % 2147483647)"
 
 
-def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+def _minhash_banded_ctes(num_hashes: int = 12, bands: int = 4) -> str:
+    """The shared WITH-body computing `banded(doc_id, band, band_sig)` —
+    DuckDB mirror of operators/dedup.band_signatures."""
     from ltss_spark.operators.dedup import MERSENNE31, _uh_params
 
     A, B = _uh_params(num_hashes)
@@ -289,8 +291,7 @@ def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
         )
         for j in range(bands)
     )
-    return f"""
-    WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
     based AS (SELECT doc_id, {_oracle_base_hash()} AS base FROM sh),
     mh AS (
       SELECT doc_id,
@@ -299,7 +300,12 @@ def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
     ),
     banded AS (
       {band_selects}
-    )
+    )"""
+
+
+def _minhash_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+    return f"""
+    WITH {_minhash_banded_ctes(num_hashes, bands)}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM banded a
     JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig

@@ -107,6 +107,67 @@ def scan_json_q(spark, sf_dir):
     return _text_roundtrip(spark, sf_dir, "json", {"timestampFormat": _TS_FMT})
 
 
+def _stream_near_dup_oracle() -> str:
+    from ltss_spark.plans.registry_ext import _minhash_banded_ctes
+
+    return f"""
+    WITH {_minhash_banded_ctes(12, 4)}
+    SELECT d.doc_id,
+           EXISTS (
+             SELECT 1 FROM banded b1
+             JOIN banded b2 ON b1.band = b2.band
+                           AND b1.band_sig = b2.band_sig
+             WHERE b1.doc_id = d.doc_id
+               AND b2.doc_id % 10 <
+                   (CASE WHEN d.doc_id % 10 < 8 THEN 6 ELSE 8 END)
+           ) AS dup_of_earlier
+    FROM documents d WHERE d.doc_id % 10 >= 6
+    """
+
+
+@register(
+    "stream_dedup_near",
+    _stream_near_dup_oracle(),
+    survey="stream_dedup stream_ingest ext_dedup_near (incremental near-dup: new documents probe the accumulated LSH signature store per micro-batch)",
+)
+def stream_dedup_near_q(spark, sf_dir):
+    """Streaming incremental near-dup (streaming/neardup.py): the
+    signature store is seeded with 60% of the corpus, the remaining docs
+    arrive as TWO micro-batches (one file each, modification-time
+    ordered), and each batch is flagged against the store AS IT STOOD —
+    so batch 2 sees batch 1's documents but not vice versa. The oracle
+    reproduces the visibility boundary exactly: a streamed doc is
+    dup_of_earlier iff it shares an LSH band bucket with any doc of a
+    strictly earlier batch (store for batch 1; store ∪ batch 1 for
+    batch 2)."""
+    import glob as g
+    import os
+    import shutil
+
+    from ltss_spark.operators.dedup import band_signatures
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.scratch import scratch_dir
+    from ltss_spark.streaming.neardup import run_streaming_near_dup
+
+    base = scratch_dir("ltss_neardup")
+    src, store, out, ckpt = (f"{base}/{d}" for d in ("src", "store", "out", "ckpt"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 10
+    band_signatures(docs.filter(m < 6)).write.parquet(store)
+    os.makedirs(src, exist_ok=True)
+    now = 1_700_000_000
+    for i, (fname, part) in enumerate(
+        (("a.parquet", docs.filter((m >= 6) & (m < 8))),
+         ("b.parquet", docs.filter(m >= 8)))
+    ):
+        part.coalesce(1).write.parquet(f"{src}/__tmp")
+        shutil.move(g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/{fname}")
+        shutil.rmtree(f"{src}/__tmp")
+        os.utime(f"{src}/{fname}", (now + 600 * i, now + 600 * i))
+    run_streaming_near_dup(spark, src, store, out, ckpt)
+    return spark.read.parquet(out)
+
+
 @register(
     "scan_corrupt_tolerant",
     """

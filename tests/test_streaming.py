@@ -680,3 +680,52 @@ def test_upsert_randomized_vs_python_model(spark, tmp_path):
     assert set(got) == set(model)
     for k, (s, ev) in model.items():
         assert got[k][1] == ev, f"{k}: winning tie-breaker differs"
+
+
+def test_streaming_near_dup_visibility_boundary(spark, tmp_path):
+    """Synthetic proof of the batch-visibility contract: a store doc's
+    near-copy arriving in batch 1 flags; a batch-1 doc's near-copy
+    arriving in batch 2 flags AGAINST BATCH 1 (the store accumulated);
+    the first arrival of a fresh cluster never flags."""
+    import glob as g
+    import os
+    import random
+    import shutil
+
+    from ltss_spark.operators.dedup import band_signatures
+    from ltss_spark.streaming.neardup import run_streaming_near_dup
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(500)]
+    base_text = " ".join(rng.choices(vocab, k=100))
+    fresh1 = " ".join(rng.choices(vocab, k=100))
+    fresh2 = " ".join(rng.choices(vocab, k=100))
+
+    def near(t):  # tweak one early token -> still shares most shingles
+        return t.replace("w", "W", 1)
+
+    store_docs = spark.createDataFrame([(0, base_text)], "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(10, near(base_text)), (11, fresh1)], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(20, near(fresh1)), (21, fresh2)], "doc_id long, text string"
+    )
+
+    base = str(tmp_path)
+    src, store, out, ckpt = (f"{base}/{d}" for d in ("src", "store", "out", "ckpt"))
+    band_signatures(store_docs).write.parquet(store)
+    os.makedirs(src, exist_ok=True)
+    for i, part in enumerate((b1, b2)):
+        part.coalesce(1).write.parquet(f"{src}/__tmp")
+        shutil.move(g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/{i}.parquet")
+        shutil.rmtree(f"{src}/__tmp")
+        os.utime(f"{src}/{i}.parquet", (1_700_000_000 + 600 * i,) * 2)
+    run_streaming_near_dup(spark, src, store, out, ckpt)
+    got = {r["doc_id"]: r["dup_of_earlier"] for r in spark.read.parquet(out).collect()}
+    assert got == {
+        10: True,   # near-copy of the seeded store doc
+        11: False,  # fresh cluster's first arrival
+        20: True,   # near-copy of a BATCH-1 doc: store accumulated
+        21: False,  # fresh
+    }
