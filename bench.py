@@ -103,16 +103,10 @@ def main() -> None:
     # the regression gate below still fires.
     sf_key = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_key = float(sf_key) if sf_key.replace(".", "").isdigit() else sf_key
-    hist_best: dict[str, float] = {}
-    for rec in load_history(sf_key)[-RECENT_RUNS:]:
-        for name, sec in rec.get("queries", {}).items():
-            if name not in hist_best or sec < hist_best[name]:
-                hist_best[name] = sec
-    for name in HEADLINE:
-        if name in hist_best and timings[name] > hist_best[name] * 1.2 + 0.1:
-            timings[name] = min(
-                timings[name], _time_query(qmap, name, spark, sf_dir, runs=2)
-            )
+    for name in queries_needing_noise_retry(timings, sf_key):
+        timings[name] = min(
+            timings[name], _time_query(qmap, name, spark, sf_dir, runs=2)
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -172,6 +166,25 @@ def load_history(sf) -> list[dict]:
 
 
 RECENT_RUNS = 5  # regression baseline window
+
+#: noise pass: a query this far above its recent-history best gets one
+#: extra min-of-2 (the host swings ~±30% window-to-window; a real plan
+#: regression reproduces through the retry and still trips the gate)
+NOISE_FACTOR = 1.2
+NOISE_SLACK_S = 0.1
+
+
+def queries_needing_noise_retry(timings: dict[str, float], sf) -> list[str]:
+    hist_best: dict[str, float] = {}
+    for rec in load_history(sf)[-RECENT_RUNS:]:
+        for name, sec in rec.get("queries", {}).items():
+            if name not in hist_best or sec < hist_best[name]:
+                hist_best[name] = sec
+    return [
+        name
+        for name, cur in timings.items()
+        if name in hist_best and cur > hist_best[name] * NOISE_FACTOR + NOISE_SLACK_S
+    ]
 
 
 def check_regressions(result: dict) -> dict[str, tuple[float, float]]:

@@ -47,3 +47,20 @@ def test_repo_history_seeded_for_driver_sf():
     runs = bench.load_history(0.1)
     assert runs, "BENCH_HISTORY.jsonl missing the sf0.1 baseline"
     assert any("ltss_states" in r.get("queries", {}) for r in runs)
+
+
+def test_noise_retry_selection(tmp_path, monkeypatch):
+    """The noise pass retries exactly the queries measuring >1.2x their
+    recent-history best (+slack); no history means no retries."""
+    hist = tmp_path / "hist.jsonl"
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(hist))
+
+    assert bench.queries_needing_noise_retry({"q1": 9.0}, 0.1) == []
+
+    bench.append_history(_run({"q1": 1.0, "q2": 2.0}))
+    got = bench.queries_needing_noise_retry(
+        {"q1": 1.35, "q2": 2.2, "q3": 50.0}, 0.1
+    )
+    # q1 1.35 > 1.0*1.2+0.1=1.3 -> retry; q2 2.2 < 2.0*1.2+0.1 -> fine;
+    # q3 has no history -> never flagged
+    assert got == ["q1"]
