@@ -402,3 +402,97 @@ def shuffle_shard(
         .withColumn("pos_in_shard", F.row_number().over(w))
         .select("id", "shard", "pos_in_shard")
     )
+
+
+def importance_resample(
+    docs: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    quota_frac: float = 0.25,
+) -> DataFrame:
+    """DSIR-shaped importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every RAW
+    document by how target-domain-like its token distribution is —
+    the average token log-ratio ln(p_target / p_raw) under additively
+    smoothed unigram models — and keep the top ``quota_frac`` of the raw
+    pool by score. ``target_pred`` is a boolean Column marking the
+    in-domain exemplars (they define p_target and are excluded from the
+    output: the operator selects raw look-alikes, not the exemplars).
+
+    Spark shape (one tokenize, two hash aggs, no UDFs):
+    - the is-target flag rides THROUGH the token explode, so one
+      aggregation yields both c_raw and c_target per token
+      (``count_if`` — no second pass over the corpus);
+    - model constants (token totals, vocabulary size, raw-pool size)
+      are 1-row broadcast aggregates;
+    - per-token log-ratios round to 6 decimals BEFORE the exact-decimal
+      per-doc sum (the transcendental-determinism rule), one final
+      division for the length-normalized score;
+    - selection is a single global rank over doc-level scores. A global
+      window is a one-reducer sort of |raw docs| SCORE rows — doc-level,
+      not token-level, so ~10^9 rows at 100 TB; if that reducer ever
+      matters, swap the exact rank for an approx-quantile threshold
+      (score >= quantile(1 - quota_frac)) at the cost of a ±epsilon
+      quota. Determinism beats epsilon here, so exact rank is the
+      default.
+
+    DSIR's Gumbel-noise resampling step is replaced by the deterministic
+    top-quota rule (ties on doc_id): same selection pressure,
+    engine-reproducible output — the same trade every sampler in this
+    module makes.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.cast("boolean").alias("is_target"),
+        F.col(text_col).alias("__text"),
+    )
+    toks = (
+        base.select(
+            "doc_id", "is_target", F.explode(_tokens(F.col("__text"))).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .localCheckpoint(eager=False)
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.count_if(F.col("is_target")).alias("c_t"),
+    )
+    consts = counts.agg(
+        F.sum("c_raw").alias("t_raw"),
+        F.sum("c_t").alias("t_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p_t = (F.col("c_t") + F.lit(alpha)) / (F.col("t_t") + F.lit(alpha) * F.col("v"))
+    p_raw = (F.col("c_raw") + F.lit(alpha)) / (
+        F.col("t_raw") + F.lit(alpha) * F.col("v")
+    )
+    lr = F.round(F.log(p_t / p_raw), 6)
+    scored = (
+        toks.filter(~F.col("is_target"))
+        .join(counts, "token")
+        .crossJoin(F.broadcast(consts))
+        .select("doc_id", lr.alias("lr"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("lr").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dsir_score"),
+        )
+    )
+    pool = scored.crossJoin(
+        F.broadcast(scored.agg(F.count(F.lit(1)).alias("__n_pool")))
+    )
+    w = Window.orderBy(F.col("dsir_score").desc(), F.col("doc_id").asc())
+    return (
+        pool.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "selected",
+            F.col("rank") <= F.ceil(F.lit(quota_frac) * F.col("__n_pool")),
+        )
+        .select("doc_id", "n_tokens", "dsir_score", "rank", "selected")
+    )

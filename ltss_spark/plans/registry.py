@@ -81,6 +81,9 @@ _DRIVER_PRIORITY: list[str] = [
     "sql_q12",
     "ext_dedup_spans",
     # --- new in round 5 (never driver-verified) ---
+    "stream_cdc",
+    "scan_orc",
+    "ext_importance_resample",
     "ext_dedup_embed_capped",
     "scan_csv",
     "scan_json",
@@ -129,9 +132,6 @@ _DRIVER_PRIORITY: list[str] = [
     "agg_first_last",
     "agg_pivot",
     "win_rank",
-    "win_frame",
-    "win_cumulative",
-    "sort",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -163,6 +163,9 @@ _CHANGED_ENTRIES: set[str] = {
 # first (r1 spillover, then r2, r3, r4) — any window wider than the priority
 # block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
+    "win_frame",
+    "win_cumulative",
+    "sort",
     "limit",
     "topk_group",
     "set_union",

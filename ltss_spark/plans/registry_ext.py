@@ -1645,3 +1645,62 @@ def ext_bm25(spark, sf_dir):
     from ltss_spark.operators.text import bm25_topk
 
     return bm25_topk(_t(spark, sf_dir, "documents"), list(_BM25_TERMS), k=10)
+
+
+_DSIR_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, source IN ('src0', 'src1') AS is_target, text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, is_target, unnest({_TOKS}) AS token FROM base
+    ),
+    tnz AS (SELECT doc_id, is_target, token FROM toks WHERE token <> ''),
+    counts AS (
+      SELECT token, COUNT(*) AS c_raw,
+             COUNT(*) FILTER (WHERE is_target) AS c_t
+      FROM tnz GROUP BY 1
+    ),
+    consts AS (
+      SELECT SUM(c_raw) AS t_raw, SUM(c_t) AS t_t, COUNT(*) AS v FROM counts
+    ),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             round(CAST(SUM(CAST(round(ln(
+                 ((c_t + 0.5) / (t_t + 0.5 * v)) /
+                 ((c_raw + 0.5) / (t_raw + 0.5 * v))
+               ), 6) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+               AS dsir_score
+      FROM tnz JOIN counts USING (token) CROSS JOIN consts
+      WHERE NOT is_target
+      GROUP BY doc_id
+    ),
+    pool AS (SELECT COUNT(*) AS n_pool FROM scored)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, dsir_score,
+           CAST(row_number() OVER (ORDER BY dsir_score DESC, doc_id ASC)
+                AS INT) AS rank,
+           row_number() OVER (ORDER BY dsir_score DESC, doc_id ASC)
+             <= CEIL(0.25 * n_pool) AS selected
+    FROM scored CROSS JOIN pool
+"""
+
+
+@register(
+    "ext_importance_resample",
+    _DSIR_ORACLE,
+    survey="ext_text_stats fn_math win_rank agg_basic (DSIR importance resampling: target-vs-raw unigram log-ratio scoring, top-quota domain selection)",
+)
+def ext_importance_resample(spark, sf_dir):
+    """DSIR-shaped data selection (operators/corpus.importance_resample):
+    documents from two exemplar sources define the TARGET unigram model;
+    every other document scores by its average smoothed token log-ratio
+    ln(p_target/p_raw), and the top 25% of the raw pool is selected. The
+    in-domain flag rides through one token explode so a single hash agg
+    yields both models; constants broadcast as 1-row aggregates; the
+    Gumbel resampling of the paper is replaced by the deterministic
+    top-quota rule so the oracle can check every score and the exact
+    selection frontier."""
+    from ltss_spark.operators.corpus import importance_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    return importance_resample(docs, F.col("source").isin("src0", "src1"))

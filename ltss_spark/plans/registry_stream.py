@@ -107,6 +107,32 @@ def scan_json_q(spark, sf_dir):
     return _text_roundtrip(spark, sf_dir, "json", {"timestampFormat": _TS_FMT})
 
 
+@register(
+    "scan_orc",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    WHERE value > 50.0
+    """,
+    survey="scan_parquet A1 (ORC source: the second columnar lake format — stripe-splittable, predicate pushdown + column pruning at the scan)",
+)
+def scan_orc_q(spark, sf_dir):
+    """ORC round trip — the other columnar format a lake-scale engine
+    must read natively (Hive-era corpora are ORC). Unlike the text scans
+    above there is no format-fidelity knob to get wrong (binary columnar,
+    native timestamps/doubles), so the entry's subject is the SCAN
+    QUALITY: the value predicate reaches the ORC reader as a pushed
+    filter and the scan is stripe-splittable — at 100 TB the ORC path
+    fans out and prunes exactly like the parquet path. Pushdown is
+    pinned by tests/test_streaming.py::test_orc_scan_pushdown, not just
+    claimed here."""
+    from ltss_spark.plans.registry import _t
+
+    out = scratch_dir("ltss_scan_orc")
+    e = _t(spark, sf_dir, "events").select(*_EVENTS_COLS)
+    e.write.mode("overwrite").format("orc").save(out)
+    return spark.read.orc(out).filter(F.col("value") > 50.0)
+
+
 def _stream_near_dup_oracle() -> str:
     from ltss_spark.plans.registry_ext import _minhash_banded_ctes
 
@@ -572,3 +598,78 @@ def stream_join(spark, sf_dir):
     from ltss_spark.streaming.windows import streaming_interval_join
 
     return streaming_interval_join(spark, sf_dir)
+
+
+_CDC_ORACLE = """
+    WITH changes AS (
+      SELECT user_id, event_type, event_id AS version, value,
+             CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY version DESC) AS rn
+      FROM changes
+    )
+    SELECT user_id, event_type, version, value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register(
+    "stream_cdc",
+    _CDC_ORACLE,
+    survey="stream_ingest sink_append B9 stream_dedup (CDC apply: insert/update/DELETE feed merged by version LWW, tombstones block stale resurrection, bucket-pruned rewrite)",
+)
+def stream_cdc_q(spark, sf_dir):
+    """A Debezium-shaped change feed (op ∈ {U, D}, monotonic version)
+    derived from events — key (user_id, event_type), every 7th change a
+    DELETE — is split into THREE change files by version % 3, so each
+    micro-batch carries an INTERLEAVED slice of the version sequence:
+    the stream arrives out of commit order, the hard case for deletes.
+    The feed is applied twice (second run = fresh checkpoint, a full
+    at-least-once replay) through foreachBatch -> operators/cdc.cdc_apply:
+    hash-bucket-pruned parquet rewrite, survivor per PK by version DESC,
+    deletes stored as durable tombstones so a stale update in a later
+    batch cannot resurrect a deleted key. The oracle is the pure LWW
+    semantic over the whole feed — the hash matching proves arrival
+    order, batch boundaries, and replay all cannot change the table.
+    Contrast stream_upsert (sources/batch.upsert_partitioned): that sink
+    covers the reference's ON-CONFLICT posture (models.py:31-32, no
+    deletes); this entry adds the delete verb + out-of-order durability."""
+    import glob as g
+    import os
+    import shutil
+
+    from ltss_spark.operators.cdc import cdc_read, run_cdc_stream
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.scratch import scratch_dir
+
+    base = scratch_dir("ltss_cdc")
+    src = f"{base}/src"
+    changes = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("version"),
+        "value",
+        F.when(F.col("event_id") % 7 == 0, "D").otherwise("U").alias("op"),
+    )
+    os.makedirs(src, exist_ok=True)
+    now = 1_700_000_000
+    for i in range(3):
+        part = changes.filter(F.col("version") % 3 == i)
+        part.coalesce(1).write.parquet(f"{src}/__tmp")
+        shutil.move(g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/b{i}.parquet")
+        shutil.rmtree(f"{src}/__tmp")
+        os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
+    for ck in ("ckpt1", "ckpt2"):  # second pass = full replay, must be a no-op
+        run_cdc_stream(
+            spark,
+            src,
+            f"{base}/target",
+            f"{base}/{ck}",
+            pk=("user_id", "event_type"),
+            n_buckets=16,
+        )
+    return cdc_read(spark, f"{base}/target").select(
+        "user_id", "event_type", "version", "value"
+    )

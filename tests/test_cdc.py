@@ -1,0 +1,129 @@
+"""CDC apply (operators/cdc.py): LWW merge with deletes, tombstone
+durability under out-of-order replay, bucket-pruned rewrite, compaction."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from ltss_spark.operators.cdc import (
+    BUCKET_COL,
+    TOMBSTONE_COL,
+    cdc_apply,
+    cdc_compact,
+    cdc_read,
+)
+from ltss_spark.scratch import scratch_dir
+
+
+def _ch(spark, rows):
+    return spark.createDataFrame(rows, "k string, version long, v double, op string")
+
+
+def _state(spark, path):
+    return {
+        r["k"]: (r["version"], r["v"])
+        for r in cdc_read(spark, path).collect()
+    }
+
+
+def test_insert_update_delete(spark):
+    path = scratch_dir("cdc_basic")
+    cdc_apply(spark, path, _ch(spark, [("a", 1, 1.0, "I"), ("b", 1, 2.0, "I")]), ("k",))
+    cdc_apply(spark, path, _ch(spark, [("a", 2, 9.0, "U"), ("b", 2, 0.0, "D")]), ("k",))
+    assert _state(spark, path) == {"a": (2, 9.0)}
+
+
+def test_intra_batch_lww(spark):
+    # one batch carrying several versions of the same key: highest wins
+    path = scratch_dir("cdc_intra")
+    cdc_apply(
+        spark,
+        path,
+        _ch(spark, [("a", 3, 3.0, "U"), ("a", 1, 1.0, "I"), ("a", 2, 2.0, "U")]),
+        ("k",),
+    )
+    assert _state(spark, path) == {"a": (3, 3.0)}
+
+
+def test_stale_update_cannot_resurrect_delete(spark):
+    # delete at v5 lands first; a LATER batch replays a stale v3 update —
+    # the tombstone must win the window and the key stay absent
+    path = scratch_dir("cdc_tomb")
+    cdc_apply(spark, path, _ch(spark, [("a", 5, 0.0, "D")]), ("k",))
+    cdc_apply(spark, path, _ch(spark, [("a", 3, 3.0, "U")]), ("k",))
+    assert _state(spark, path) == {}
+    # ...but a genuinely newer re-insert resurrects it
+    cdc_apply(spark, path, _ch(spark, [("a", 7, 7.0, "I")]), ("k",))
+    assert _state(spark, path) == {"a": (7, 7.0)}
+
+
+def test_replay_and_order_independence(spark):
+    b1 = [("a", 1, 1.0, "I"), ("b", 1, 1.0, "I"), ("c", 1, 1.0, "I")]
+    b2 = [("a", 2, 2.0, "U"), ("b", 2, 0.0, "D")]
+    p_fwd, p_rev = scratch_dir("cdc_fwd"), scratch_dir("cdc_rev")
+    for b in (b1, b2, b2, b1):  # forward order plus a full replay of each
+        cdc_apply(spark, p_fwd, _ch(spark, b), ("k",))
+    for b in (b2, b1):  # reversed arrival
+        cdc_apply(spark, p_rev, _ch(spark, b), ("k",))
+    expect = {"a": (2, 2.0), "c": (1, 1.0)}
+    assert _state(spark, p_fwd) == expect
+    assert _state(spark, p_rev) == expect
+
+
+def test_bucket_pruning(spark):
+    # a single-key batch must rewrite exactly one bucket, and the other
+    # buckets' files must not be touched on disk
+    path = scratch_dir("cdc_prune")
+    seed = _ch(spark, [(f"k{i}", 1, float(i), "I") for i in range(200)])
+    cdc_apply(spark, path, seed, ("k",), n_buckets=8)
+    before = {
+        d: os.stat(f"{path}/{d}").st_mtime_ns
+        for d in os.listdir(path)
+        if d.startswith(BUCKET_COL)
+    }
+    assert len(before) == 8
+    touched = cdc_apply(
+        spark, path, _ch(spark, [("k0", 2, 99.0, "U")]), ("k",), n_buckets=8
+    )
+    assert len(touched) == 1
+    after = {
+        d: os.stat(f"{path}/{d}").st_mtime_ns
+        for d in os.listdir(path)
+        if d.startswith(BUCKET_COL)
+    }
+    untouched = [d for d in before if d != f"{BUCKET_COL}={touched[0]}"]
+    assert untouched and all(before[d] == after[d] for d in untouched)
+    assert _state(spark, path)["k0"] == (2, 99.0)
+
+
+def test_compact_purges_only_past_horizon(spark):
+    path = scratch_dir("cdc_compact")
+    cdc_apply(
+        spark,
+        path,
+        _ch(spark, [("a", 1, 0.0, "D"), ("b", 10, 0.0, "D"), ("c", 2, 2.0, "I")]),
+        ("k",),
+    )
+    stored = spark.read.parquet(path)
+    assert stored.filter(F.col(TOMBSTONE_COL)).count() == 2
+    assert cdc_compact(spark, path, version_horizon=5) == 1  # only a's v1
+    stored = spark.read.parquet(path)
+    assert {r["k"] for r in stored.filter(F.col(TOMBSTONE_COL)).collect()} == {"b"}
+    # logical table unchanged by compaction
+    assert _state(spark, path) == {"c": (2, 2.0)}
+    assert cdc_compact(spark, path, version_horizon=0) == 0  # nothing eligible
+
+
+def test_compat_pk_composite(spark):
+    path = scratch_dir("cdc_pk2")
+    df = spark.createDataFrame(
+        [("u1", "click", 1, 1.0, "I"), ("u1", "view", 2, 2.0, "I"),
+         ("u1", "click", 3, 0.0, "D")],
+        "user string, etype string, version long, v double, op string",
+    )
+    cdc_apply(spark, path, df, ("user", "etype"))
+    rows = cdc_read(spark, path).collect()
+    assert [(r["user"], r["etype"], r["version"]) for r in rows] == [
+        ("u1", "view", 2)
+    ]

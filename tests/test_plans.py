@@ -270,6 +270,11 @@ def test_registry_wide_plan_audit(spark):
         "ext_tfidf",
         "ext_unigram_lm",
         "ext_bm25",
+        # same bounded shape twice over: the 1-ROW model-constants
+        # aggregate broadcast onto the token frame, and the 1-ROW
+        # pool-size aggregate onto the doc-level score frame
+        # (operators/corpus.importance_resample)
+        "ext_importance_resample",
     }
     # streaming/sink entries run real side-effecting queries — covered by
     # their own tests

@@ -729,3 +729,19 @@ def test_streaming_near_dup_visibility_boundary(spark, tmp_path):
         20: True,   # near-copy of a BATCH-1 doc: store accumulated
         21: False,  # fresh
     }
+
+
+def test_orc_scan_pushdown(spark, tmp_path):
+    # the scan_orc entry's claim: predicates reach the ORC reader as
+    # PushedFilters and only the referenced columns are read
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "orc")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.orc(out)
+    df = spark.read.orc(out).filter(F.col("value") > 50.0).select("event_id", "value")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Format: ORC" in plan
+    assert "GreaterThan(value,50.0)" in plan  # pushed, not post-filtered
+    # column pruning: props/ts must not appear in the read schema
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "props" not in read_schema and "event_id" in read_schema
