@@ -106,3 +106,45 @@ def salted_join(
         ),
     )
     return b.join(s, on + ["__salt"]).drop("__salt")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Heavy-hitter profile of a prospective shuffle key — the pre-flight
+    diagnostic that decides between a plain shuffle, AQE skew-split, and
+    :func:`salted_join` BEFORE a 100 TB job is launched: per-key row
+    counts for the ``top_k`` hottest key values with
+
+    - ``share``  — the key's fraction of all rows (a single key above
+      ~1/parallelism saturates one reduce task no matter the cluster), and
+    - ``skew_factor`` — the key's size relative to the MEAN key size
+      (AQE's skew-join trigger is the same ratio against the median
+      partition, default 5x);
+
+    both rounded to 6 decimals for cross-engine determinism. One hash
+    aggregation over the data (map-side partial combine does the heavy
+    lifting: reducer input is #maps x #keys, not #rows), one 1-row
+    totals aggregate broadcast onto the per-key frame, and a TakeOrdered
+    top-k — the profile costs a single scan regardless of skew. Ties
+    broken on the key columns so top_k is deterministic.
+    """
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    totals = per_key.agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("__n_keys")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.col("n") / (F.col("__total") / F.col("__n_keys")), 6
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("n").desc(), *key_cols)
+        .limit(top_k)
+    )

@@ -1,0 +1,164 @@
+"""Manifest-based snapshot versioning over immutable parquet — time
+travel, rollback, and snapshot-isolated reads without a table format
+dependency (the Iceberg/Delta core contract, minimally re-expressed).
+
+Why a 100 TB engine needs this even with partitioned/bucketed sinks:
+training-data pipelines re-materialize tables (dedup reruns, filter
+tweaks, contamination purges) while long-running readers stream the
+SAME table. Overwriting parquet in place breaks those readers and
+destroys the audit trail ("which table version trained run X?").
+The fix is the standard lakehouse trick:
+
+- data files are IMMUTABLE; every commit writes a fresh directory
+  ``data/v<N>`` and never touches prior ones;
+- a commit is made visible by writing ONE manifest file
+  (``_manifests/v<N>.json``) listing every data directory that is live
+  in that version — data first, manifest last, so a crashed commit
+  leaves garbage data but never a corrupt table;
+- readers plan from the manifest, never from a directory listing:
+  O(manifest) planning instead of an O(files) object-store LIST, and a
+  reader pinned to version N is isolated from every later commit;
+- ``rollback`` is a new manifest pointing at old directories (O(1),
+  no data movement); ``expire`` physically deletes directories no
+  retained manifest references (the GC half of the contract).
+
+Concurrency note (documented, not hidden): the version counter is
+claimed by an atomic manifest rename, which is correct on POSIX and
+HDFS; an S3-class store needs a conditional-put/lock service here —
+exactly the seam Delta's LogStore abstracts. Single-writer pipelines
+(this engine's sinks) never hit it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFESTS = "_manifests"
+_DATA = "data"
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, _MANIFESTS)
+
+
+def versions(path: str) -> list[int]:
+    """Committed versions, ascending. Only manifests count — data
+    directories without one are invisible (uncommitted garbage)."""
+    mdir = _manifest_dir(path)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as fh:
+        return json.load(fh)
+
+
+def commit(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+) -> int:
+    """Commit ``df`` as the next table version and return its number.
+
+    ``append``: the new version is every prior live directory plus this
+    commit's; ``overwrite``: the new version is this commit's directory
+    alone (prior versions stay readable until expired — an overwrite is
+    a logical replacement, not a physical delete)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    vs = versions(path)
+    v = (vs[-1] + 1) if vs else 1
+    data_dir = os.path.join(path, _DATA, f"v{v}")
+    # data first (immutable, invisible until the manifest lands)
+    df.write.mode("error").parquet(data_dir)
+    live = [] if mode == "overwrite" else (
+        _read_manifest(path, vs[-1])["dirs"] if vs else []
+    )
+    manifest = {
+        "version": v,
+        "mode": mode,
+        "dirs": live + [os.path.join(_DATA, f"v{v}")],
+    }
+    mdir = _manifest_dir(path)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".v{v}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    # the atomic commit point: rename claims the version number
+    os.rename(tmp, os.path.join(mdir, f"v{v}.json"))
+    return v
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot-isolated read: plan from the manifest of ``version``
+    (default: latest). The scan unions the listed immutable directories —
+    a stray uncommitted directory under data/ is never read."""
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {vs} at {path}")
+    dirs = [os.path.join(path, d) for d in _read_manifest(path, v)["dirs"]]
+    return spark.read.parquet(*dirs)
+
+
+def rollback(path: str, to_version: int) -> int:
+    """Publish a NEW version whose content is ``to_version``'s file list —
+    history moves forward only (an auditor can still read the bad
+    version), data moves not at all."""
+    vs = versions(path)
+    if to_version not in vs:
+        raise FileNotFoundError(f"version {to_version} not in {vs}")
+    v = vs[-1] + 1
+    manifest = {
+        "version": v,
+        "mode": f"rollback:{to_version}",
+        "dirs": _read_manifest(path, to_version)["dirs"],
+    }
+    mdir = _manifest_dir(path)
+    tmp = os.path.join(mdir, f".v{v}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(mdir, f"v{v}.json"))
+    return v
+
+
+def expire(path: str, keep_last: int = 2) -> list[str]:
+    """Drop all but the newest ``keep_last`` manifests and physically
+    delete every data directory no retained manifest references.
+    Returns the deleted directories (relative). Time travel shortens;
+    the latest version is never touched."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = versions(path)
+    drop, keep = vs[:-keep_last], vs[-keep_last:]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced |= set(_read_manifest(path, v)["dirs"])
+    deleted = []
+    for v in drop:
+        os.remove(os.path.join(_manifest_dir(path), f"v{v}.json"))
+    data_root = os.path.join(path, _DATA)
+    if os.path.isdir(data_root):
+        for d in sorted(os.listdir(data_root)):
+            rel = os.path.join(_DATA, d)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(data_root, d))
+                deleted.append(rel)
+    return deleted

@@ -84,6 +84,9 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_cdc",
     "scan_orc",
     "ext_importance_resample",
+    "join_bloom",
+    "sink_versioned",
+    "diag_skew",
     "ext_dedup_embed_capped",
     "scan_csv",
     "scan_json",
@@ -129,9 +132,6 @@ _DRIVER_PRIORITY: list[str] = [
     "agg_distinct",
     "agg_groupsets",
     "agg_minmax_by",
-    "agg_first_last",
-    "agg_pivot",
-    "win_rank",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -163,6 +163,9 @@ _CHANGED_ENTRIES: set[str] = {
 # first (r1 spillover, then r2, r3, r4) — any window wider than the priority
 # block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
+    "agg_first_last",
+    "agg_pivot",
+    "win_rank",
     "win_frame",
     "win_cumulative",
     "sort",

@@ -1199,3 +1199,78 @@ def win_time_range(spark, sf_dir):
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@register(
+    "join_bloom",
+    f"""
+    SELECT p_brand,
+           COUNT(*) AS n_lines,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 3
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    survey="join_inner filter_basic agg_basic (runtime Bloom semi-join reduction: fact scan pruned by the filtered dim's key Bloom before the shuffle)",
+)
+def join_bloom(spark, sf_dir):
+    """Dynamic filtering (operators/runtime_filter.py): the dim filter
+    p_size <= 3 keeps ~12% of parts, but static pruning cannot see which
+    l_partkey values survive it — so a plain shuffle join moves ALL of
+    lineitem. Catalyst's InjectRuntimeFilter builds a Bloom filter over
+    the filtered dim's keys and injects might_contain(bloom,
+    xxhash64(l_partkey)) below lineitem's Exchange, dropping non-matching
+    fact rows at the scan. Semantics unchanged (no false negatives; false
+    positives die in the join) — this oracle is the plain join. At 100 TB
+    the rule self-arms past the 10 GB scan threshold; locally the scoped
+    freeze in with_runtime_bloom pins the same plan (asserted in
+    tests/test_plans.py::test_join_bloom_plan)."""
+    from ltss_spark.operators.runtime_filter import with_runtime_bloom
+
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
+    out = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.expr("l_extendedprice * (1 - l_discount)"), 6).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+    return with_runtime_bloom(out)
+
+
+@register(
+    "diag_skew",
+    """
+    WITH per_key AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM per_key
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / total, 6) AS share,
+           round(CAST(n AS DOUBLE) / (CAST(total AS DOUBLE) / n_keys), 6)
+             AS skew_factor
+    FROM per_key CROSS JOIN tot
+    ORDER BY n DESC, user_id
+    LIMIT 10
+    """,
+    survey="agg_basic topk_group (pre-shuffle heavy-hitter diagnostic: per-key share and skew factor, one scan)",
+)
+def diag_skew(spark, sf_dir):
+    """The decision input for the skew toolkit (plain shuffle vs AQE
+    skew-split vs salted_join): top-10 hottest user_id values with each
+    key's row share and its size relative to the mean key — computed in
+    ONE scan (map-side partial combine bounds reducer input to #maps x
+    #keys) plus a 1-row totals broadcast and a TakeOrdered. At 100 TB
+    this is the cheap pre-flight that tells you whether the nightly join
+    needs salting before you learn it from a straggler task."""
+    from ltss_spark.operators.skew import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf_dir, "events"), ["user_id"], top_k=10)

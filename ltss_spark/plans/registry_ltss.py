@@ -1981,3 +1981,36 @@ def stream_upsert_q(spark, sf_dir):
     return spark.read.parquet(f"{base}/out").select(
         "time", "entity_id", "state", "attributes"
     )
+
+
+@register(
+    "sink_versioned",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_id % 3 IN (0, 1)
+    """,
+    survey="sink_append sink_partitioned A12 (manifest-versioned sink: snapshot isolation, time travel, O(1) rollback)",
+)
+def sink_versioned_q(spark, sf_dir):
+    """Snapshot-versioned table lifecycle (operators/snapshot.py): v1
+    appends the event_id%3==0 slice, v2 appends the ==1 slice, v3
+    OVERWRITES the table with the ==2 slice, v4 rolls back to v2 — and
+    the returned frame is the LATEST read, which must equal slices 0∪1:
+    the overwrite is fully undone by a manifest pointer flip, no data
+    rewritten. Readers plan from the manifest (never a directory
+    listing), so v3's directory is invisible to this read even though it
+    sits under data/ — the snapshot-isolation property that lets a 100 TB
+    re-materialization land while yesterday's training job keeps reading
+    its pinned version. Expire/GC and crash-visibility are pinned in
+    tests/test_snapshot.py."""
+    from ltss_spark.operators.snapshot import commit, read_version, rollback
+
+    base = scratch_dir("ltss_versioned")
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    commit(e.filter(F.col("event_id") % 3 == 0), base, mode="append")
+    v2 = commit(e.filter(F.col("event_id") % 3 == 1), base, mode="append")
+    commit(e.filter(F.col("event_id") % 3 == 2), base, mode="overwrite")
+    rollback(base, v2)
+    return read_version(spark, base)

@@ -275,6 +275,9 @@ def test_registry_wide_plan_audit(spark):
         # pool-size aggregate onto the doc-level score frame
         # (operators/corpus.importance_resample)
         "ext_importance_resample",
+        # the 1-ROW totals aggregate broadcast onto the per-key count
+        # frame (operators/skew.key_skew_profile)
+        "diag_skew",
     }
     # streaming/sink entries run real side-effecting queries — covered by
     # their own tests
@@ -566,3 +569,27 @@ def test_snapshot_prunes_month_partitions(spark):
     }
     got = {(r.entity_id, r.as_of_state) for r in snap.collect()}
     assert got == want
+
+
+def test_join_bloom_plan(spark):
+    """with_runtime_bloom must freeze an InjectRuntimeFilter'd plan: a
+    might_contain probe over the fact key below the shuffle — and the
+    scoped confs must be restored afterwards (no session-wide mutation)."""
+    import ltss_spark.plans as plans
+    from ltss_spark.operators.runtime_filter import has_runtime_bloom
+
+    before = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    df = plans.queries()["join_bloom"](spark, SF_SMOKE)
+    assert has_runtime_bloom(df), "runtime Bloom filter was not injected"
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in s  # built over the filtered dim keys
+    after = {k: spark.conf.get(k, None) for k in before}
+    assert after == before, "scoped confs leaked into the session"
+    # the frozen plan must survive an action run AFTER the scope closed
+    assert df.count() > 0

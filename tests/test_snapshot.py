@@ -1,0 +1,98 @@
+"""Manifest-versioned sink (operators/snapshot.py): the lakehouse
+contract — commits are atomic-by-manifest, reads are snapshot-isolated
+and listing-free, rollback is O(1), expire physically GCs.
+"""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from ltss_spark.operators.snapshot import (
+    commit,
+    expire,
+    read_version,
+    rollback,
+    versions,
+)
+
+
+def _slice(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+def test_append_and_overwrite_versions(spark, tmp_path):
+    p = str(tmp_path / "t")
+    assert versions(p) == []
+    v1 = commit(_slice(spark, 0, 10), p, mode="append")
+    v2 = commit(_slice(spark, 10, 20), p, mode="append")
+    v3 = commit(_slice(spark, 100, 105), p, mode="overwrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert read_version(spark, p, 1).count() == 10
+    assert read_version(spark, p, 2).count() == 20  # time travel past v3
+    got = sorted(r.k for r in read_version(spark, p).collect())
+    assert got == list(range(100, 105))  # latest = the overwrite
+
+
+def test_rollback_is_a_pointer_flip(spark, tmp_path):
+    p = str(tmp_path / "t")
+    commit(_slice(spark, 0, 5), p)
+    commit(_slice(spark, 5, 9), p)
+    commit(_slice(spark, 50, 51), p, mode="overwrite")
+    v4 = rollback(p, 2)
+    assert v4 == 4
+    assert sorted(r.k for r in read_version(spark, p).collect()) == list(range(9))
+    # no data moved: v3's directory still exists and v3 is still readable
+    assert read_version(spark, p, 3).count() == 1
+
+
+def test_reader_ignores_uncommitted_directories(spark, tmp_path):
+    """A crashed commit leaves data without a manifest — readers must not
+    see it (the atomicity property: manifest-last makes the commit)."""
+    p = str(tmp_path / "t")
+    commit(_slice(spark, 0, 3), p)
+    # simulate a crash: data landed, manifest did not
+    _slice(spark, 1000, 2000).write.parquet(os.path.join(p, "data", "v2"))
+    assert versions(p) == [1]
+    assert read_version(spark, p).count() == 3
+    # and the next commit claims v2's NUMBER but its own directory
+    with pytest.raises(Exception):
+        commit(_slice(spark, 0, 1), p)  # v2 dir exists -> mode=error refuses
+
+
+def test_expire_gcs_unreferenced_data(spark, tmp_path):
+    p = str(tmp_path / "t")
+    commit(_slice(spark, 0, 5), p)                      # v1: dirs {1}
+    commit(_slice(spark, 5, 10), p)                     # v2: dirs {1,2}
+    commit(_slice(spark, 50, 55), p, mode="overwrite")  # v3: dirs {3}
+    commit(_slice(spark, 55, 60), p)                    # v4: dirs {3,4}
+    deleted = expire(p, keep_last=2)
+    # v1/v2 manifests gone; data v1,v2 unreferenced by {v3,v4} -> deleted
+    assert versions(p) == [3, 4]
+    assert sorted(deleted) == [os.path.join("data", "v1"), os.path.join("data", "v2")]
+    assert sorted(r.k for r in read_version(spark, p).collect()) == list(range(50, 60))
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, p, 1)
+
+
+def test_read_missing_version_raises(spark, tmp_path):
+    p = str(tmp_path / "t")
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, p)
+    commit(_slice(spark, 0, 1), p)
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, p, 7)
+
+
+def test_manifest_is_the_plan_source(spark, tmp_path):
+    """Planning cost is O(manifest), not O(listing): the scan's input
+    paths are exactly the manifest's directories."""
+    p = str(tmp_path / "t")
+    commit(_slice(spark, 0, 5), p)
+    commit(_slice(spark, 5, 10), p)
+    m = json.load(open(os.path.join(p, "_manifests", "v2.json")))
+    assert m["dirs"] == [os.path.join("data", "v1"), os.path.join("data", "v2")]
+    files = read_version(spark, p, 2).inputFiles()
+    dirs = {os.path.basename(os.path.dirname(f)) for f in files}
+    assert dirs == {"v1", "v2"}
