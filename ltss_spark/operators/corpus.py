@@ -496,3 +496,73 @@ def importance_resample(
         )
         .select("doc_id", "n_tokens", "dsir_score", "rank", "selected")
     )
+
+
+def vocab_encode(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize-to-ids — the step between cleaned text and a training
+    shard: build a frequency-ranked vocabulary of the ``vocab_size`` most
+    common tokens (ids 1..V by count DESC, token ASC; 0 = <unk>) and
+    encode every document as its token-id sequence.
+
+    Spark shape:
+    - ONE tokenize; the vocabulary is a groupBy count + row_number over a
+      single ordered window — |vocab| rows through one reducer, which is
+      exactly the bounded piece (vocab_size is a constant; the corpus
+      never sorts);
+    - encoding is a BROADCAST left join of the exploded (doc, pos, token)
+      frame against the vocabulary (KB-scale build side), OOV -> 0;
+    - sequences reassemble ORDER-SAFELY by sorting each doc's collected
+      (pos, id) structs — array order is part of the value, never left
+      to shuffle arrival order (same rule as pack_sequences).
+
+    At 100 TB the explode and re-collect are the honest costs (shuffle
+    ∝ corpus tokens, the same volume any tokenizer pass moves); the
+    vocabulary side stays driver-bounded and broadcast.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("token", F.row_number().over(w).alias("token_id"))
+        .filter(F.col("token_id") <= vocab_size)
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce(F.col("token_id"), F.lit(0)).cast("int").alias("tid"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"],
+            ).alias("token_ids")
+        )
+        .select(
+            "doc_id",
+            "token_ids",
+            F.size("token_ids").alias("n_tokens"),
+            dsum_int("token_ids").alias("id_checksum"),
+        )
+    )
+
+
+def dsum_int(arr_col: str):
+    """BIGINT sum of an int-array column (aggregate over the array, not
+    the rows — deterministic, oracle-friendly)."""
+    return F.aggregate(
+        F.col(arr_col) if isinstance(arr_col, str) else arr_col,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

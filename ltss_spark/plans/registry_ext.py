@@ -1704,3 +1704,51 @@ def ext_importance_resample(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return importance_resample(docs, F.col("source").isin("src0", "src1"))
+
+
+_VOCAB_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, u.i AS pos, toks[u.i] AS token
+      FROM base, UNNEST(generate_series(1, CAST(len(toks) AS BIGINT))) AS u(i)
+      WHERE toks[u.i] <> ''
+    ),
+    vocab AS (
+      SELECT token, token_id FROM (
+        SELECT token,
+               row_number() OVER (ORDER BY COUNT(*) DESC, token ASC) AS token_id
+        FROM toks GROUP BY token
+      ) WHERE token_id <= 1000
+    ),
+    enc AS (
+      SELECT doc_id, pos, CAST(COALESCE(v.token_id, 0) AS INT) AS tid
+      FROM toks LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id,
+           list(tid ORDER BY pos, tid) AS token_ids,
+           CAST(COUNT(*) AS INT) AS n_tokens,
+           CAST(SUM(tid) AS BIGINT) AS id_checksum
+    FROM enc GROUP BY doc_id
+"""
+
+
+@register(
+    "ext_vocab_encode",
+    _VOCAB_ORACLE,
+    survey="ext_text_stats fn_array agg_basic (vocabulary build + tokenize-to-ids: frequency-ranked vocab broadcast onto one posexplode pass)",
+)
+def ext_vocab_encode(spark, sf_dir):
+    """Tokenize-to-ids (operators/corpus.vocab_encode): the 1000 most
+    frequent tokens become ids 1..1000 (count DESC, token ASC — fully
+    tie-broken), everything else 0 = <unk>, and each document returns as
+    its id sequence in ORIGINAL token order plus count/checksum columns.
+    One tokenize, one corpus-wide count agg (|vocab| rows through the
+    ranking window — bounded by construction), a KB-scale broadcast join
+    for the encode, order-safe array reassembly via (pos, id) struct
+    sort. The oracle recomputes the whole pipeline relationally — ids,
+    sequence order, checksums must match exactly."""
+    from ltss_spark.operators.corpus import vocab_encode
+
+    return vocab_encode(_t(spark, sf_dir, "documents"), vocab_size=1000)

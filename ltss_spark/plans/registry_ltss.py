@@ -2014,3 +2014,35 @@ def sink_versioned_q(spark, sf_dir):
     commit(e.filter(F.col("event_id") % 3 == 2), base, mode="overwrite")
     rollback(base, v2)
     return read_version(spark, base)
+
+
+@register(
+    "sink_version_diff",
+    """
+    SELECT event_id, user_id, value, 'insert' AS _change
+    FROM events WHERE event_id % 3 = 2
+    UNION ALL
+    SELECT event_id, user_id, value, 'delete' AS _change
+    FROM events WHERE event_id % 3 = 0
+    """,
+    survey="sink_append B9 (version change feed: manifest set-diff yields insert/delete rows between any two snapshots)",
+)
+def sink_version_diff_q(spark, sf_dir):
+    """Incremental consumption off the versioned sink (operators/
+    snapshot.read_changes — the Delta-CDF analogue): v1 appends slice
+    %3==0, v2 appends %3==1, v3 OVERWRITES with %3==2; the feed
+    changes(v1 -> v3) must be exactly {slice 2 as inserts, slice 0 as
+    deletes} — slice 1, added in v2 and dropped by v3's overwrite,
+    cancels because the diff compares ENDPOINT manifests, not the commit
+    log. Planning is O(manifest) with zero data comparison (immutable
+    directories make dir-identity a proof of row-identity), so a
+    downstream incremental refresh at 100 TB reads only the changed
+    slices, never the table."""
+    from ltss_spark.operators.snapshot import commit, read_changes
+
+    base = scratch_dir("ltss_vdiff")
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    v1 = commit(e.filter(F.col("event_id") % 3 == 0), base, mode="append")
+    commit(e.filter(F.col("event_id") % 3 == 1), base, mode="append")
+    v3 = commit(e.filter(F.col("event_id") % 3 == 2), base, mode="overwrite")
+    return read_changes(spark, base, v1, v3)

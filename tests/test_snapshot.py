@@ -96,3 +96,25 @@ def test_manifest_is_the_plan_source(spark, tmp_path):
     files = read_version(spark, p, 2).inputFiles()
     dirs = {os.path.basename(os.path.dirname(f)) for f in files}
     assert dirs == {"v1", "v2"}
+
+
+def test_read_changes_is_endpoint_diff(spark, tmp_path):
+    from ltss_spark.operators.snapshot import read_changes
+
+    p = str(tmp_path / "t")
+    commit(_slice(spark, 0, 5), p)                      # v1 {d1}
+    commit(_slice(spark, 5, 8), p)                      # v2 {d1,d2}
+    commit(_slice(spark, 100, 102), p, mode="overwrite")  # v3 {d3}
+    ch = read_changes(spark, p, 1, 3)
+    got = sorted((r.k, r._change) for r in ch.collect())
+    # d2 (added v2, dropped v3) cancels; d1 deleted, d3 inserted
+    assert got == [(0, "delete"), (1, "delete"), (2, "delete"),
+                   (3, "delete"), (4, "delete"),
+                   (100, "insert"), (101, "insert")]
+    # append-only span: pure inserts
+    ch12 = read_changes(spark, p, 1, 2)
+    assert sorted((r.k, r._change) for r in ch12.collect()) == [
+        (5, "insert"), (6, "insert"), (7, "insert")]
+    # self-diff: empty with the right schema
+    ch33 = read_changes(spark, p, 3, 3)
+    assert ch33.count() == 0 and ch33.columns == ["k", "_change"]
