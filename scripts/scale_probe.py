@@ -334,6 +334,47 @@ def main():
                            tie_breaker=None)
         row["upsert_sec"] = round(time.time() - t0, 2)
         row["upsert_rows"] = upd.count()
+        # round-5: CDC apply onto a 256-bucket hash-partitioned target.
+        # The timed batch is a FIXED key set (a hash slice of replica-0
+        # entities, constant across factors, every 7th change a DELETE):
+        # the rewrite must touch only the buckets those keys hash into —
+        # a factor-INDEPENDENT bucket count — while each touched bucket
+        # grows ∝ table/256. Cost ∝ touched share, never the table; the
+        # touched-bucket count printed alongside is the proof.
+        from ltss_spark.operators.cdc import cdc_apply
+
+        cdc_dir = os.path.join(base, f"cdc_x{factor}")
+        cdc_base = states.select(
+            "entity_id",
+            "state",
+            F.unix_micros("time").alias("version"),
+            F.lit("U").alias("op"),
+        )
+        cdc_apply(spark, cdc_dir, cdc_base, pk=("entity_id",), n_buckets=256)
+        batch = (
+            cdc_base.filter(
+                F.col("entity_id").endswith("_r0")
+                & (F.pmod(F.xxhash64("entity_id"), F.lit(40)) == 0)
+            )
+            .withColumn("version", F.col("version") + 1)
+            .withColumn(
+                "op",
+                F.when(F.pmod(F.col("version"), F.lit(7)) == 0, "D").otherwise("U"),
+            )
+        )
+        t0 = time.time()
+        touched = cdc_apply(spark, cdc_dir, batch, pk=("entity_id",), n_buckets=256)
+        row["cdc_sec"] = round(time.time() - t0, 2)
+        row["cdc_buckets_touched"] = len(touched)
+        # round-5: vocabulary build + tokenize-to-ids. Token tagging makes
+        # the DISTINCT token universe grow with factor while the top-1000
+        # vocab stays constant-size — the explode and the broadcast encode
+        # are the linear costs, the ranking window stays |tokens|-bounded.
+        from ltss_spark.operators.corpus import vocab_encode
+
+        row["vocab_rows"], row["vocab_sec"] = timed(
+            lambda: vocab_encode(docs).count()
+        )
         # cagg: full rebuild vs single-stale-day refresh — refresh must
         # track the CHANGED slice (1/30th of the days), not the table
         cagg_dir = os.path.join(base, f"cagg_x{factor}")
