@@ -182,3 +182,43 @@ def test_round3_operators_empty(spark, tmp_path):
     empty = spark.createDataFrame([], "ts timestamp, k string")
     base = str(tmp_path / "cagg_empty")
     assert refresh_rollup(spark, empty, base, agg, time_col="ts", unit="day") == []
+
+
+def test_round5_operators_empty(spark, tmp_path):
+    import pytest
+
+    from ltss_spark.operators.cdc import cdc_apply, cdc_read
+    from ltss_spark.operators.corpus import vocab_encode
+    from ltss_spark.operators.skew import key_skew_profile
+    from ltss_spark.operators.snapshot import commit, read_changes, read_version
+
+    # CDC: an empty change batch must be a no-op, not a crash or a wipe
+    changes = spark.createDataFrame(
+        [(1, 10, 1.0, "U")], "k long, version long, v double, op string"
+    )
+    tgt = str(tmp_path / "cdc")
+    cdc_apply(spark, tgt, changes, pk=("k",), n_buckets=4)
+    assert cdc_apply(spark, tgt, changes.limit(0), pk=("k",), n_buckets=4) == []
+    assert cdc_read(spark, tgt).count() == 1
+
+    # snapshot: committing an empty frame is a legal (schema-bearing) version
+    snap = str(tmp_path / "snap")
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    commit(docs, snap)
+    assert read_version(spark, snap).count() == 0
+    assert read_changes(spark, snap, 1, 1).count() == 0
+
+    # vocab over an empty corpus: empty result, full schema
+    out = vocab_encode(docs)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "token_ids", "n_tokens", "id_checksum"]
+
+    # skew profile over an empty frame: no keys, no rows
+    e = spark.createDataFrame([], "k string, v double")
+    assert key_skew_profile(e, ["k"]).count() == 0
+
+    # importance resample with an empty raw pool (everything is target)
+    from ltss_spark.operators.corpus import importance_resample
+
+    one = spark.createDataFrame([(1, "a b c", True)], "doc_id long, text string, t boolean")
+    assert importance_resample(one, F.col("t")).count() == 0
