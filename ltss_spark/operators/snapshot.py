@@ -70,16 +70,31 @@ def commit(
     df: DataFrame,
     path: str,
     mode: str = "append",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``df`` as the next table version and return its number.
 
     ``append``: the new version is every prior live directory plus this
     commit's; ``overwrite``: the new version is this commit's directory
     alone (prior versions stay readable until expired — an overwrite is
-    a logical replacement, not a physical delete)."""
+    a logical replacement, not a physical delete).
+
+    ``txn=(app_id, txn_version)`` makes the commit IDEMPOTENT per writer
+    (the Delta ``txnAppId``/``txnVersion`` recipe): each manifest carries
+    the highest committed txn version per app, and a commit whose
+    ``txn_version`` is not greater than that watermark is SKIPPED
+    (returns the current version untouched). This is what turns an
+    at-least-once replay — a foreachBatch restart re-delivering epochs —
+    into exactly-once table contents."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     vs = versions(path)
+    txns: dict[str, int] = dict(_read_manifest(path, vs[-1]).get("txns", {})) if vs else {}
+    if txn is not None:
+        app, tv = txn
+        if app in txns and tv <= txns[app]:
+            return vs[-1]  # replayed epoch: already in the table
+        txns[app] = tv
     v = (vs[-1] + 1) if vs else 1
     data_dir = os.path.join(path, _DATA, f"v{v}")
     # data first (immutable, invisible until the manifest lands)
@@ -91,6 +106,7 @@ def commit(
         "version": v,
         "mode": mode,
         "dirs": live + [os.path.join(_DATA, f"v{v}")],
+        "txns": txns,
     }
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
@@ -130,6 +146,11 @@ def rollback(path: str, to_version: int) -> int:
         "version": v,
         "mode": f"rollback:{to_version}",
         "dirs": _read_manifest(path, to_version)["dirs"],
+        # the txn watermark tracks WRITER progress, not content: carry the
+        # LATEST version's map so a replayed epoch stays deduplicated even
+        # after its data was rolled back (re-delivery would re-apply a
+        # batch the operator explicitly reverted)
+        "txns": _read_manifest(path, vs[-1]).get("txns", {}),
     }
     mdir = _manifest_dir(path)
     tmp = os.path.join(mdir, f".v{v}.json.tmp")
@@ -215,3 +236,19 @@ def read_changes(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def make_snapshot_sink(path: str, app_id: str):
+    """foreachBatch sink publishing each micro-batch as one atomic table
+    version: readers never see a partial batch (the manifest lands after
+    the data), and the ``(app_id, epoch_id)`` txn makes re-delivered
+    epochs no-ops — the standard exactly-once recipe for an idempotent
+    foreachBatch target. ``app_id`` identifies the WRITER LINEAGE: keep
+    it stable across restarts of the same logical query (a restart from a
+    fresh checkpoint re-numbers epochs from 0, which this dedup then
+    treats as replays — exactly the contract Delta's txnAppId documents)."""
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        commit(batch, path, mode="append", txn=(app_id, int(epoch_id)))
+
+    return sink

@@ -89,6 +89,8 @@ _DRIVER_PRIORITY: list[str] = [
     "sink_version_diff",
     "diag_skew",
     "ext_vocab_encode",
+    "ext_dedup_cdf",
+    "stream_snapshot",
     "ext_dedup_embed_capped",
     "scan_csv",
     "scan_json",
@@ -130,8 +132,6 @@ _DRIVER_PRIORITY: list[str] = [
     "join_anti",
     "join_broadcast",
     "join_theta",
-    "agg_basic",
-    "agg_distinct",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -163,6 +163,8 @@ _CHANGED_ENTRIES: set[str] = {
 # first (r1 spillover, then r2, r3, r4) — any window wider than the priority
 # block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
+    "agg_basic",
+    "agg_distinct",
     "agg_groupsets",
     "agg_minmax_by",
     "agg_first_last",

@@ -1752,3 +1752,45 @@ def ext_vocab_encode(spark, sf_dir):
     from ltss_spark.operators.corpus import vocab_encode
 
     return vocab_encode(_t(spark, sf_dir, "documents"), vocab_size=1000)
+
+
+@register(
+    "ext_dedup_cdf",
+    f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+    seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+    batch AS (
+      SELECT MIN(doc_id) AS doc_id, fp
+      FROM fp WHERE doc_id % 2 = 1 GROUP BY fp
+    )
+    SELECT doc_id, fp FROM batch
+    WHERE fp NOT IN (SELECT fp FROM seen)
+    """,
+    survey="ext_dedup_exact join_anti sink_append (change-feed-driven dedup: the versioned sink's insert feed is the batch source, history is never re-scanned)",
+)
+def ext_dedup_cdf(spark, sf_dir):
+    """The integration the pieces exist for: the corpus lives in the
+    manifest-versioned sink (operators/snapshot.py), a new crawl lands as
+    version 2, and the dedup batch is NOT a filter over the table but the
+    CHANGE FEED between the two versions — read_changes plans a scan of
+    exactly the new slice's directories (O(manifest), zero comparison),
+    incremental_dedup anti-joins it against the historical fingerprint
+    index. At 100 TB the nightly dedup therefore reads |new crawl| + the
+    KB-scale index, never the corpus. The oracle recomputes the whole
+    composition relationally (even docs = history, odd = the feed)."""
+    from ltss_spark.operators.corpus import incremental_dedup
+    from ltss_spark.operators.dedup import normalize_text
+    from ltss_spark.operators.snapshot import commit, read_changes, read_version
+    from ltss_spark.scratch import scratch_dir
+
+    base = scratch_dir("ltss_dedup_cdf")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = commit(d.filter(F.col("doc_id") % 2 == 0), base)
+    v2 = commit(d.filter(F.col("doc_id") % 2 == 1), base)
+    feed = read_changes(spark, base, v1, v2).filter(F.col("_change") == "insert")
+    seen = (
+        read_version(spark, base, v1)
+        .select(F.md5(normalize_text(F.col("text"))).alias("fp"))
+        .distinct()
+    )
+    return incremental_dedup(feed, seen)

@@ -673,3 +673,58 @@ def stream_cdc_q(spark, sf_dir):
     return cdc_read(spark, f"{base}/target").select(
         "user_id", "event_type", "version", "value"
     )
+
+
+@register(
+    "stream_snapshot",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+    survey="sink_append stream_ingest B9 (streaming publication into the versioned sink: one atomic version per micro-batch, txn-deduped exactly-once under replay)",
+)
+def stream_snapshot_q(spark, sf_dir):
+    """Streaming -> versioned-table publication (operators/snapshot.
+    make_snapshot_sink): the events table arrives as a 3-file stream
+    (maxFilesPerTrigger=1, so three real micro-batches), each batch
+    committed as ONE atomic snapshot version — a concurrent reader sees
+    table versions, never a half-written batch. The stream then runs
+    AGAIN from a fresh checkpoint (a full at-least-once replay, epochs
+    renumbered from 0): the (app_id, epoch) txn watermark in the manifest
+    makes every replayed commit a no-op, so the final table holds exactly
+    one copy of the source — the hash against this plain-SQL oracle IS
+    the exactly-once proof."""
+    import glob as g
+    import os
+    import shutil
+
+    from ltss_spark.operators.snapshot import make_snapshot_sink, read_version
+    from ltss_spark.plans.registry import _t
+
+    base = scratch_dir("ltss_stream_snap")
+    src = f"{base}/src"
+    cols = ["event_id", "user_id", "event_type", "value"]
+    e = _t(spark, sf_dir, "events").select(*cols)
+    os.makedirs(src, exist_ok=True)
+    now = 1_700_000_000
+    for i in range(3):
+        part = e.filter(F.col("event_id") % 3 == i)
+        part.coalesce(1).write.parquet(f"{src}/__tmp")
+        shutil.move(g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/b{i}.parquet")
+        shutil.rmtree(f"{src}/__tmp")
+        os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
+    schema = ", ".join(f"{c} {t}" for c, t in
+                       [("event_id", "long"), ("user_id", "long"),
+                        ("event_type", "string"), ("value", "double")])
+    sink = make_snapshot_sink(f"{base}/table", app_id="stream_snapshot")
+    for ck in ("ckpt1", "ckpt2"):  # second pass = replay, must be a no-op
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{base}/{ck}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return read_version(spark, f"{base}/table").select(*cols)

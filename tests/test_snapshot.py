@@ -118,3 +118,24 @@ def test_read_changes_is_endpoint_diff(spark, tmp_path):
     # self-diff: empty with the right schema
     ch33 = read_changes(spark, p, 3, 3)
     assert ch33.count() == 0 and ch33.columns == ["k", "_change"]
+
+
+def test_txn_commit_is_idempotent_and_survives_rollback(spark, tmp_path):
+    """The (app, epoch) watermark dedupes replayed commits — including
+    after a rollback, which reverts CONTENT but not writer progress."""
+    p = str(tmp_path / "t")
+    assert commit(_slice(spark, 0, 3), p, txn=("app", 0)) == 1
+    assert commit(_slice(spark, 3, 6), p, txn=("app", 1)) == 2
+    # replays (same or lower epoch): no new version, no new rows
+    assert commit(_slice(spark, 0, 3), p, txn=("app", 0)) == 2
+    assert commit(_slice(spark, 3, 6), p, txn=("app", 1)) == 2
+    assert read_version(spark, p).count() == 6
+    # a second writer lineage has its own watermark
+    assert commit(_slice(spark, 100, 101), p, txn=("other", 0)) == 3
+    # rollback reverts content; the replayed epoch must STAY deduplicated
+    rollback(p, 2)
+    assert commit(_slice(spark, 3, 6), p, txn=("app", 1)) == 4
+    assert read_version(spark, p).count() == 6
+    # writer progress continues past the rollback
+    assert commit(_slice(spark, 6, 7), p, txn=("app", 2)) == 5
+    assert read_version(spark, p).count() == 7
