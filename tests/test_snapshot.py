@@ -139,3 +139,43 @@ def test_txn_commit_is_idempotent_and_survives_rollback(spark, tmp_path):
     # writer progress continues past the rollback
     assert commit(_slice(spark, 6, 7), p, txn=("app", 2)) == 5
     assert read_version(spark, p).count() == 7
+
+
+def test_snapshot_lifecycle_against_model(spark, tmp_path):
+    """Model-based randomized lifecycle: a seeded sequence of
+    commit/rollback/expire against a pure-Python model of the manifest
+    semantics. Every divergence between the parquet table and the model
+    is a bug in the atomicity/visibility rules, the most damage-prone
+    part of the subsystem."""
+    import random
+
+    from ltss_spark.operators.snapshot import expire, versions
+
+    rng = random.Random(1234)
+    p = str(tmp_path / "t")
+    model: dict[int, frozenset] = {}  # version -> visible row keys
+    next_key = 0
+    for step in range(24):
+        op = rng.choice(["append", "append", "overwrite", "rollback", "expire"])
+        vs = versions(p)
+        assert vs == sorted(model), f"step {step}: versions diverged"
+        if op in ("append", "overwrite") or not model:
+            lo, hi = next_key, next_key + rng.randint(1, 4)
+            next_key = hi
+            new = frozenset(range(lo, hi))
+            prev = model[max(model)] if (model and op == "append") else frozenset()
+            v = commit(_slice(spark, lo, hi), p, mode=op if model else "append")
+            model[v] = prev | new
+        elif op == "rollback":
+            tgt = rng.choice(sorted(model))
+            v = rollback(p, tgt)
+            model[v] = model[tgt]
+        else:  # expire
+            keep = rng.randint(1, 3)
+            expire(p, keep_last=keep)
+            for v in sorted(model)[:-keep]:
+                del model[v]
+        # after every step: every retained version reads back exactly
+        for v, want in model.items():
+            got = frozenset(r.k for r in read_version(spark, p, v).collect())
+            assert got == want, f"step {step}: v{v} diverged"
