@@ -55,3 +55,15 @@ from ltss_spark.operators.geo import bbox_spatial_join  # noqa: F401
 from ltss_spark.operators.skew import salted_join  # noqa: F401
 from ltss_spark.operators.text import tfidf_topk, unigram_logprob  # noqa: F401
 from ltss_spark.operators.timeseries import sessionize  # noqa: F401
+from ltss_spark.operators.cdc import cdc_apply, cdc_compact, cdc_read  # noqa: F401
+from ltss_spark.operators.corpus import importance_resample, vocab_encode  # noqa: F401
+from ltss_spark.operators.runtime_filter import with_runtime_bloom  # noqa: F401
+from ltss_spark.operators.skew import key_skew_profile  # noqa: F401
+from ltss_spark.operators.snapshot import (  # noqa: F401
+    commit as snapshot_commit,
+    expire as snapshot_expire,
+    make_snapshot_sink,
+    read_changes,
+    read_version,
+    rollback as snapshot_rollback,
+)
