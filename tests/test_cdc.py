@@ -127,3 +127,36 @@ def test_compat_pk_composite(spark):
     assert [(r["user"], r["etype"], r["version"]) for r in rows] == [
         ("u1", "view", 2)
     ]
+
+
+def test_randomized_arrival_orders_converge(spark):
+    """Model-based: 60 random changes (unique versions) over 8 keys,
+    partitioned into micro-batches and delivered in three different
+    random orders, with one batch replayed — every arrival schedule must
+    converge to the same pure-LWW model state."""
+    import random
+
+    rng = random.Random(99)
+    keys = [f"k{i}" for i in range(8)]
+    changes = [
+        (rng.choice(keys), v, float(v), "D" if rng.random() < 0.2 else "U")
+        for v in range(1, 61)
+    ]
+    # the model: survivor per key by max version, deletes win as absence
+    last = {}
+    for k, v, val, op in changes:
+        if k not in last or v > last[k][0]:
+            last[k] = (v, val, op)
+    expect = {k: (v, val) for k, (v, val, op) in last.items() if op != "D"}
+
+    for seed in (1, 2, 3):
+        r = random.Random(seed)
+        shuffled = changes[:]
+        r.shuffle(shuffled)
+        batches = [shuffled[i::4] for i in range(4)]  # 4 interleaved batches
+        r.shuffle(batches)
+        batches.append(batches[r.randrange(4)])  # one full replay
+        p = scratch_dir(f"cdc_rand_{seed}")
+        for b in batches:
+            cdc_apply(spark, p, _ch(spark, b), ("k",))
+        assert _state(spark, p) == expect, f"schedule {seed} diverged"
