@@ -506,3 +506,82 @@ def time_in_state_bucketed(
         .groupBy("entity_id", "bucket", "state")
         .agg(F.sum("mic").alias("micros_in_state"))
     )
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    max_step: str | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: for each key, how far through the
+    ``stages`` sequence did its event history progress — each stage must
+    occur strictly AFTER the previous stage's matching event (first
+    qualifying occurrence wins), optionally within ``max_step`` (an
+    INTERVAL literal like ``'7 days'``) of it. Returns one row per key:
+    ``funnel_stage`` (0..len(stages)) plus each stage's timestamp.
+
+    Spark shape — ONE shuffle, no self-joins: the per-key event list
+    (only rows whose type is IN the funnel — the filter prunes the
+    collect) is sorted and folded left with ``F.aggregate``, carrying
+    (stage, last_ts) as the fold state; the conditional step logic stays
+    entirely inside whole-stage codegen. The equivalent relational form
+    is a chain of len(stages) dependent aggregate+join passes (the
+    oracle's CTE chain) — the fold does it in one pass, and at 100 TB the
+    per-key state is bounded by that key's funnel-relevant events, the
+    usual funnel cardinality (a handful per user)."""
+    zero = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        *[
+            F.lit(None).cast("timestamp").alias(f"t{i}")
+            for i in range(1, len(stages) + 1)
+        ],
+    )
+
+    def step(acc, ev):
+        out = acc
+        # build innermost-first so earlier stages win the WHEN chain
+        for i, stype in reversed(list(enumerate(stages, start=1))):
+            prev_t = F.lit(None) if i == 1 else acc[f"t{i - 1}"]
+            cond = (acc["stage"] == i - 1) & (ev["etype"] == stype)
+            if i > 1:
+                cond = cond & (ev["t"] > prev_t)
+                if max_step is not None:
+                    cond = cond & (
+                        ev["t"] <= prev_t + F.expr(f"INTERVAL {max_step}")
+                    )
+            advanced = F.struct(
+                F.lit(i).cast("int").alias("stage"),
+                *[
+                    (ev["t"] if j == i else acc[f"t{j}"]).alias(f"t{j}")
+                    for j in range(1, len(stages) + 1)
+                ],
+            )
+            out = F.when(cond, advanced).otherwise(out)
+        return out
+
+    folded = (
+        events.filter(F.col(type_col).isin(stages))
+        .select(
+            F.col(key_col).alias("key"),
+            F.struct(
+                F.col(time_col).alias("t"), F.col(type_col).alias("etype")
+            ).alias("ev"),
+        )
+        .groupBy("key")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("ev")), zero, step
+            ).alias("f")
+        )
+    )
+    return folded.select(
+        F.col("key").alias(key_col),
+        F.col("f.stage").alias("funnel_stage"),
+        *[
+            F.col(f"f.t{i}").alias(f"stage{i}_ts")
+            for i in range(1, len(stages) + 1)
+        ],
+    )

@@ -2046,3 +2046,62 @@ def sink_version_diff_q(spark, sf_dir):
     commit(e.filter(F.col("event_id") % 3 == 1), base, mode="append")
     v3 = commit(e.filter(F.col("event_id") % 3 == 2), base, mode="overwrite")
     return read_changes(spark, base, v1, v3)
+
+
+_FUNNEL_ORACLE = """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE event_type = 'view' AND ts > t1
+        AND ts <= t1 + INTERVAL 7 DAY
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t2
+        AND ts <= t2 + INTERVAL 7 DAY
+      GROUP BY 1
+    ),
+    keys AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('signup', 'view', 'purchase')
+    )
+    SELECT k.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_stage,
+           t1 AS stage1_ts, t2 AS stage2_ts, t3 AS stage3_ts
+    FROM keys k
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+"""
+
+
+@register(
+    "ts_funnel",
+    _FUNNEL_ORACLE,
+    survey="win_cumulative agg_first_last fn_array (ordered funnel: per-key staged conversion via one sorted fold, no self-joins)",
+)
+def ts_funnel(spark, sf_dir):
+    """Ordered funnel signup -> view -> purchase, each stage within 7
+    days of the previous (operators/timeseries.funnel): one row per user
+    with the furthest stage reached and each stage's first qualifying
+    timestamp, greedy first-occurrence semantics. The relational form is
+    a chain of dependent aggregate+join passes — one scan PER STAGE (the
+    oracle's CTE chain); the Spark plan folds the per-user sorted event
+    list with F.aggregate instead: ONE shuffle total, the step logic in
+    whole-stage codegen, per-key state bounded by that user's
+    funnel-relevant events. The hash match against the CTE chain proves
+    the fold implements exactly the greedy funnel semantics."""
+    from ltss_spark.operators.timeseries import funnel
+
+    return funnel(
+        _t(spark, sf_dir, "events"),
+        stages=["signup", "view", "purchase"],
+        max_step="7 days",
+    )

@@ -1464,3 +1464,39 @@ def test_time_in_state_bucketed_conserves_duration(spark):
         if r.micros_in_state is not None:
             agg[r.entity_id] = agg.get(r.entity_id, 0) + r.micros_in_state
     assert totals == agg
+
+
+def test_funnel_greedy_semantics_and_plan(spark):
+    """Edge semantics pinned: strict ordering (same-ts stage never
+    advances), greedy first-occurrence (a later stage-1 event is never
+    reconsidered even when it would convert better), step timeout, and
+    non-participants absent. Plan: one shuffle, no Python eval."""
+    import datetime as dt
+
+    from ltss_spark.operators.timeseries import funnel
+
+    T = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    rows = [
+        # u1: full conversion in order
+        ("u1", T(1), "A"), ("u1", T(2), "B"), ("u1", T(3), "C"),
+        # u2: B arrives BEFORE A -> stuck at stage 1 (strict order)
+        ("u2", T(2), "B"), ("u2", T(3), "A"),
+        # u3: B at the SAME timestamp as A -> strict > means no advance
+        ("u3", T(1), "A"), ("u3", T(1), "B"),
+        # u4: greedy — first A at d1, B only within reach of the SECOND A
+        #      (d10); greedy pins t1=d1, so B at d12 is out of the 7-day
+        #      step window and u4 stays at stage 1
+        ("u4", T(1), "A"), ("u4", T(10), "A"), ("u4", T(12), "B"),
+        # u5: timeout respected exactly at the boundary (<= passes)
+        ("u5", T(1), "A"), ("u5", T(8), "B"),
+        # u6: only a non-funnel event type -> no row at all
+        ("u6", T(1), "X"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+    out = funnel(df, ["A", "B", "C"], max_step="7 days")
+    got = {r.user_id: r.funnel_stage for r in out.collect()}
+    assert got == {"u1": 3, "u2": 1, "u3": 1, "u4": 1, "u5": 2}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-AQE plan
+    assert final.count("Exchange hashpartitioning") <= 1
+    assert "EvalPython" not in plan
