@@ -585,3 +585,52 @@ def funnel(
             for i in range(1, len(stages) + 1)
         ],
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    unit: str = "month",
+) -> DataFrame:
+    """Cohort retention: keys grouped by their first-activity period
+    (the cohort), and for each (cohort, period-offset k) the number of
+    distinct keys still active k periods later plus the retention rate
+    vs the cohort's size at k=0 — the standard engagement triangle.
+
+    Spark shape: one aggregation derives each key's cohort (min period
+    per key — map-side combinable), joined back onto the key's distinct
+    activity periods (both sides hash-partitioned on the key: one
+    co-located shuffle each), then a (cohort, k) count-distinct. Cohort
+    sizes re-derive from the k=0 row via a window over the |cohorts| ×
+    |offsets| result — a frame that is tiny by construction at any corpus
+    size, so the rate costs no extra scan. Rates round to 6 decimals
+    (cross-engine float discipline)."""
+    period = F.date_trunc(unit, F.col(time_col))
+    active = events.select(
+        F.col(key_col).alias("key"), period.alias("period")
+    ).distinct()
+    firsts = active.groupBy("key").agg(F.min("period").alias("cohort"))
+    if unit == "month":
+        k = F.months_between(F.col("period"), F.col("cohort"))
+    elif unit == "week":
+        k = F.datediff(F.col("period"), F.col("cohort")) / 7
+    else:
+        k = F.datediff(F.col("period"), F.col("cohort"))
+    grid = (
+        active.join(firsts, "key")
+        .select("key", "cohort", k.cast("int").alias("k"))
+        .groupBy("cohort", "k")
+        .agg(F.count_distinct("key").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort")
+    return grid.select(
+        "cohort",
+        "k",
+        "n_active",
+        F.round(
+            F.col("n_active")
+            / F.max(F.when(F.col("k") == 0, F.col("n_active"))).over(w),
+            6,
+        ).alias("retention_rate"),
+    )

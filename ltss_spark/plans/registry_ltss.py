@@ -2105,3 +2105,49 @@ def ts_funnel(spark, sf_dir):
         stages=["signup", "view", "purchase"],
         max_step="7 days",
     )
+
+
+_COHORT_ORACLE = """
+    WITH active AS (
+      -- DuckDB date_trunc('week') yields DATE (Spark: TIMESTAMP) — pin it
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS period
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(period) AS cohort FROM active GROUP BY 1
+    ),
+    grid AS (
+      SELECT cohort,
+             CAST(datediff('day', cohort, period) / 7 AS INT) AS k,
+             CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+      FROM active a JOIN firsts f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT cohort, k, n_active,
+           round(CAST(n_active AS DOUBLE) /
+                 MAX(CASE WHEN k = 0 THEN n_active END)
+                   OVER (PARTITION BY cohort), 6) AS retention_rate
+    FROM grid
+"""
+
+
+@register(
+    "ts_cohort",
+    _COHORT_ORACLE,
+    survey="agg_distinct win_frame fn_date (cohort retention triangle: first-activity cohorts x period offset, rates from the k=0 row)",
+)
+def ts_cohort(spark, sf_dir):
+    """Weekly cohort retention over events (operators/timeseries.
+    cohort_retention): users bucketed by first-active week, distinct
+    actives counted at every week offset, rate vs the cohort's own k=0
+    size (the fixture spans one month, so weeks give a real 5x5
+    triangle). Two aggregations and one co-partitioned join on user_id —
+    the rate window runs over the |cohorts| x |offsets| grid, which is
+    bounded by the calendar, not the corpus. Week starts agree across
+    engines (both truncate to Monday), and the day-difference of two
+    week-truncated dates is an exact multiple of 7, so k is integral on
+    both engines."""
+    from ltss_spark.operators.timeseries import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), unit="week")

@@ -1500,3 +1500,30 @@ def test_funnel_greedy_semantics_and_plan(spark):
     final = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-AQE plan
     assert final.count("Exchange hashpartitioning") <= 1
     assert "EvalPython" not in plan
+
+
+def test_cohort_retention_triangle(spark):
+    import datetime as dt
+
+    from ltss_spark.operators.timeseries import cohort_retention
+
+    # two weekly cohorts: u1,u2 first seen wk1 (u1 returns wk2+wk3, u2
+    # only wk3); u3 first seen wk2 (returns wk3)
+    W = lambda w, d=0: dt.datetime(2024, 1, 1 + 7 * (w - 1) + d)
+    rows = [
+        ("u1", W(1)), ("u1", W(1, 2)), ("u1", W(2)), ("u1", W(3)),
+        ("u2", W(1)), ("u2", W(3)),
+        ("u3", W(2)), ("u3", W(3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {
+        (r.cohort.day, r.k): (r.n_active, r.retention_rate)
+        for r in cohort_retention(df, unit="week").collect()
+    }
+    assert out == {
+        (1, 0): (2, 1.0),   # wk1 cohort: both
+        (1, 1): (1, 0.5),   # only u1 back in wk2
+        (1, 2): (2, 1.0),   # both back in wk3
+        (8, 0): (1, 1.0),   # wk2 cohort: u3
+        (8, 1): (1, 1.0),   # u3 back in wk3
+    }
