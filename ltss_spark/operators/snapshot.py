@@ -97,6 +97,11 @@ def commit(
         txns[app] = tv
     v = (vs[-1] + 1) if vs else 1
     data_dir = os.path.join(path, _DATA, f"v{v}")
+    # crash recovery: a data directory with NO manifest is a failed
+    # commit's garbage (invisible by the manifest-last rule) — reclaim
+    # it rather than wedging every future commit on mode=error
+    if os.path.isdir(data_dir):
+        shutil.rmtree(data_dir)
     # data first (immutable, invisible until the manifest lands)
     df.write.mode("error").parquet(data_dir)
     live = [] if mode == "overwrite" else (

@@ -56,9 +56,11 @@ def test_reader_ignores_uncommitted_directories(spark, tmp_path):
     _slice(spark, 1000, 2000).write.parquet(os.path.join(p, "data", "v2"))
     assert versions(p) == [1]
     assert read_version(spark, p).count() == 3
-    # and the next commit claims v2's NUMBER but its own directory
-    with pytest.raises(Exception):
-        commit(_slice(spark, 0, 1), p)  # v2 dir exists -> mode=error refuses
+    # the next commit claims v2's number, reclaiming the orphan garbage
+    # (a dir with no manifest is a failed commit by the manifest-last rule)
+    assert commit(_slice(spark, 0, 1), p) == 2
+    assert read_version(spark, p).count() == 4
+    assert read_version(spark, p, 2).filter("k >= 1000").count() == 0
 
 
 def test_expire_gcs_unreferenced_data(spark, tmp_path):
