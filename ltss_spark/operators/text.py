@@ -331,3 +331,42 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         id_col, "score", "n_terms_matched", "rank"
     )
+
+
+def token_topk_sketch(
+    docs: DataFrame,
+    k: int = 10,
+    capacity: int = 100_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide heavy-hitter tokens via the ``approx_top_k`` sketch —
+    the 100 TB path beside the exact window rank: the sketch is a
+    bounded-memory aggregate with a map-side partial phase, so the
+    shuffle moves ONE ``capacity``-bounded sketch per partition instead
+    of the |vocab| count rows the exact top-k groupBy shuffles (and it
+    never materializes the tail of the token distribution at all).
+
+    ``capacity`` is the exactness knob: with capacity >= |distinct
+    tokens| the sketch degenerates to exact counts — which is how the
+    registry entry stays hash-checkable against plain SQL — while a
+    production run over an open vocabulary lowers it and accepts the
+    sketch's approximation on the boundary ranks. The sketch's own
+    ordering is undefined on count ties, so the result OVER-FETCHES 2k
+    items and re-ranks deterministically (count DESC, token ASC) before
+    cutting to k."""
+    sk = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .agg(
+            F.expr(f"approx_top_k(token, {2 * k}, {capacity})").alias("tk")
+        )
+    )
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").cast("long").alias("n"),
+        )
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )

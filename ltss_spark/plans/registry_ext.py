@@ -1794,3 +1794,34 @@ def ext_dedup_cdf(spark, sf_dir):
         .distinct()
     )
     return incremental_dedup(feed, seen)
+
+
+@register(
+    "ext_token_topk_approx",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY 1
+    )
+    SELECT token, CAST(n AS BIGINT) AS n
+    FROM counts ORDER BY n DESC, token ASC LIMIT 10
+    """,
+    survey="ext_text_stats topk_group agg_basic (heavy-hitter tokens via the approx_top_k sketch — bounded-memory single-pass, the 100 TB path beside the exact rank)",
+)
+def ext_token_topk_approx(spark, sf_dir):
+    """Corpus top-10 tokens through the approx_top_k SKETCH
+    (operators/text.token_topk_sketch) rather than the exact
+    count+window of ext_token_topk: one pass, map-side partial sketches
+    merged into one capacity-bounded state — shuffle volume is
+    |partitions| x capacity, independent of vocabulary, and the tail of
+    the token distribution is never materialized. Capacity (100k) here
+    exceeds the fixture vocabulary, making the sketch provably exact, so
+    the oracle is plain SQL; ties at the k boundary are handled by
+    over-fetching 2k sketch items and re-ranking deterministically
+    (count DESC, token ASC) — the same tie rule as the oracle's ORDER
+    BY, which is what makes the cut hash-stable."""
+    from ltss_spark.operators.text import token_topk_sketch
+
+    return token_topk_sketch(_t(spark, sf_dir, "documents"), k=10)
