@@ -1274,3 +1274,50 @@ def diag_skew(spark, sf_dir):
     from ltss_spark.operators.skew import key_skew_profile
 
     return key_skew_profile(_t(spark, sf_dir, "events"), ["user_id"], top_k=10)
+
+
+@register(
+    "agg_theta_overlap",
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM a JOIN b USING (user_id)) AS n_both,
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS n_either,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM a
+       WHERE user_id NOT IN (SELECT user_id FROM b)) AS n_click_only
+    """,
+    survey="agg_distinct set_intersect set_except (theta-sketch audience overlap: mergeable distinct sets with intersection/difference, which HLL cannot do)",
+)
+def agg_theta_overlap(spark, sf_dir):
+    """Audience overlap between the click and purchase user sets via
+    THETA sketches: intersection, union, and difference estimated from
+    two mergeable per-segment sketches — the capability HLL lacks
+    (HLL unions only). At 100 TB each segment keeps one bounded sketch
+    (map-side partial agg, shuffle = |partitions| x sketch size) and ANY
+    pairwise overlap is answerable from stored sketches without
+    re-scanning — the audience-analytics building block. Below the
+    sketch's retention threshold (4096 entries at the default lgK=12)
+    theta sketches are provably EXACT, and the fixture's user
+    cardinality sits under it, so this oracle is the plain relational
+    intersection/union/anti — the hash match certifies the sketch path
+    end to end; at real scale the same plan returns estimates with
+    published error bounds."""
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH a AS (SELECT theta_sketch_agg(user_id) AS sk FROM events
+                   WHERE event_type = 'click'),
+             b AS (SELECT theta_sketch_agg(user_id) AS sk FROM events
+                   WHERE event_type = 'purchase')
+        SELECT
+          CAST(theta_sketch_estimate(theta_intersection(a.sk, b.sk)) AS BIGINT)
+            AS n_both,
+          CAST(theta_sketch_estimate(theta_union(a.sk, b.sk)) AS BIGINT)
+            AS n_either,
+          CAST(theta_sketch_estimate(theta_difference(a.sk, b.sk)) AS BIGINT)
+            AS n_click_only
+        FROM a, b
+        """
+    )

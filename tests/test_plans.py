@@ -278,6 +278,9 @@ def test_registry_wide_plan_audit(spark):
         # the 1-ROW totals aggregate broadcast onto the per-key count
         # frame (operators/skew.key_skew_profile)
         "diag_skew",
+        # the cross of TWO 1-row sketch aggregates (click sketch x
+        # purchase sketch) — both sides single-row by construction
+        "agg_theta_overlap",
     }
     # streaming/sink entries run real side-effecting queries — covered by
     # their own tests
