@@ -66,11 +66,23 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _json_stat(value):
+    """JSON-storable form of a min/max stat; ISO strings for timestamps
+    (ISO-8601 compares lexically in timestamp order, so pruning can
+    compare strings directly)."""
+    import datetime as _dt
+
+    if isinstance(value, _dt.datetime):
+        return value.isoformat()
+    return value
+
+
 def commit(
     df: DataFrame,
     path: str,
     mode: str = "append",
     txn: tuple[str, int] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the next table version and return its number.
 
@@ -85,18 +97,28 @@ def commit(
     ``txn_version`` is not greater than that watermark is SKIPPED
     (returns the current version untouched). This is what turns an
     at-least-once replay — a foreachBatch restart re-delivering epochs —
-    into exactly-once table contents."""
+    into exactly-once table contents.
+
+    ``stats_cols`` records per-DIRECTORY min/max zone maps in the
+    manifest (computed from the just-written parquet — a footer-only
+    aggregate under ``spark.sql.parquet.aggregatePushdown``): readers
+    passing a range to :func:`read_version` then prune whole directories
+    at the MANIFEST, before any parquet footer is opened — the
+    Iceberg-partition-stats trick that keeps planning O(live dirs) cheap
+    when a 100 TB table has accumulated thousands of commits."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     vs = versions(path)
-    txns: dict[str, int] = dict(_read_manifest(path, vs[-1]).get("txns", {})) if vs else {}
+    prev = _read_manifest(path, vs[-1]) if vs else {}
+    txns: dict[str, int] = dict(prev.get("txns", {}))
     if txn is not None:
         app, tv = txn
         if app in txns and tv <= txns[app]:
             return vs[-1]  # replayed epoch: already in the table
         txns[app] = tv
     v = (vs[-1] + 1) if vs else 1
-    data_dir = os.path.join(path, _DATA, f"v{v}")
+    rel = os.path.join(_DATA, f"v{v}")
+    data_dir = os.path.join(path, rel)
     # crash recovery: a data directory with NO manifest is a failed
     # commit's garbage (invisible by the manifest-last rule) — reclaim
     # it rather than wedging every future commit on mode=error
@@ -104,14 +126,33 @@ def commit(
         shutil.rmtree(data_dir)
     # data first (immutable, invisible until the manifest lands)
     df.write.mode("error").parquet(data_dir)
-    live = [] if mode == "overwrite" else (
-        _read_manifest(path, vs[-1])["dirs"] if vs else []
-    )
+    live = [] if mode == "overwrite" else prev.get("dirs", [])
+    # stats carry forward for surviving dirs; the new dir's zone map is
+    # one bounded footer-aggregate job over what was just written
+    stats: dict[str, dict] = {
+        d: s for d, s in prev.get("stats", {}).items() if d in live
+    }
+    if stats_cols:
+        import pyspark.sql.functions as F
+
+        row = (
+            df.sparkSession.read.parquet(data_dir)
+            .agg(
+                *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(stats_cols)],
+                *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(stats_cols)],
+            )
+            .collect()[0]
+        )
+        stats[rel] = {
+            c: [_json_stat(row[f"mn_{i}"]), _json_stat(row[f"mx_{i}"])]
+            for i, c in enumerate(stats_cols)
+        }
     manifest = {
         "version": v,
         "mode": mode,
-        "dirs": live + [os.path.join(_DATA, f"v{v}")],
+        "dirs": live + [rel],
         "txns": txns,
+        "stats": stats,
     }
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
@@ -124,18 +165,49 @@ def commit(
 
 
 def read_version(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Snapshot-isolated read: plan from the manifest of ``version``
     (default: latest). The scan unions the listed immutable directories —
-    a stray uncommitted directory under data/ is never read."""
+    a stray uncommitted directory under data/ is never read.
+
+    ``prune=(col, lo, hi)`` drops whole directories whose manifest zone
+    map (written by ``commit(stats_cols=...)``) proves they hold no rows
+    with ``col`` in ``[lo, hi]`` — manifest-level skipping, zero parquet
+    footers opened for excluded dirs. Pruning is a PERFORMANCE contract
+    only: directories without a recorded zone map for ``col`` are kept
+    (safe), and the caller still applies the actual row filter — the
+    result set is identical with or without ``prune``."""
     vs = versions(path)
     if not vs:
         raise FileNotFoundError(f"no committed versions at {path}")
     v = vs[-1] if version is None else version
     if v not in vs:
         raise FileNotFoundError(f"version {v} not in {vs} at {path}")
-    dirs = [os.path.join(path, d) for d in _read_manifest(path, v)["dirs"]]
+    m = _read_manifest(path, v)
+    rels = m["dirs"]
+    if prune is not None:
+        col, lo, hi = prune
+        lo, hi = _json_stat(lo), _json_stat(hi)
+        stats = m.get("stats", {})
+
+        def may_match(rel: str) -> bool:
+            zone = stats.get(rel, {}).get(col)
+            if zone is None:
+                return True  # no zone map recorded: must scan
+            mn, mx = zone
+            if mn is None or mx is None:  # all-NULL dir: range can't match
+                return False
+            return not (mx < lo or mn > hi)
+
+        rels = [d for d in rels if may_match(d)]
+        if not rels:
+            # provably empty: zero-row frame with the table schema
+            return read_version(spark, path, v).limit(0)
+    dirs = [os.path.join(path, d) for d in rels]
     return spark.read.parquet(*dirs)
 
 
@@ -156,6 +228,8 @@ def rollback(path: str, to_version: int) -> int:
         # after its data was rolled back (re-delivery would re-apply a
         # batch the operator explicitly reverted)
         "txns": _read_manifest(path, vs[-1]).get("txns", {}),
+        # zone maps describe CONTENT, so they follow the restored dirs
+        "stats": _read_manifest(path, to_version).get("stats", {}),
     }
     mdir = _manifest_dir(path)
     tmp = os.path.join(mdir, f".v{v}.json.tmp")

@@ -2151,3 +2151,48 @@ def ts_cohort(spark, sf_dir):
     from ltss_spark.operators.timeseries import cohort_retention
 
     return cohort_retention(_t(spark, sf_dir, "events"), unit="week")
+
+
+@register(
+    "sink_pruned_read",
+    """
+    SELECT event_id, user_id, value FROM events
+    WHERE event_id >= (SELECT 0.4 * (MAX(event_id) + 1) FROM events)
+      AND event_id <  (SELECT 0.6 * (MAX(event_id) + 1) FROM events)
+    """,
+    survey="sink_partitioned filter_basic B8 (manifest zone maps: whole commit directories pruned by min/max before any parquet footer opens)",
+)
+def sink_pruned_read_q(spark, sf_dir):
+    """Manifest-level data skipping (operators/snapshot.py): events land
+    in FIVE commits of contiguous event_id ranges, each recording an
+    event_id zone map in its manifest; the range read prunes to the
+    directories whose [min,max] overlap [40000, 60000) AT THE MANIFEST —
+    the excluded commits' parquet footers are never opened (pinned by
+    tests/test_snapshot.py::test_zone_map_pruning via inputFiles). The
+    residual row filter then runs inside the surviving directories, so
+    the answer is identical with or without pruning — which is exactly
+    what this oracle checks. At 100 TB with thousands of accumulated
+    commits this is the difference between planning over the manifest
+    and opening every footer; parquet min/max skipping still applies
+    WITHIN the kept directories."""
+    from ltss_spark.operators.snapshot import commit, read_version
+
+    base = scratch_dir("ltss_pruned")
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    # fixture ids are dense 0..n-1 with n divisible by 10, so the 40/60%
+    # bounds are exact integers at every scale factor (matches the
+    # oracle's scalar-subquery fractions bit-for-bit)
+    n = e.agg(F.max("event_id")).collect()[0][0] + 1
+    step, lo, hi = n // 5, int(0.4 * n), int(0.6 * n)
+    for i in range(5):
+        commit(
+            e.filter(
+                (F.col("event_id") >= i * step)
+                & (F.col("event_id") < (i + 1) * step)
+            ),
+            base,
+            stats_cols=["event_id"],
+        )
+    return read_version(spark, base, prune=("event_id", lo, hi - 1)).filter(
+        (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+    )

@@ -181,3 +181,38 @@ def test_snapshot_lifecycle_against_model(spark, tmp_path):
         for v, want in model.items():
             got = frozenset(r.k for r in read_version(spark, p, v).collect())
             assert got == want, f"step {step}: v{v} diverged"
+
+
+def test_zone_map_pruning(spark, tmp_path):
+    """commit(stats_cols=...) records per-dir min/max; read_version's
+    prune drops directories at the MANIFEST (inputFiles proves it) and
+    never changes the answer."""
+    from ltss_spark.operators.snapshot import expire
+
+    p = str(tmp_path / "t")
+    commit(_slice(spark, 0, 100), p, stats_cols=["k"])
+    commit(_slice(spark, 100, 200), p, stats_cols=["k"])
+    commit(_slice(spark, 200, 300), p, stats_cols=["k"])
+    pruned = read_version(spark, p, prune=("k", 120, 180))
+    dirs = {os.path.basename(os.path.dirname(f)) for f in pruned.inputFiles()}
+    assert dirs == {"v2"}  # only the middle directory survives the manifest
+    got = sorted(r.k for r in pruned.filter("k BETWEEN 120 AND 180").collect())
+    assert got == list(range(120, 181))
+    # boundary overlap keeps both adjacent dirs
+    both = read_version(spark, p, prune=("k", 99, 100))
+    assert {os.path.basename(os.path.dirname(f)) for f in both.inputFiles()} == {"v1", "v2"}
+    # fully outside every zone: provably-empty frame, schema intact
+    none = read_version(spark, p, prune=("k", 1000, 2000))
+    assert none.count() == 0 and none.columns == ["k"]
+    # a dir committed WITHOUT stats is always kept (safe fallback)
+    commit(_slice(spark, 900, 901), p)  # no stats_cols
+    kept = read_version(spark, p, prune=("k", 120, 180))
+    assert {os.path.basename(os.path.dirname(f)) for f in kept.inputFiles()} == {"v2", "v4"}
+    # rollback carries the zone maps of the restored content
+    rollback(p, 3)
+    again = read_version(spark, p, prune=("k", 120, 180))
+    assert {os.path.basename(os.path.dirname(f)) for f in again.inputFiles()} == {"v2"}
+    # expire keeps stats consistent for surviving manifests
+    expire(p, keep_last=1)
+    still = read_version(spark, p, prune=("k", 220, 230))
+    assert {os.path.basename(os.path.dirname(f)) for f in still.inputFiles()} == {"v3"}
