@@ -185,3 +185,52 @@ def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
         return spark.createDataFrame([], schema)
     live = spark.read.parquet(f"{rollup_path}/_fingerprints").select("bucket")
     return data.join(F.broadcast(live), on="bucket", how="left_semi")
+
+
+def ivm_apply(
+    rollup: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    count_col: str = "n",
+    sum_cols: dict[str, str] | None = None,
+    change_col: str = "_change",
+) -> DataFrame:
+    """Delta-based incremental view maintenance for GROUP-aggregable
+    rollups: fold an insert/delete change feed (snapshot.read_changes /
+    a CDC stream) into an existing ``count + sums`` rollup WITHOUT
+    touching the base table — inserts add, deletes subtract, and a group
+    whose maintained count reaches zero disappears (it provably has no
+    remaining base rows). This is the other half of incremental
+    maintenance beside :func:`refresh_rollup`: refresh_rollup RE-COMPUTES
+    stale partitions from the base table (any aggregate, cost ∝ stale
+    slice); ivm_apply never reads the base at all (count/sum/avg-class
+    aggregates only, cost ∝ |delta| + |touched groups|) — the abelian-
+    group IVM rule every materialized-view engine implements.
+
+    ``sum_cols`` maps output column -> source column; maintained sums
+    must be EXACT types (bigint / decimal) — float sums would make the
+    maintained value order-dependent and drift from a recompute. One
+    aggregation over the delta, one full-outer join against the rollup
+    on the group key (co-partitioned shuffle): at 100 TB the delta agg
+    is map-side combined and the join touches only changed groups'
+    partitions."""
+    sum_cols = sum_cols or {}
+    sign = F.when(F.col(change_col) == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = changes.groupBy(*key_cols).agg(
+        F.sum(sign).alias("__dn"),
+        *[
+            F.sum(sign * F.col(src)).alias(f"__d_{out}")
+            for out, src in sum_cols.items()
+        ],
+    )
+    merged = rollup.join(delta, key_cols, "full_outer").select(
+        *key_cols,
+        (F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce("__dn", F.lit(0)))
+        .alias(count_col),
+        *[
+            (F.coalesce(F.col(out), F.lit(0)) + F.coalesce(f"__d_{out}", F.lit(0)))
+            .alias(out)
+            for out in sum_cols
+        ],
+    )
+    return merged.filter(F.col(count_col) > 0)

@@ -96,6 +96,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_token_topk_approx",
     "agg_theta_overlap",
     "sink_pruned_read",
+    "ltss_cagg_ivm",
     "ext_dedup_embed_capped",
     "scan_csv",
     "scan_json",
@@ -131,7 +132,6 @@ _DRIVER_PRIORITY: list[str] = [
     "filter_null",
     "filter_in",
     "filter_like",
-    "filter_entity",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -163,6 +163,7 @@ _CHANGED_ENTRIES: set[str] = {
 # first (r1 spillover, then r2, r3, r4) — any window wider than the priority
 # block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
+    "filter_entity",
     "join_inner",
     "join_semi",
     "join_anti",

@@ -2196,3 +2196,50 @@ def sink_pruned_read_q(spark, sf_dir):
     return read_version(spark, base, prune=("event_id", lo, hi - 1)).filter(
         (F.col("event_id") >= lo) & (F.col("event_id") < hi)
     )
+
+
+@register(
+    "ltss_cagg_ivm",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM events WHERE event_id % 3 IN (1, 2)
+    GROUP BY event_type
+    """,
+    survey="stream_rollup agg_basic join_full B4 (delta IVM: the change feed folds into the rollup — inserts add, deletes subtract, base never re-read)",
+)
+def ltss_cagg_ivm(spark, sf_dir):
+    """Delta-based view maintenance end to end (operators/cagg.ivm_apply
+    over operators/snapshot.read_changes): the per-event_type rollup is
+    built once from table version 1 (slices 0∪1 of events), the table is
+    then OVERWRITTEN to slices 1∪2, and the rollup is brought current by
+    folding ONLY the change feed. Because the overwrite replaced whole
+    directories, the surviving slice 1 flows through BOTH sides of the
+    feed (deleted with v1's directory, inserted with v2's) and cancels
+    EXACTLY in the fold — integer arithmetic makes the redundancy
+    harmless; an append-only history (the common case) produces a pure
+    insert feed with no such churn. The oracle recomputes the final rollup from
+    scratch over slices 1∪2: the hash match proves the folded rollup is
+    indistinguishable from a full rebuild. Maintained aggregates stay in
+    exact integer arithmetic (count + bigint id_sum) — the precondition
+    that makes delta IVM drift-free."""
+    from ltss_spark.operators.cagg import ivm_apply
+    from ltss_spark.operators.snapshot import commit, read_changes, read_version
+
+    base = scratch_dir("ltss_ivm")
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    v1 = commit(e.filter(F.col("event_id") % 3 != 2), base)
+    v2 = commit(e.filter(F.col("event_id") % 3 != 0), base, mode="overwrite")
+    rollup_v1 = (
+        read_version(spark, base, v1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("id_sum"),
+        )
+    )
+    feed = read_changes(spark, base, v1, v2)
+    return ivm_apply(
+        rollup_v1, feed, ["event_type"], sum_cols={"id_sum": "event_id"}
+    )

@@ -1527,3 +1527,26 @@ def test_cohort_retention_triangle(spark):
         (8, 0): (1, 1.0),   # wk2 cohort: u3
         (8, 1): (1, 1.0),   # u3 back in wk3
     }
+
+
+def test_ivm_apply_adds_subtracts_and_drops_empty_groups(spark):
+    from ltss_spark.operators.cagg import ivm_apply
+
+    rollup = spark.createDataFrame(
+        [("a", 2, 10), ("b", 1, 5)], "k string, n long, s long"
+    )
+    feed = spark.createDataFrame(
+        [
+            ("a", 7, "insert"),          # a: 2->3, 10->17
+            ("b", 5, "delete"),          # b: count hits 0 -> group vanishes
+            ("c", 4, "insert"),          # brand-new group appears
+            ("c", 4, "delete"),          # ...and a same-batch cancel nets out
+            ("d", 9, "insert"),
+        ],
+        "k string, v long, _change string",
+    )
+    out = {
+        r.k: (r.n, r.s)
+        for r in ivm_apply(rollup, feed, ["k"], sum_cols={"s": "v"}).collect()
+    }
+    assert out == {"a": (3, 17), "d": (1, 9)}
