@@ -16,6 +16,7 @@ from ltss_spark.operators.similarity import (  # noqa: F401
     cosine_topk_lsh,
     embedding_dup_pairs,
     kmeans_refine_codebook,
+    knn_join,
     stride_codebook,
 )
 from ltss_spark.operators.skew import (  # noqa: F401

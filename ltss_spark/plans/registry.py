@@ -97,6 +97,8 @@ _DRIVER_PRIORITY: list[str] = [
     "agg_theta_overlap",
     "sink_pruned_read",
     "ltss_cagg_ivm",
+    "ext_knn_join",
+    "ext_knn_join_ivf",
     "ext_dedup_embed_capped",
     "scan_csv",
     "scan_json",
@@ -130,8 +132,6 @@ _DRIVER_PRIORITY: list[str] = [
     "project",
     "filter_basic",
     "filter_null",
-    "filter_in",
-    "filter_like",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -163,6 +163,8 @@ _CHANGED_ENTRIES: set[str] = {
 # first (r1 spillover, then r2, r3, r4) — any window wider than the priority
 # block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
+    "filter_in",
+    "filter_like",
     "filter_entity",
     "join_inner",
     "join_semi",

@@ -1550,3 +1550,75 @@ def test_ivm_apply_adds_subtracts_and_drops_empty_groups(spark):
         for r in ivm_apply(rollup, feed, ["k"], sum_cols={"s": "v"}).collect()
     }
     assert out == {"a": (3, 17), "d": (1, 9)}
+
+
+def test_knn_join_exact_small(spark):
+    from ltss_spark.operators.similarity import knn_join
+
+    # 4 unit-ish vectors with obvious neighbor structure
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [0.1, 0.9]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        (r.vec_id, r.rank): r.neighbor_id
+        for r in knn_join(df, k=1).collect()
+    }
+    assert out == {(0, 1): 1, (1, 1): 0, (2, 1): 3, (3, 1): 2}
+
+
+def test_knn_join_ivf_full_probe_equals_exact(spark):
+    from ltss_spark.operators.similarity import knn_join
+    from ltss_spark.sources.batch import load_table
+
+    embeddings_small = load_table(spark, SF_SMOKE, "embeddings").filter(
+        F.col("vec_id") < 80
+    )
+    exact = {
+        (r.vec_id, r.neighbor_id, r.cosine, r.rank)
+        for r in knn_join(embeddings_small, k=4).collect()
+    }
+    for score in ("fold", "arrow"):
+        ivf = {
+            (r.vec_id, r.neighbor_id, r.cosine, r.rank)
+            for r in knn_join(
+                embeddings_small, k=4, method="ivf",
+                n_centroids=8, nprobe=8, dim=64, score=score,
+            ).collect()
+        }
+        assert ivf == exact, f"score={score}"
+
+
+def test_knn_join_ivf_partial_probe_covers_everyone(spark):
+    from ltss_spark.operators.similarity import knn_join
+    from ltss_spark.sources.batch import load_table
+
+    embeddings_small = load_table(spark, SF_SMOKE, "embeddings").filter(
+        F.col("vec_id") < 80
+    )
+    n = embeddings_small.count()
+    out = knn_join(
+        embeddings_small, k=3, method="ivf", n_centroids=8, nprobe=2, dim=64
+    )
+    rows = out.collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r.rank)
+    assert len(by_vec) == n  # every vector probes its own cell
+    for ranks in by_vec.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_knn_join_empty_and_bad_method(spark):
+    import pytest as _pytest
+    from ltss_spark.operators.similarity import knn_join
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert knn_join(empty, k=3).count() == 0
+    with _pytest.raises(ValueError):
+        knn_join(empty, k=3, method="annoy")

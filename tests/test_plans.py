@@ -251,6 +251,11 @@ def test_registry_wide_plan_audit(spark):
         # _sig_udf Arrow matmul kernel) — VERDICT r3 item 2
         "ext_dedup_embed",
         "ext_dedup_cluster_embed",
+        # per-inverted-list blocked matmul (cogroup applyInPandas) — the
+        # FAISS-IVF kNN-join scoring shape; the interpreted fold form
+        # measured 6.9 s vs 1.9 s at sf0.1
+        # (operators/similarity.py:_cell_local_topk)
+        "ext_knn_join_ivf",
     }
     BNL_OK = {
         "ext_sim_search", "ext_sim_search_lsh", "ext_sim_search_ivf",
@@ -281,6 +286,13 @@ def test_registry_wide_plan_audit(spark):
         # the cross of TWO 1-row sketch aggregates (click sketch x
         # purchase sketch) — both sides single-row by construction
         "agg_theta_overlap",
+        # exact kNN baseline: the <=400-vector slice is broadcast with a
+        # != join condition (constant work at any corpus size); the
+        # full-corpus path is ext_knn_join_ivf's equi-join on cells
+        "ext_knn_join",
+        # broadcast codebook cross join + the 1-row coverage/corpus-count
+        # aggregates crossed onto the 3-row audit frame
+        "ext_knn_join_ivf",
     }
     # streaming/sink entries run real side-effecting queries — covered by
     # their own tests
