@@ -370,3 +370,70 @@ def token_topk_sketch(
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document average bigram log-probability and perplexity under
+    an add-``alpha`` smoothed CORPUS bigram LM — the CCNet-style
+    perplexity quality filter, one modeling step up from
+    :func:`unigram_logprob` (it penalizes improbable token SEQUENCES,
+    not just rare tokens): p(w2|w1) = (c(w1,w2) + a) / (c(w1) + a*V),
+    with V = number of distinct bigram prefixes.
+
+    Composition, all linear in token occurrences: one tokenize pass ->
+    zip_with adjacent-token structs -> explode to bigram occurrences
+    (checkpointed once: the frame feeds the two count aggregates AND the
+    scoring join) -> hash-agg bigram and prefix counts -> join
+    occurrences back to both counts (keys Zipf-skewed; AQE skew split
+    applies) -> per-doc exact-decimal sum. V joins as a broadcast 1-row
+    aggregate. Documents with fewer than two tokens have no bigrams and
+    drop out — score presence itself is a length-floor signal.
+
+    Determinism: ln() is transcendental, so each per-bigram logprob is
+    rounded to 6 BEFORE the exact DECIMAL sum (order-insensitive across
+    engines); perplexity is exp(-avg) of the already-rounded average.
+    """
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    pairs = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        toks.select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .localCheckpoint(eager=False)
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = c1.agg(F.count(F.lit(1)).alias("v"))
+    lp = F.round(
+        F.log((F.col("c2") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v"))),
+        6,
+    )
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(F.col(id_col), lp.alias("lp"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("lp").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_logprob"),
+    )
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        "avg_logprob",
+        F.round(F.exp(-F.col("avg_logprob")), 4).alias("ppl"),
+    )

@@ -634,3 +634,72 @@ def cohort_retention(
             6,
         ).alias("retention_rate"),
     )
+
+
+def ewma(
+    series: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    window: int = 8,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Exponential moving average over each key's ordered series, with
+    decay 1/2 per step truncated to the last ``window`` points — the
+    standard smoothing companion to the rolling-window ops (win_frame /
+    ts_trend): out = sum(x_j * 2^-(n-1-j)) / sum(2^-(n-1-j)), j oldest ->
+    current within the frame. One window shuffle on (key, time), no
+    joins; at 100 TB the frame is bounded (``window`` rows), so state per
+    partition stays constant and the op scales exactly like any other
+    windowed aggregate.
+
+    Determinism across engines (the repo's transcendental rule, minus
+    the transcendental): the decay is EXACTLY representable — weights
+    are powers of two built by integer shift + divide (never pow(),
+    whose last-ulp behavior differs between libm and the JVM); each
+    term is scaled to micro-units and rounded to a LONG, the longs sum
+    exactly (order-free), and ONE final double division rounds to 6.
+    Ties in ``time_col`` are broken by ``tie_col`` (pass the ROW ID so
+    equal-timestamp rows pair with their frame deterministically), else
+    by the value itself.
+    """
+    tie = F.col(tie_col or value_col).asc()
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(time_col).asc(), tie)
+        .rowsBetween(-(window - 1), 0)
+    )
+    xs = F.collect_list(F.col(value_col).cast("double")).over(w)
+    n = F.size("__xs")
+    # weight 2^-(n-1-i) looked up from a literal array of exact doubles
+    # (1.0 / (1 << j) is an exact power of two computed in Python —
+    # shiftleft() can't take a Column bit count, and pow() is banned by
+    # the determinism rule); element_at is 1-based: index (n-1-i)+1
+    wts = F.array(*[F.lit(1.0 / (1 << j)) for j in range(window)])
+    weight = lambda i: F.element_at(wts, (n - i).cast("int"))  # noqa: E731
+    num = F.aggregate(
+        F.transform(
+            F.col("__xs"),
+            lambda x, i: F.round(x * weight(i) * F.lit(1e6), 0).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    den = F.aggregate(
+        F.transform(
+            F.col("__xs"),
+            lambda x, i: F.round(weight(i) * F.lit(1e6), 0).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    lead = [tie_col] if tie_col else []
+    return series.select(
+        *lead, key_col, time_col, F.col(value_col).alias("x"), xs.alias("__xs")
+    ).select(
+        *lead,
+        key_col,
+        time_col,
+        "x",
+        F.round(num.cast("double") / den.cast("double"), 6).alias("ewma"),
+    )

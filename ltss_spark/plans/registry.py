@@ -99,6 +99,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ltss_cagg_ivm",
     "ext_knn_join",
     "ext_knn_join_ivf",
+    "ext_bigram_lm",
+    "ts_ewma",
     "ext_dedup_embed_capped",
     "scan_csv",
     "scan_json",
@@ -130,8 +132,6 @@ _DRIVER_PRIORITY: list[str] = [
     # --- least-recently-verified rotation (r1-era driver rows) ---
     "scan_parquet",
     "project",
-    "filter_basic",
-    "filter_null",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -163,6 +163,8 @@ _CHANGED_ENTRIES: set[str] = {
 # first (r1 spillover, then r2, r3, r4) — any window wider than the priority
 # block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
+    "filter_basic",
+    "filter_null",
     "filter_in",
     "filter_like",
     "filter_entity",

@@ -1502,6 +1502,48 @@ def ext_unigram_lm(spark, sf_dir):
 
 
 @register(
+    "ext_bigram_lm",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE t[u.i] <> '' AND t[u.i + 1] <> ''
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(*) AS v FROM c1),
+    lp AS (
+      SELECT bg.doc_id,
+             round(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)), 6) AS lp
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             round(CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_logprob
+      FROM lp GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_logprob,
+           round(exp(-avg_logprob), 4) AS ppl
+    FROM agg
+    """,
+    survey="ext_text_stats fn_math agg_basic (add-alpha bigram-LM perplexity: the CCNet-style sequence-level quality filter)",
+)
+def ext_bigram_lm(spark, sf_dir):
+    """Per-doc average bigram log-probability + perplexity under the
+    add-0.5-smoothed corpus bigram LM (operators/text.bigram_logprob) —
+    the sequence-level quality filter (CCNet uses a KenLM score the same
+    way; here the LM is trained on the corpus itself in the same pass).
+    Transcendental-determinism rule as everywhere: per-bigram ln rounds
+    to 6 before the exact DECIMAL sum; ppl is exp(-avg) of the rounded
+    average."""
+    from ltss_spark.operators.text import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "ext_dedup_spans",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

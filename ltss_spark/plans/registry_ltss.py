@@ -2199,6 +2199,51 @@ def sink_pruned_read_q(spark, sf_dir):
 
 
 @register(
+    "ts_ewma",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+             array_agg(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
+             ) AS l
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_id, user_id, x,
+           round(
+             CAST((SELECT SUM(CAST(round(l[g.i]
+                     * (1.0 / CAST(1::BIGINT << (len(l) - g.i) AS DOUBLE))
+                     * 1e6, 0) AS BIGINT))
+                   FROM UNNEST(generate_series(1, len(l))) AS g(i)) AS DOUBLE)
+             /
+             CAST((SELECT SUM(CAST(round(
+                     (1.0 / CAST(1::BIGINT << (len(l) - g.i) AS DOUBLE))
+                     * 1e6, 0) AS BIGINT))
+                   FROM UNNEST(generate_series(1, len(l))) AS g(i)) AS DOUBLE),
+             6) AS ewma
+    FROM base
+    """,
+    survey="win_frame fn_array B3 (exponential moving average: power-of-two decay over a bounded frame — the smoothing companion to ts_trend)",
+)
+def ts_ewma_q(spark, sf_dir):
+    """Per-user EWMA over the event value series (operators/timeseries.
+    ewma): decay 1/2 per step, truncated at 8 points. One window shuffle,
+    no joins; weights are exact powers of two (integer shift + divide —
+    never pow(), whose last-ulp differs between libm and the JVM), terms
+    scale to micro-unit LONGs and sum exactly, one final rounded
+    division — the hash-stable formulation of an otherwise
+    order-sensitive recursive smoother."""
+    from ltss_spark.operators.timeseries import ewma
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "user_id", "ts", "value")
+    )
+    return ewma(e, tie_col="event_id").select("event_id", "user_id", "x", "ewma")
+
+
+@register(
     "ltss_cagg_ivm",
     """
     SELECT event_type,

@@ -1622,3 +1622,58 @@ def test_knn_join_empty_and_bad_method(spark):
     assert knn_join(empty, k=3).count() == 0
     with _pytest.raises(ValueError):
         knn_join(empty, k=3, method="annoy")
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from ltss_spark.operators.text import bigram_logprob
+
+    # corpus: "a b a b" and "a b". bigrams: (a,b)x3, (b,a)x1.
+    # c1: a->3, b->1. V (distinct prefixes) = 2. alpha=0.5.
+    # p(b|a) = (3+0.5)/(3+1) = 0.875 ; p(a|b) = (1+0.5)/(1+1) = 0.75
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    lp_ba = round(math.log(0.875), 6)
+    lp_ab = round(math.log(0.75), 6)
+    assert set(out) == {1, 2}  # doc 3 has one token -> no bigrams
+    assert out[1].n_bigrams == 3
+    exp1 = round((2 * lp_ba + lp_ab) / 3, 6)
+    assert out[1].avg_logprob == exp1
+    assert out[1].ppl == round(math.exp(-exp1), 4)
+    assert out[2].n_bigrams == 1
+    assert out[2].avg_logprob == lp_ba
+
+
+def test_ewma_hand_computed(spark):
+    from ltss_spark.operators.timeseries import ewma
+
+    # one key, values 10, 20, 40 at t=1,2,3; window 8, decay 1/2:
+    # t1: 10 ; t2: (10*0.5 + 20)/1.5 = 16.666667
+    # t3: (10*0.25 + 20*0.5 + 40)/1.75 = 30.0
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 40.0)],
+        "k long, t long, value double",
+    )
+    out = {
+        r.t: r.ewma
+        for r in ewma(df, key_col="k", time_col="t").collect()
+    }
+    assert out[1] == 10.0
+    assert out[2] == round((10 * 0.5 + 20) / 1.5, 6)
+    assert out[3] == 30.0
+
+
+def test_ewma_window_truncation_and_ties(spark):
+    from ltss_spark.operators.timeseries import ewma
+
+    # 3-point window: the 4th point's frame drops the oldest value;
+    # equal timestamps pair deterministically via tie_col
+    rows = [(1, i, i, float(i)) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "k long, rid long, t long, value double")
+    out = {r.rid: r.ewma for r in ewma(df, key_col="k", time_col="t", window=3, tie_col="rid").collect()}
+    # rid=4 frame = [2,3,4]: (2*0.25 + 3*0.5 + 4)/1.75
+    assert out[4] == round((2 * 0.25 + 3 * 0.5 + 4) / 1.75, 6)

@@ -274,6 +274,7 @@ def test_registry_wide_plan_audit(spark):
         # bounded by construction
         "ext_tfidf",
         "ext_unigram_lm",
+        "ext_bigram_lm",  # same 1-row vocab-size broadcast shape
         "ext_bm25",
         # same bounded shape twice over: the 1-ROW model-constants
         # aggregate broadcast onto the token frame, and the 1-ROW
