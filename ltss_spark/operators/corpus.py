@@ -498,6 +498,11 @@ def importance_resample(
     )
 
 
+#: hash buckets for vocab_encode's two-level ranking pre-cut; the global
+#: window sees at most _VOCAB_BUCKETS * vocab_size rows.
+_VOCAB_BUCKETS = 64
+
+
 def vocab_encode(
     docs: DataFrame,
     vocab_size: int = 1000,
@@ -510,10 +515,14 @@ def vocab_encode(
     encode every document as its token-id sequence.
 
     Spark shape:
-    - ONE tokenize; the vocabulary is a groupBy count + row_number over a
-      single ordered window — |vocab| rows through one reducer, which is
-      exactly the bounded piece (vocab_size is a constant; the corpus
-      never sorts);
+    - ONE tokenize; token counts come from one hash groupBy;
+    - the vocabulary ranking is TWO-LEVEL so no stage ever sorts the open
+      (corpus-sized) token set through one reducer: tokens first rank
+      inside ``_VOCAB_BUCKETS`` hash buckets and only each bucket's top
+      ``vocab_size`` survive — the global top-V is a subset of that union
+      (every token above a winner globally is also above it inside its
+      own bucket) — so the final global row_number orders at most
+      BUCKETS*V rows, a constant, regardless of corpus size;
     - encoding is a BROADCAST left join of the exploded (doc, pos, token)
       frame against the vocabulary (KB-scale build side), OOV -> 0;
     - sequences reassemble ORDER-SAFELY by sorting each doc's collected
@@ -522,17 +531,27 @@ def vocab_encode(
 
     At 100 TB the explode and re-collect are the honest costs (shuffle
     ∝ corpus tokens, the same volume any tokenizer pass moves); the
-    vocabulary side stays driver-bounded and broadcast.
+    vocabulary side stays bounded-by-constants and broadcast.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(_tokens(F.col(text_col))).alias("pos", "token"),
     ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    bw = Window.partitionBy("__b").orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    cand = (
+        counts.withColumn(
+            "__b", F.pmod(F.hash("token"), F.lit(_VOCAB_BUCKETS))
+        )
+        .withColumn("__r", F.row_number().over(bw))
+        .filter(F.col("__r") <= vocab_size)
+        .drop("__b", "__r")
+    )
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     vocab = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select("token", F.row_number().over(w).alias("token_id"))
+        cand.select("token", F.row_number().over(w).alias("token_id"))
         .filter(F.col("token_id") <= vocab_size)
     )
     return (

@@ -69,253 +69,242 @@ def register(name: str, oracle: str | None, survey: str = ""):
 # Driver CORRECTNESS-window priority.
 #
 # The per-round driver check covers roughly the first 50 `queries()` entries
-# in dict order. Rounds 1-4 gave every one of the 174 registry entries at
-# least one driver row. Round 5 re-verifies the r4 reds and every entry
-# whose ORACLE changed in the dtype-pinning pass (BIGINT/INT/TIMESTAMP casts
-# -- see the determinism header and test_dtype_parity), then rotates in the
-# least-recently-verified surface: the r1-era fills, now four rounds stale.
+# in dict order. Rounds 1-6 gave every one of the 203 registry entries at
+# least one driver row (union of CORRECTNESS_r01-r06). Round 7 heads the
+# window with the entries whose implementation materially changed this round
+# (the r5/r6 red ext_vocab_encode serialization + bounded-vocab fix, the
+# cdc_apply crash-atomicity rework, the bucketed near-dup signature store),
+# then rotates in the least-recently-verified surface: ALL 41 entries whose
+# latest driver row is still round 1, topped up with the oldest round-2
+# rows. _DRIVER_SECOND continues strictly least-recently-verified-first.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY: list[str] = [
-    # --- the two r4 driver-reds (HUGEINT->float64 hash artifact), fixed ---
-    "sql_q12",
-    "ext_dedup_spans",
-    # --- new in round 5 (never driver-verified) ---
-    "stream_cdc",
-    "scan_orc",
-    "ext_importance_resample",
-    "join_bloom",
-    "sink_versioned",
-    "sink_version_diff",
-    "diag_skew",
+    # --- materially changed in round 7 (must re-verify) ---
     "ext_vocab_encode",
-    "ext_dedup_cdf",
-    "stream_snapshot",
-    "ts_funnel",
-    "ts_cohort",
-    "ext_token_topk_approx",
-    "agg_theta_overlap",
-    "sink_pruned_read",
-    "ltss_cagg_ivm",
-    "ext_knn_join",
-    "ext_knn_join_ivf",
-    "ext_bigram_lm",
-    "ts_ewma",
-    "ext_dedup_embed_capped",
-    "scan_csv",
-    "scan_json",
-    "ltss_cagg_stats_refresh",
-    "scan_corrupt_tolerant",
-    "ext_shuffle_shard",
-    "ts_outliers",
-    "ltss_uptime",
+    "stream_cdc",
     "stream_dedup_near",
-    # --- ANN rerank depth made corpus-adaptive in r5 (sf0.1 recall fix) ---
-    "ext_sim_search_pq",
-    "ext_sim_search_ivfpq",
-    # --- oracles materially changed by the r5 dtype-pinning pass ---
-    "join_left",
-    "join_right",
-    "join_full",
-    "win_lag_lead",
-    "ltss_timeinstate",
-    "join_range",
-    "fn_date",
-    "ts_ohlc",
-    "ltss_cagg_refresh",
-    "sql_q7",
-    "sql_q8",
-    "sql_q9",
-    "ext_sample_group",
-    "ext_mixture_sample",
-    "ext_repetition",
-    # --- least-recently-verified rotation (r1-era driver rows) ---
-    "scan_parquet",
-    "project",
+    # --- least-recently-verified rotation: every r1-stale entry ---
+    "agg_basic",
+    "agg_collect",
+    "agg_distinct",
+    "agg_first_last",
+    "agg_groupsets",
+    "agg_minmax_by",
+    "agg_pivot",
+    "agg_skew_distinct",
+    "agg_unpivot",
+    "filter_basic",
+    "filter_entity",
+    "filter_in",
+    "filter_like",
+    "filter_not_in",
+    "filter_null",
+    "fn_array",
+    "fn_conditional",
+    "fn_fuzzy",
+    "fn_json",
+    "fn_map",
+    "fn_math",
+    "fn_string",
+    "join_anti",
+    "join_broadcast",
+    "join_inner",
+    "join_semi",
+    "join_theta",
+    "limit",
+    "ltss_states",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sort",
+    "sort_nulls",
+    "sql_subquery",
+    "topk_group",
+    "win_cumulative",
+    "win_distribution",
+    "win_frame",
+    "win_range_frame",
+    "win_rank",
+    # --- window top-up: the oldest r2-stale entries ---
+    "ddl_migrate",
+    "ext_fingerprint",
+    "ext_lang_dist",
+    "ext_langid",
+    "ext_multimodal_audio",
+    "ext_multimodal_frames",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
-#: changed materially afterwards — they justify a window slot exactly like a
+#: changed materially this round — they justify a window slot exactly like a
 #: never-verified entry (tests/test_plans.py window-packing guard).
 _CHANGED_ENTRIES: set[str] = {
-    "ext_sim_search_pq",
-    "ext_sim_search_ivfpq",
-    "sql_q12",
-    "ext_dedup_spans",
-    "join_left",
-    "join_right",
-    "join_full",
-    "win_lag_lead",
-    "ltss_timeinstate",
-    "join_range",
-    "fn_date",
-    "ts_ohlc",
-    "ltss_cagg_refresh",
-    "sql_q7",
-    "sql_q8",
-    "sql_q9",
-    "ext_sample_group",
-    "ext_mixture_sample",
-    "ext_repetition",
+    "ext_vocab_encode",
+    "stream_cdc",
+    "stream_dedup_near",
 }
 
 # Entries with an existing green driver row; order is least-recently-verified
-# first (r1 spillover, then r2, r3, r4) — any window wider than the priority
+# first (r2 remainder, then r3, r4, r6) — any window wider than the priority
 # block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
-    "filter_basic",
-    "filter_null",
-    "filter_in",
-    "filter_like",
-    "filter_entity",
-    "join_inner",
-    "join_semi",
-    "join_anti",
-    "join_broadcast",
-    "join_theta",
-    "agg_basic",
-    "agg_distinct",
-    "agg_groupsets",
-    "agg_minmax_by",
-    "agg_first_last",
-    "agg_pivot",
-    "win_rank",
-    "win_frame",
-    "win_cumulative",
-    "sort",
-    "limit",
-    "topk_group",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "fn_string",
-    "fn_math",
-    "fn_array",
-    "fn_map",
-    "fn_json",
-    "agg_skew_distinct",
-    "agg_unpivot",
-    "win_distribution",
-    "fn_conditional",
-    "agg_collect",
-    "sql_subquery",
-    "sort_nulls",
-    "win_range_frame",
-    "fn_fuzzy",
-    "filter_not_in",
-    "ltss_states",
-    "ltss_geo_ingest",
-    "ddl_migrate",
-    "ltss_entity_range",
-    "ltss_json_attr",
-    "ts_interpolate",
-    "sql_select",
-    "ltss_deadletter",
-    "ltss_json_contains",
-    "ltss_attr_materialize",
-    "ts_counter_delta",
-    "ts_timeweight",
-    "ext_text_quality",
-    "ext_lang_dist",
-    "ext_langid",
-    "ext_fingerprint",
+    # --- latest driver row: round 2 ---
     "ext_multimodal_resize",
-    "ext_multimodal_frames",
+    "ext_text_quality",
     "ext_token_topk",
-    "ext_multimodal_audio",
     "ext_url_canonical",
+    "ltss_attr_materialize",
+    "ltss_deadletter",
+    "ltss_entity_range",
+    "ltss_geo_ingest",
+    "ltss_json_attr",
+    "ltss_json_contains",
     "scan_stream",
     "sink_append",
-    "stream_window_tumbling",
-    "stream_window_sliding",
-    "stream_window_session",
+    "sql_select",
     "stream_late_drop",
     "stream_rollup",
+    "stream_window_session",
+    "stream_window_sliding",
+    "stream_window_tumbling",
+    "ts_counter_delta",
+    "ts_interpolate",
+    "ts_timeweight",
+    # --- latest driver row: round 3 ---
     "agg_approx",
     "agg_percentile",
     "agg_sketch_rollup",
-    "ltss_geo_wkt",
     "ddl_upgrade",
-    "sink_bucketed",
-    "sql_q10",
-    "join_asof_fwd",
-    "ts_histogram",
-    "ts_lttb",
-    "ts_trend",
-    "join_asof_near",
-    "sql_q18",
-    "sql_q21",
-    "sink_zorder",
-    "ts_heartbeat",
-    "ltss_retention",
-    "ltss_state_periods",
-    "ltss_compress",
-    "ext_sim_search_lsh",
-    "ext_sim_search_ivf",
-    "ext_dedup_cluster",
-    "ext_dedup_pipeline",
     "ext_contamination",
+    "ext_dedup_cluster",
+    "ext_dedup_incremental",
+    "ext_dedup_pipeline",
     "ext_hash_split",
     "ext_pii_redact",
-    "ext_dedup_incremental",
+    "ext_sim_search_ivf",
+    "ext_sim_search_lsh",
+    "join_asof_fwd",
+    "join_asof_near",
+    "ltss_compress",
+    "ltss_geo_wkt",
+    "ltss_retention",
+    "ltss_state_periods",
+    "sink_bucketed",
     "sink_compact",
-    "stream_watermark",
-    "stream_join",
-    "sql_q2",
-    "sql_q4",
+    "sink_zorder",
+    "sql_q10",
     "sql_q13",
     "sql_q14",
     "sql_q15",
     "sql_q16",
     "sql_q17",
+    "sql_q18",
+    "sql_q2",
+    "sql_q21",
     "sql_q22",
-    "agg_mode",
-    "win_ntile",
-    "join_skew_salted",
+    "sql_q4",
+    "stream_join",
+    "stream_watermark",
+    "ts_heartbeat",
+    "ts_histogram",
+    "ts_lttb",
+    "ts_trend",
+    # --- latest driver row: round 4 ---
     "agg_corr",
-    "win_time_range",
-    "ltss_latest",
-    "ltss_snapshot",
-    "ltss_bucket",
-    "join_asof",
-    "ts_gapfill",
-    "geo_distance",
-    "sink_partitioned",
-    "stream_ingest",
-    "sql_q5",
-    "ts_sessionize",
-    "geo_bbox_join",
-    "sink_upsert",
-    "ltss_attr_keys",
-    "stream_upsert",
-    "ext_text_stats",
-    "ext_dedup_exact",
-    "ext_dedup_ngram",
-    "ext_dedup_minhash",
-    "ext_dedup_simhash",
-    "ext_sim_search",
+    "agg_mode",
+    "ext_bm25",
+    "ext_chunk_docs",
+    "ext_dedup_cluster_embed",
     "ext_dedup_embed",
+    "ext_dedup_exact",
+    "ext_dedup_minhash",
+    "ext_dedup_ngram",
+    "ext_dedup_simhash",
+    "ext_dedup_span_remove",
     "ext_multimodal",
-    "ext_quality_filter",
     "ext_pack_sequences",
+    "ext_quality_filter",
+    "ext_sim_search",
+    "ext_text_stats",
     "ext_tfidf",
     "ext_unigram_lm",
-    "ext_dedup_span_remove",
-    "ext_dedup_cluster_embed",
-    "ext_chunk_docs",
-    "ext_bm25",
+    "geo_bbox_join",
+    "geo_distance",
+    "join_asof",
+    "join_skew_salted",
+    "ltss_attr_keys",
+    "ltss_bucket",
+    "ltss_latest",
+    "ltss_snapshot",
     "scan_jdbc",
-    "stream_dedup",
-    "stream_stateful",
-    "udf_scalar",
-    "udaf",
-    "udtf",
-    "sql_q6",
+    "sink_partitioned",
+    "sink_upsert",
+    "sql_q1",
+    "sql_q11",
     "sql_q19",
     "sql_q20",
-    "sql_q11",
-    "sql_q1",
     "sql_q3",
+    "sql_q5",
+    "sql_q6",
+    "stream_dedup",
+    "stream_ingest",
+    "stream_stateful",
+    "stream_upsert",
+    "ts_gapfill",
+    "ts_sessionize",
+    "udaf",
+    "udf_scalar",
+    "udtf",
+    "win_ntile",
+    "win_time_range",
+    # --- latest driver row: round 6 ---
+    "agg_theta_overlap",
+    "diag_skew",
+    "ext_bigram_lm",
+    "ext_dedup_cdf",
+    "ext_dedup_embed_capped",
+    "ext_dedup_spans",
+    "ext_importance_resample",
+    "ext_knn_join",
+    "ext_knn_join_ivf",
+    "ext_mixture_sample",
+    "ext_repetition",
+    "ext_sample_group",
+    "ext_shuffle_shard",
+    "ext_sim_search_ivfpq",
+    "ext_sim_search_pq",
+    "ext_token_topk_approx",
+    "fn_date",
+    "join_bloom",
+    "join_full",
+    "join_left",
+    "join_range",
+    "join_right",
+    "ltss_cagg_ivm",
+    "ltss_cagg_refresh",
+    "ltss_cagg_stats_refresh",
+    "ltss_timeinstate",
+    "ltss_uptime",
+    "project",
+    "scan_corrupt_tolerant",
+    "scan_csv",
+    "scan_json",
+    "scan_orc",
+    "scan_parquet",
+    "sink_pruned_read",
+    "sink_version_diff",
+    "sink_versioned",
+    "sql_q12",
+    "sql_q7",
+    "sql_q8",
+    "sql_q9",
+    "stream_snapshot",
+    "ts_cohort",
+    "ts_ewma",
+    "ts_funnel",
+    "ts_ohlc",
+    "ts_outliers",
+    "win_lag_lead",
 ]
 
 

@@ -1852,7 +1852,7 @@ _VOCAB_ORACLE = f"""
       FROM toks LEFT JOIN vocab v USING (token)
     )
     SELECT doc_id,
-           list(tid ORDER BY pos, tid) AS token_ids,
+           array_to_string(list(CAST(tid AS VARCHAR) ORDER BY pos, tid), '|') AS token_ids,
            CAST(COUNT(*) AS INT) AS n_tokens,
            CAST(SUM(tid) AS BIGINT) AS id_checksum
     FROM enc GROUP BY doc_id
@@ -1869,14 +1869,25 @@ def ext_vocab_encode(spark, sf_dir):
     frequent tokens become ids 1..1000 (count DESC, token ASC — fully
     tie-broken), everything else 0 = <unk>, and each document returns as
     its id sequence in ORIGINAL token order plus count/checksum columns.
-    One tokenize, one corpus-wide count agg (|vocab| rows through the
-    ranking window — bounded by construction), a KB-scale broadcast join
-    for the encode, order-safe array reassembly via (pos, id) struct
-    sort. The oracle recomputes the whole pipeline relationally — ids,
-    sequence order, checksums must match exactly."""
+    One tokenize, one corpus-wide count agg (two-level bucket-then-global
+    ranking window — the single-reducer piece is bounded by constants),
+    a KB-scale broadcast join for the encode, order-safe array reassembly
+    via (pos, id) struct sort. The id sequence serializes to a
+    '|'-joined string (registry rule: no top-level array/map/struct
+    output columns — the driver canonicalizer can't sort them); the
+    oracle recomputes the whole pipeline relationally — ids, sequence
+    order, checksums must match exactly."""
     from ltss_spark.operators.corpus import vocab_encode
 
-    return vocab_encode(_t(spark, sf_dir, "documents"), vocab_size=1000)
+    enc = vocab_encode(_t(spark, sf_dir, "documents"), vocab_size=1000)
+    return enc.select(
+        "doc_id",
+        F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")), "|"
+        ).alias("token_ids"),
+        "n_tokens",
+        "id_checksum",
+    )
 
 
 @register(
