@@ -58,6 +58,46 @@ def _target_exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(jpath)
 
 
+def _resolve_survivors(
+    spark: SparkSession,
+    path: str,
+    ch: DataFrame,
+    buckets: list[int],
+    pk: tuple[str, ...],
+    version_col: str,
+) -> DataFrame:
+    """LWW survivor per PK over existing ∪ batch, MATERIALIZED
+    (localCheckpoint) so its lineage no longer reads ``path``: the apply
+    step dynamic-partition-overwrites the very buckets this frame is
+    derived from, and a lazily-evaluated plan would be deleting its own
+    input mid-commit — a failure there leaves buckets half-replaced with
+    no way to recompute. Cutting the lineage to executor-held blocks
+    first makes the overwrite a pure write of already-computed data
+    (the same contract cdc_compact established); the materialized size
+    is bounded by the touched buckets' data, never the table."""
+    if _target_exists(spark, path):
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col(BUCKET_COL).isin(buckets))
+            .withColumn("__src", F.lit(0))
+        )
+    else:
+        existing = ch.withColumn("__src", F.lit(0)).limit(0)
+    merged = existing.unionByName(ch.withColumn("__src", F.lit(1)))
+    # version DESC first (recency beats arrival), __src as the final
+    # tie-break so a change at an EQUAL version still replaces the stored
+    # row — the DO-UPDATE-on-conflict posture
+    w = Window.partitionBy(*pk).orderBy(
+        F.col(version_col).desc(), F.col("__src").desc()
+    )
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+        .localCheckpoint()
+    )
+
+
 def cdc_apply(
     spark: SparkSession,
     path: str,
@@ -84,26 +124,7 @@ def cdc_apply(
     )
     if not buckets:
         return []
-    if _target_exists(spark, path):
-        existing = (
-            spark.read.parquet(path)
-            .filter(F.col(BUCKET_COL).isin(buckets))
-            .withColumn("__src", F.lit(0))
-        )
-    else:
-        existing = ch.withColumn("__src", F.lit(0)).limit(0)
-    merged = existing.unionByName(ch.withColumn("__src", F.lit(1)))
-    # version DESC first (recency beats arrival), __src as the final
-    # tie-break so a change at an EQUAL version still replaces the stored
-    # row — the DO-UPDATE-on-conflict posture
-    w = Window.partitionBy(*pk).orderBy(
-        F.col(version_col).desc(), F.col("__src").desc()
-    )
-    resolved = (
-        merged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__src")
-    )
+    resolved = _resolve_survivors(spark, path, ch, buckets, pk, version_col)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -67,14 +67,49 @@ def _read_manifest(path: str, version: int) -> dict:
 
 
 def _json_stat(value):
-    """JSON-storable form of a min/max stat; ISO strings for timestamps
-    (ISO-8601 compares lexically in timestamp order, so pruning can
-    compare strings directly)."""
+    """JSON-storable form of a min/max stat. Both the stored zone values
+    and the query bounds go through THIS function, so any order-preserving
+    encoding is prune-safe: ISO strings for timestamps/dates (ISO-8601
+    compares lexically in time order), float for Decimal (weakly monotonic
+    — a collapsed tie can only make pruning conservative, never wrong).
+    Raising here on an unencodable type would fire AFTER the data
+    directory is written, so commit() validates stats_cols up front via
+    _STAT_OK_TYPES instead."""
     import datetime as _dt
+    from decimal import Decimal
 
-    if isinstance(value, _dt.datetime):
+    if isinstance(value, (_dt.datetime, _dt.date)):
         return value.isoformat()
+    if isinstance(value, Decimal):
+        return float(value)
     return value
+
+
+def _validate_stats_cols(df: DataFrame, stats_cols: list[str]) -> None:
+    """Fail BEFORE any data is written: a stats column whose min/max
+    cannot round-trip through the JSON manifest (_json_stat) would
+    otherwise raise after the data directory exists, leaving garbage for
+    the next commit to reclaim. Orderable atomic types only."""
+    from pyspark.sql import types as T
+
+    ok = (
+        T.NumericType,  # covers DecimalType
+        T.StringType,
+        T.DateType,
+        T.TimestampType,
+        T.TimestampNTZType,
+        T.BooleanType,
+    )
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    for c in stats_cols:
+        if c not in by_name:
+            raise ValueError(f"stats column {c!r} not in schema {list(by_name)}")
+        if not isinstance(by_name[c], ok):
+            raise ValueError(
+                f"stats column {c!r} has non-orderable/non-JSON-encodable "
+                f"type {by_name[c].simpleString()}; zone maps support "
+                f"numeric/decimal/string/date/timestamp/boolean"
+            )
 
 
 def commit(
@@ -108,6 +143,8 @@ def commit(
     when a 100 TB table has accumulated thousands of commits."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if stats_cols:
+        _validate_stats_cols(df, stats_cols)
     vs = versions(path)
     prev = _read_manifest(path, vs[-1]) if vs else {}
     txns: dict[str, int] = dict(prev.get("txns", {}))

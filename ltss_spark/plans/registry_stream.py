@@ -173,13 +173,16 @@ def stream_dedup_near_q(spark, sf_dir):
     from ltss_spark.operators.dedup import band_signatures
     from ltss_spark.plans.registry import _t
     from ltss_spark.scratch import scratch_dir
-    from ltss_spark.streaming.neardup import run_streaming_near_dup
+    from ltss_spark.streaming.neardup import (
+        run_streaming_near_dup,
+        seed_signature_store,
+    )
 
     base = scratch_dir("ltss_neardup")
     src, store, out, ckpt = (f"{base}/{d}" for d in ("src", "store", "out", "ckpt"))
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     m = F.col("doc_id") % 10
-    band_signatures(docs.filter(m < 6)).write.parquet(store)
+    seed_signature_store(band_signatures(docs.filter(m < 6)), store)
     os.makedirs(src, exist_ok=True)
     now = 1_700_000_000
     for i, (fname, part) in enumerate(

@@ -7,19 +7,23 @@ as batches arrive. Mechanism:
 
 - a persistent SIGNATURE STORE holds the (band, band_sig) LSH keys of
   every document seen so far (``operators.dedup.band_signatures`` — the
-  same keys the batch pair join buckets on);
+  same keys the batch pair join buckets on), laid out hash-bucketed on
+  the signature key: ``partitionBy(pmod(xxhash64(band, band_sig), N))``;
 - each micro-batch computes its own band signatures ONCE, probes the
   store with a semi-join (a doc is flagged iff ANY of its bands already
   exists), appends its verdicts to the output, and then appends its own
   signatures to the store — so later batches see earlier batches'
   documents, exactly the reference's insert-then-visible ordering.
 
-Scale shape: the store is append-only parquet keyed by (band, band_sig)
-— at 100 TB it would be bucket-partitioned on the band key so the probe
-is a co-located join; the per-batch work is |batch| shingles + one
-equi-join against the store, never corpus x corpus. State lives in
-FILES, not executor memory — a restart rebuilds nothing (contrast
-applyInPandasWithState, whose store must fit the state backend).
+Scale shape: the probe reads ONLY the store buckets the batch's own
+signatures hash into — a `isin`(batch buckets) partition filter that
+prunes at the directory listing, so per-batch probe I/O is bounded by
+|batch buckets| / N of the store, never a full scan per micro-batch
+(the r5/r6 flat-store flaw). The per-batch work is |batch| shingles +
+one equi-join against the pruned slice, never corpus x corpus. State
+lives in FILES, not executor memory — a restart rebuilds nothing
+(contrast applyInPandasWithState, whose store must fit the state
+backend).
 
 Flag-only semantics (like the reference's duplicate handling, PK
 models.py:31-32: later arrivals are the duplicates): the FIRST document
@@ -35,6 +39,43 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+#: partition column of the signature store: hash bucket of the full
+#: signature key. Both the seed and every stream append must use the same
+#: bucket count — it is baked into the directory layout.
+SIG_BUCKET_COL = "__sig_bucket"
+
+
+def _with_sig_bucket(sigs: DataFrame, n_buckets: int) -> DataFrame:
+    # xxhash64 over both key columns (not band alone: every document emits
+    # one signature PER band, so band-only partitioning would make every
+    # batch touch every partition and prune nothing)
+    return sigs.withColumn(
+        SIG_BUCKET_COL,
+        F.pmod(F.xxhash64("band", "band_sig"), F.lit(n_buckets)).cast("int"),
+    )
+
+
+def seed_signature_store(
+    sigs: DataFrame, store_path: str, n_buckets: int = 64
+) -> None:
+    """Write a pre-existing corpus's band signatures as the initial store
+    in the bucketed layout the stream probe prunes on."""
+    _with_sig_bucket(sigs, n_buckets).write.mode("error").partitionBy(
+        SIG_BUCKET_COL
+    ).parquet(store_path)
+
+
+def _pruned_store(
+    spark: SparkSession, store_path: str, buckets: list[int]
+) -> DataFrame:
+    """The store slice a probe actually reads: an `isin` over the
+    partition column, pruned at the manifest/directory level (shows as
+    PartitionFilters on the scan — zero data files outside the batch's
+    own buckets are opened)."""
+    return spark.read.parquet(store_path).filter(
+        F.col(SIG_BUCKET_COL).isin(buckets)
+    )
+
 
 def run_streaming_near_dup(
     spark: SparkSession,
@@ -48,12 +89,13 @@ def run_streaming_near_dup(
     num_hashes: int = 12,
     bands: int = 4,
     max_files_per_trigger: int = 1,
+    n_buckets: int = 64,
 ) -> None:
     """Run the bounded near-dup stream over the parquet files in
     ``docs_dir``: per micro-batch, append (doc_id, dup_of_earlier) to
     ``out_path`` and the batch's signatures to ``store_path``. Seed the
-    store beforehand (band_signatures(...).write.parquet(store_path)) to
-    dedup against a pre-existing corpus."""
+    store beforehand with :func:`seed_signature_store` (same
+    ``n_buckets``) to dedup against a pre-existing corpus."""
     from ltss_spark.operators.dedup import band_signatures
 
     schema = spark.read.parquet(docs_dir).schema
@@ -61,12 +103,20 @@ def run_streaming_near_dup(
     def body(batch: DataFrame, epoch_id: int) -> None:
         # eager checkpoint: the signatures feed the probe AND the store
         # append; uncheckpointed, the shingle pipeline would run twice
-        sigs = band_signatures(
-            batch, text_col, id_col, k, num_hashes, bands
+        sigs = _with_sig_bucket(
+            band_signatures(batch, text_col, id_col, k, num_hashes, bands),
+            n_buckets,
         ).localCheckpoint()
+        # the batch's bucket set: bounded driver-side metadata
+        # (≤ n_buckets values), the same collect-to-prune shape as
+        # cdc_apply's touched-bucket list
+        buckets = sorted(
+            r[SIG_BUCKET_COL]
+            for r in sigs.select(SIG_BUCKET_COL).distinct().collect()
+        )
         bspark = batch.sparkSession
         try:
-            store = bspark.read.parquet(store_path)
+            store = _pruned_store(bspark, store_path, buckets)
             hit = (
                 sigs.join(store, ["band", "band_sig"], "left_semi")
                 .select("doc_id")
@@ -85,7 +135,7 @@ def run_streaming_near_dup(
         out.write.mode("append").parquet(out_path)
         # visibility boundary: the batch's own signatures enter the store
         # AFTER its verdicts are written
-        sigs.write.mode("append").parquet(store_path)
+        sigs.write.mode("append").partitionBy(SIG_BUCKET_COL).parquet(store_path)
 
     q = (
         spark.readStream.schema(schema)

@@ -216,3 +216,34 @@ def test_zone_map_pruning(spark, tmp_path):
     expire(p, keep_last=1)
     still = read_version(spark, p, prune=("k", 220, 230))
     assert {os.path.basename(os.path.dirname(f)) for f in still.inputFiles()} == {"v3"}
+
+
+def test_zone_map_date_and_decimal_stats(spark, tmp_path):
+    """date/Decimal stats columns must commit (json-encodable via
+    _json_stat) and prune correctly — VERDICT r6 item 9: a raise here used
+    to fire AFTER the data directory was written. Unsupported stats types
+    must instead fail BEFORE any data lands."""
+    import datetime as dt
+    from decimal import Decimal
+
+    import pytest
+
+    p = str(tmp_path / "t")
+    rows1 = [(dt.date(2024, 1, d), Decimal(f"{d}.25")) for d in range(1, 11)]
+    rows2 = [(dt.date(2024, 2, d), Decimal(f"{d + 40}.75")) for d in range(1, 11)]
+    schema = "d date, amt decimal(10,2)"
+    commit(spark.createDataFrame(rows1, schema), p, stats_cols=["d", "amt"])
+    commit(spark.createDataFrame(rows2, schema), p, stats_cols=["d", "amt"])
+    # date-range prune hits only the January directory
+    jan = read_version(spark, p, prune=("d", dt.date(2024, 1, 3), dt.date(2024, 1, 5)))
+    assert {os.path.basename(os.path.dirname(f)) for f in jan.inputFiles()} == {"v1"}
+    assert jan.filter("d = DATE'2024-01-04'").count() == 1
+    # decimal-range prune hits only the February directory
+    feb = read_version(spark, p, prune=("amt", Decimal("41.00"), Decimal("42.00")))
+    assert {os.path.basename(os.path.dirname(f)) for f in feb.inputFiles()} == {"v2"}
+    # an unencodable stats column fails UP FRONT: no new data directory
+    p2 = str(tmp_path / "t2")
+    bad = spark.createDataFrame([(1, [1, 2])], "k int, arr array<int>")
+    with pytest.raises(ValueError, match="non-orderable"):
+        commit(bad, p2, stats_cols=["arr"])
+    assert not os.path.exists(p2)
