@@ -7,7 +7,10 @@ Near-linear growth here is the local-mode evidence for the 100 TB claim:
 every measured operator is one or two hash-shuffles whose volume is linear
 in the input (shingles, signatures, band buckets), with no all-pairs term.
 
-Usage: python scripts/scale_probe.py [sf_dir] [out_json]
+Usage: python scripts/scale_probe.py [sf_dir] [out_json] [sections]
+``sections`` is a comma list of {core,pq,ccdeep,knn} (default all).
+Partial runs MERGE into an existing out_json, so one new operator family
+can be probed without re-timing the whole suite.
 """
 
 import json
@@ -131,6 +134,10 @@ def replicated_embeddings_shifted(spark, sf_dir, factor, base_dir, tag=""):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "scale_probe.json"
+    sections = set((sys.argv[3] if len(sys.argv) > 3 else "all").split(","))
+
+    def want(name: str) -> bool:
+        return "all" in sections or name in sections
 
     from pyspark.sql import SparkSession
 
@@ -173,7 +180,9 @@ def main():
     import shutil
 
     atexit.register(shutil.rmtree, base, ignore_errors=True)
-    results = {"sf_dir": sf_dir, "factors": {}}
+    results = {"sf_dir": sf_dir}
+    if want("core"):
+        results["factors"] = {}
     # warm/fixed copies live under their own paths: the factor loop
     # re-writes <name>_x1 with overwrite, which would delete the files the
     # still-lazy warm plans (probe_q!) reference
@@ -232,7 +241,7 @@ def main():
     bbox_spatial_join(points_of(emb1), boxes).count()
     tfidf_topk(warm).count()
 
-    for factor in (1, 2, 4, 8):
+    for factor in (1, 2, 4, 8) if want("core") else ():
         docs = replicated_docs(spark, sf_dir, factor, base)
         row = {"n_docs": docs.count()}
         row["minhash_pairs"], row["minhash_sec"] = timed(
@@ -400,13 +409,14 @@ def main():
     # the plan.
     from ltss_spark.operators.similarity import cosine_topk_pq
 
-    results["pq_query_scaling"] = {}
-    cosine_topk_pq(emb1, probe_q).count()  # warm encode path
-    for nq in (3, 12, 48, 192):
-        qs = emb1.filter(F.col("vec_id") < nq)
-        _, sec = timed(lambda: cosine_topk_pq(emb1, qs).count())
-        results["pq_query_scaling"][str(nq)] = sec
-        print(json.dumps({"pq_queries": nq, "sec": sec}))
+    if want("pq"):
+        results["pq_query_scaling"] = {}
+        cosine_topk_pq(emb1, probe_q).count()  # warm encode path
+        for nq in (3, 12, 48, 192):
+            qs = emb1.filter(F.col("vec_id") < nq)
+            _, sec = timed(lambda: cosine_topk_pq(emb1, qs).count())
+            results["pq_query_scaling"][str(nq)] = sec
+            print(json.dumps({"pq_queries": nq, "sec": sec}))
 
     # round-5 (VERDICT r4 item 6): connected components two more doublings.
     # CC is the one ITERATIVE operator, so its scale hazard is round count,
@@ -416,8 +426,9 @@ def main():
     # volume, 1x-32x. Pairs come from the same token-tagged replication as
     # the main loop (replicas share no shingles), so the component
     # STRUCTURE is constant per replica and only the graph SIZE grows.
-    results["cc_deep_scaling"] = {}
-    for factor in (16, 32):
+    if want("ccdeep"):
+        results["cc_deep_scaling"] = {}
+    for factor in (16, 32) if want("ccdeep") else ():
         docs = replicated_docs(spark, sf_dir, factor, base)
         pairs = minhash_lsh_pairs(docs)
         cc_stats = {}
@@ -432,6 +443,59 @@ def main():
         }
         print(json.dumps({factor: results["cc_deep_scaling"][str(factor)]}))
 
+    # round-7 (VERDICT r6 item 7): the kNN-join family. Two claims:
+    # (a) THROUGHPUT — with the FAISS deployment rule C ∝ N (constant
+    #     average inverted-list size, nprobe fixed) the per-vector candidate
+    #     count is constant, so total work grows linearly in N. Replicas are
+    #     shift-decorrelated (same fixture as embed-dedup) so the true
+    #     neighbor structure doesn't collapse across replicas.
+    # (b) RECALL — on the fixed 1x corpus, recall@k vs the exact brute-force
+    #     baseline rises with nprobe and reaches 1.0 at nprobe == C (the
+    #     candidate set is then the whole corpus by construction).
+    from ltss_spark.operators.similarity import knn_join
+
+    if want("knn"):
+        results["knn_scaling"] = {}
+        knn_join(emb1, k=5, method="ivf", n_centroids=16, nprobe=4).count()  # warm
+        for factor in (1, 2, 4, 8):
+            embsh = replicated_embeddings_shifted(spark, sf_dir, factor, base)
+            n = embsh.count()
+            c = max(16, n // 125)  # hold avg cell ≈ 125 vectors
+            rows, sec = timed(
+                lambda: knn_join(
+                    embsh, k=5, method="ivf", n_centroids=c, nprobe=4
+                ).count()
+            )
+            results["knn_scaling"][str(factor)] = {
+                "n_vecs": n,
+                "n_centroids": c,
+                "knn_rows": rows,
+                "knn_sec": sec,
+            }
+            print(json.dumps({factor: results["knn_scaling"][str(factor)]}))
+
+        exact = (
+            knn_join(emb1, k=5, method="exact")
+            .select("vec_id", "neighbor_id")
+            .localCheckpoint()
+        )
+        n_exact = exact.count()
+        results["knn_recall_vs_nprobe"] = {}
+        for nprobe in (1, 2, 4, 8, 16):
+            ivf = knn_join(
+                emb1, k=5, method="ivf", n_centroids=16, nprobe=nprobe
+            ).select("vec_id", "neighbor_id")
+            hit = ivf.join(exact, ["vec_id", "neighbor_id"], "left_semi").count()
+            results["knn_recall_vs_nprobe"][str(nprobe)] = round(hit / n_exact, 4)
+            print(json.dumps({"nprobe": nprobe, "recall@5": hit / n_exact}))
+
+    # partial runs merge into the existing probe file: one new operator
+    # family should not require re-timing (or losing) the whole suite
+    if "all" not in sections and os.path.exists(out_json):
+        with open(out_json) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     with open(out_json, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {out_json}")

@@ -317,6 +317,54 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     assert got_rows == want_rows
 
 
+def test_snapshot_publish_roundtrip_derby(spark, tmp_path):
+    """Versioned-sink -> LIVE database publication (VERDICT r6 item 10):
+    micro-batches land as atomic snapshot versions (make_snapshot_sink),
+    and the published table version is then pushed through the
+    dialect-aware JDBC writer (_write_jdbc) into embedded Derby — the
+    'serve the latest snapshot from Postgres' deployment shape. Read-back
+    must match read_version() value-by-value, and a replayed publication
+    must not duplicate."""
+    import glob as g
+    import os
+    import shutil
+
+    from ltss_spark.operators.snapshot import make_snapshot_sink, read_version
+    from ltss_spark.streaming.ingest import _write_jdbc
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [(i, f"e{i % 3}", float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, kind string, v double")
+    for i in range(2):
+        df.filter(F.col("id") % 2 == i).coalesce(1).write.parquet(f"{src}/__tmp")
+        shutil.move(g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/b{i}.parquet")
+        shutil.rmtree(f"{src}/__tmp")
+        os.utime(f"{src}/b{i}.parquet", (1_700_000_000 + 600 * i,) * 2)
+    table = str(tmp_path / "table")
+    sink = make_snapshot_sink(table, app_id="derby_pub")
+    q = (
+        spark.readStream.schema("id long, kind string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = read_version(spark, table)
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    opts = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    for _ in range(2):  # publication replay: overwrite is idempotent
+        _write_jdbc(snap, url, "snap_pub", "overwrite", opts)
+    back = spark.read.options(**opts).jdbc(url, "snap_pub")
+    key = lambda frame: sorted(  # noqa: E731
+        (r["id"], r["kind"], r["v"]) for r in frame.collect()
+    )
+    assert key(back) == key(snap) == key(df)
+
+
 def test_parquet_sink_idempotent_replay(spark, tmp_path):
     """Replaying the same micro-batch (sink retry / checkpoint recovery)
     must not duplicate rows — the file-sink analogue of the reference's
