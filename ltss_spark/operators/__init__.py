@@ -42,6 +42,7 @@ from ltss_spark.operators.graph import (  # noqa: F401
     connected_components,
     dedup_clusters,
 )
+from ltss_spark.operators.rank import distributed_row_number  # noqa: F401
 from ltss_spark.operators.text import pii_counts, pii_redact  # noqa: F401
 from ltss_spark.operators.timeseries import ohlc  # noqa: F401
 from ltss_spark.operators.compress import (  # noqa: F401

@@ -430,13 +430,14 @@ def importance_resample(
     - per-token log-ratios round to 6 decimals BEFORE the exact-decimal
       per-doc sum (the transcendental-determinism rule), one final
       division for the length-normalized score;
-    - selection is a single global rank over doc-level scores. A global
-      window is a one-reducer sort of |raw docs| SCORE rows — doc-level,
-      not token-level, so ~10^9 rows at 100 TB; if that reducer ever
-      matters, swap the exact rank for an approx-quantile threshold
-      (score >= quantile(1 - quota_frac)) at the cost of a ±epsilon
-      quota. Determinism beats epsilon here, so exact rank is the
-      default.
+    - selection is an exact global rank over doc-level scores, computed
+      DISTRIBUTED (operators/rank.distributed_row_number: range
+      repartition -> per-partition row_number -> broadcast offset add) —
+      no single-reducer window anywhere; at 100 TB the ~10^9 score rows
+      rank through one range exchange + one partitioned window, all
+      parallel. Exact rank keeps the selection frontier deterministic
+      and oracle-checkable (an approx-quantile threshold would trade
+      that for a ±epsilon quota).
 
     DSIR's Gumbel-noise resampling step is replaced by the deterministic
     top-quota rule (ties on doc_id): same selection pressure,
@@ -484,12 +485,19 @@ def importance_resample(
             ).alias("dsir_score"),
         )
     )
-    pool = scored.crossJoin(
-        F.broadcast(scored.agg(F.count(F.lit(1)).alias("__n_pool")))
+    from ltss_spark.operators.rank import distributed_row_number
+
+    ranked = distributed_row_number(
+        scored,
+        [F.col("dsir_score").desc(), F.col("doc_id").asc()],
+        out_col="rank",
     )
-    w = Window.orderBy(F.col("dsir_score").desc(), F.col("doc_id").asc())
+    # ranked is materialized inside distributed_row_number, so this 1-row
+    # pool count re-reads executor blocks, not the whole score pipeline
     return (
-        pool.withColumn("rank", F.row_number().over(w).cast("int"))
+        ranked.crossJoin(
+            F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__n_pool")))
+        )
         .withColumn(
             "selected",
             F.col("rank") <= F.ceil(F.lit(quota_frac) * F.col("__n_pool")),

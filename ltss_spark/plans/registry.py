@@ -84,6 +84,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_vocab_encode",
     "stream_cdc",
     "stream_dedup_near",
+    "ext_importance_resample",
     # --- least-recently-verified rotation: every r1-stale entry ---
     "agg_basic",
     "agg_collect",
@@ -132,7 +133,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_lang_dist",
     "ext_langid",
     "ext_multimodal_audio",
-    "ext_multimodal_frames",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -140,6 +140,7 @@ _DRIVER_PRIORITY: list[str] = [
 #: never-verified entry (tests/test_plans.py window-packing guard).
 _CHANGED_ENTRIES: set[str] = {
     "ext_vocab_encode",
+    "ext_importance_resample",
     "stream_cdc",
     "stream_dedup_near",
 }
@@ -149,6 +150,7 @@ _CHANGED_ENTRIES: set[str] = {
 # block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
     # --- latest driver row: round 2 ---
+    "ext_multimodal_frames",
     "ext_multimodal_resize",
     "ext_text_quality",
     "ext_token_topk",
@@ -264,7 +266,6 @@ _DRIVER_SECOND: list[str] = [
     "ext_dedup_cdf",
     "ext_dedup_embed_capped",
     "ext_dedup_spans",
-    "ext_importance_resample",
     "ext_knn_join",
     "ext_knn_join_ivf",
     "ext_mixture_sample",

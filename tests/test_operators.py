@@ -1677,3 +1677,41 @@ def test_ewma_window_truncation_and_ties(spark):
     out = {r.rid: r.ewma for r in ewma(df, key_col="k", time_col="t", window=3, tie_col="rid").collect()}
     # rid=4 frame = [2,3,4]: (2*0.25 + 3*0.5 + 4)/1.75
     assert out[4] == round((2 * 0.25 + 3 * 0.5 + 4) / 1.75, 6)
+
+
+def test_distributed_row_number_matches_global_window(spark):
+    """The two-pass distributed rank must be bit-identical to the global
+    single-reducer window under the same total order — duplicate sort keys
+    included (the unique tie-break makes the order total), across a
+    partition count that forces keys to straddle range boundaries."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ltss_spark.operators.rank import _local_ranked, distributed_row_number
+
+    rows = [(i, float((i * 7) % 10)) for i in range(1000)]  # heavy ties
+    df = spark.createDataFrame(rows, "id long, score double")
+    order = [F.col("score").desc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["rank"]
+        for r in distributed_row_number(df, order, num_partitions=7).collect()
+    }
+    want = {
+        r["id"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
+        ).collect()
+    }
+    assert got == want
+    # plan shape: range exchange + a PARTITIONED window; the corpus never
+    # moves through one reducer (no partitionless windowspec, no
+    # single-partition exchange)
+    plan = (
+        _local_ranked(df, order, 7)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("__rank_pid" in s for s in specs)
