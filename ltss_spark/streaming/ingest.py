@@ -429,25 +429,25 @@ def shutdown_streams(spark: SparkSession, timeout_s: int = 30) -> int:
     return len(active)
 
 
-def events_stream_kafka(
-    spark: SparkSession,
-    bootstrap_servers: str,
-    topic: str,
-    starting_offsets: str = "latest",
-):
-    """Kafka variant of the event source (SURVEY §2.C scan_stream lists
-    file/Kafka/memory): value bytes -> JSON -> the same event schema the
-    file source delivers, so everything downstream (states_from_events,
-    watermark, dedup, sinks) is source-agnostic.
+def kafka_available(spark: SparkSession) -> bool:
+    """Capability probe: is the spark-sql-kafka connector on the
+    classpath? (It is not bundled with Spark — a deployment adds
+    ``org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>`` via
+    ``--packages``.) Checked by class lookup, not by starting a stream,
+    so the probe is instant and side-effect-free."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
 
-    Requires the spark-sql-kafka package on the classpath (not present in
-    this container — the file source covers the tested path; this builder
-    is the production wiring and fails fast with Spark's own error if the
-    connector is absent).
-    """
+
+def _kafka_event_schema():
     import pyspark.sql.types as T
 
-    event_schema = T.StructType(
+    return T.StructType(
         [
             T.StructField("event_id", T.LongType()),
             T.StructField("ts", T.TimestampType()),
@@ -457,6 +457,67 @@ def events_stream_kafka(
             T.StructField("props", T.StringType()),
         ]
     )
+
+
+def parse_kafka_events(raw: DataFrame) -> DataFrame:
+    """The source-independent half of the Kafka path: a Kafka-shaped frame
+    (``value`` binary plus ``topic``/``partition``/``offset``/``timestamp``
+    — what ``format("kafka")`` emits) becomes event rows with
+
+    - the event columns of the file source's schema (JSON-decoded from
+      ``value``), so everything downstream (states_from_events, watermark,
+      dedup, sinks) is source-agnostic;
+    - ``topic``/``partition``/``offset`` provenance — the replay key an
+      idempotent sink dedups on (offsets are the Kafka-native analogue of
+      the (app_id, epoch) txn watermark);
+    - a ``__reject`` flag for undecodable or key-less payloads instead of
+      a dropped row — the reference's dead-letter posture
+      (__init__.py:212-216 drops bad events; ltss_deadletter diverts
+      them), row-level and streamable (no side effects, pure projection).
+
+    Separated from the stream builder so the decode contract is testable
+    without the connector jar: the parse is a pure column expression over
+    the Kafka wire shape.
+    """
+    e = F.from_json(F.col("value").cast("string"), _kafka_event_schema())
+    return (
+        raw.select(
+            "topic",
+            "partition",
+            "offset",
+            F.col("timestamp").alias("kafka_ts"),
+            F.col("value").cast("string").alias("raw_value"),
+            e.alias("e"),
+        )
+        .select("topic", "partition", "offset", "kafka_ts", "raw_value", "e.*")
+        .withColumn(
+            "__reject", F.col("event_id").isNull() | F.col("ts").isNull()
+        )
+    )
+
+
+def events_stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+):
+    """Kafka variant of the event source (SURVEY §2.C scan_stream lists
+    file/Kafka/memory): value bytes -> JSON (:func:`parse_kafka_events`)
+    -> the same event schema the file source delivers. Rejects are
+    filtered here (divert them upstream via parse_kafka_events if a
+    dead-letter sink is wired).
+
+    Gated on :func:`kafka_available` — absent the connector this raises
+    an actionable error instead of Spark's ClassNotFoundException (the
+    file source covers the tested path in this container; this builder is
+    the production wiring)."""
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "Kafka connector not on the classpath; launch with "
+            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:"
+            f"{spark.version} (capability probe: kafka_available())"
+        )
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -464,6 +525,6 @@ def events_stream_kafka(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), event_schema).alias("e")
-    ).select("e.*")
+    return parse_kafka_events(raw).filter(~F.col("__reject")).drop(
+        "__reject", "raw_value", "topic", "partition", "offset", "kafka_ts"
+    )

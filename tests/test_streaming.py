@@ -846,3 +846,58 @@ def test_orc_scan_pushdown(spark, tmp_path):
     # column pruning: props/ts must not appear in the read schema
     read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "props" not in read_schema and "event_id" in read_schema
+
+
+def test_kafka_parse_contract_and_capability_gate(spark):
+    """The Kafka path's decode contract, tested WITHOUT the connector jar
+    (parse_kafka_events is a pure projection over the Kafka wire shape):
+    good JSON payloads land as file-source-schema event rows with
+    topic/partition/offset provenance; undecodable or key-less payloads
+    flag __reject (dead-letter posture) instead of vanishing. And the
+    stream builder is capability-gated: absent the jar it raises the
+    actionable --packages error, not a ClassNotFoundException."""
+    import datetime as dt
+    import json
+
+    import pytest as _pytest
+
+    from ltss_spark.streaming.ingest import (
+        events_stream_kafka,
+        kafka_available,
+        parse_kafka_events,
+    )
+
+    good = {
+        "event_id": 7,
+        "ts": "2024-03-01T10:00:00",
+        "user_id": 3,
+        "event_type": "click",
+        "value": 1.5,
+        "props": '{"a":1}',
+    }
+    keyless = dict(good, event_id=None)
+    kts = dt.datetime(2024, 3, 1, 10, 0, 5)
+    rows = [
+        ("t", 0, 100, kts, bytearray(json.dumps(good).encode())),
+        ("t", 0, 101, kts, bytearray(b"not json at all")),
+        ("t", 1, 102, kts, bytearray(json.dumps(keyless).encode())),
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "topic string, partition int, offset long, timestamp timestamp, value binary",
+    )
+    out = {r["offset"]: r for r in parse_kafka_events(raw).collect()}
+    ok = out[100]
+    assert not ok["__reject"]
+    assert (ok["event_id"], ok["user_id"], ok["event_type"], ok["value"]) == (
+        7, 3, "click", 1.5,
+    )
+    assert ok["ts"] == dt.datetime(2024, 3, 1, 10, 0, 0)
+    assert (ok["topic"], ok["partition"], ok["kafka_ts"]) == ("t", 0, kts)
+    assert out[101]["__reject"] and out[101]["raw_value"] == "not json at all"
+    assert out[102]["__reject"]  # decodable JSON but no event_id: dead-letter
+
+    if kafka_available(spark):  # pragma: no cover - jar not in this container
+        _pytest.skip("connector present; gate not exercisable")
+    with _pytest.raises(RuntimeError, match="--packages"):
+        events_stream_kafka(spark, "localhost:9092", "t")
