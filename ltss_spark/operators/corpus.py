@@ -585,6 +585,79 @@ def vocab_encode(
     )
 
 
+def token_budget_mix(
+    docs: DataFrame,
+    budget_tokens: int = 100_000,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled source mixing — the data-mixing step between a
+    multi-source corpus and a training run (the Pile/LLaMA recipe): each
+    source s gets a token quota ∝ t_s^alpha (alpha < 1 UPweights small
+    sources relative to proportional sampling), and documents fill their
+    source's quota in a deterministic pseudo-random order (md5(id) — the
+    same stable-order rule as mixture_sample / sample_stratified, so the
+    selection never depends on partitioning or RNG state).
+
+    Returns every doc with (n_tokens, cum_tokens, quota_tokens, selected)
+    so the mix is auditable, not just materialized.
+
+    Spark shape (scale-safe at 100 TB):
+    - per-doc token counts are a pure projection (size of the split — no
+      explode: the token VOLUME never shuffles, only one long per doc);
+    - per-source totals are one hash agg over |sources| groups; the
+      quota frame is KB-scale and broadcast back;
+    - the only window is PARTITIONED by source (the cumulative fill) —
+      no global ordering anywhere. Skew note: a source holding most of
+      the corpus makes its cumsum window the long pole; if that bites,
+      range-split the source on the md5 order and prefix-offset the
+      splits (the distributed_row_number pattern).
+    - quota arithmetic rounds the weight to 6 decimals and multiplies
+      under DECIMAL so engine-side float ulps cannot flip a floor()
+      (the transcendental-determinism rule).
+    """
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.size(_tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    totals = per_doc.groupBy("source").agg(F.sum("n_tokens").alias("t_s"))
+    z = totals.agg(F.sum(F.pow("t_s", F.lit(alpha))).alias("z"))
+    quotas = (
+        totals.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.floor(
+                F.round(F.pow("t_s", F.lit(alpha)) / F.col("z"), 6).cast(
+                    "decimal(18,6)"
+                )
+                * F.lit(budget_tokens)
+            )
+            .cast("bigint")
+            .alias("quota_tokens"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_doc.join(F.broadcast(quotas), "source")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "cum_tokens",
+            "quota_tokens",
+            (F.col("cum_tokens") <= F.col("quota_tokens")).alias("selected"),
+        )
+    )
+
+
 def dsum_int(arr_col: str):
     """BIGINT sum of an int-array column (aggregate over the array, not
     the rows — deterministic, oracle-friendly)."""

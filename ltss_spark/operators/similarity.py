@@ -1111,3 +1111,74 @@ def _cell_local_topk(
     ).applyInPandas(
         cell, f"vec_id {id_dt}, neighbor_id {id_dt}, cosine double"
     )
+
+
+def cluster_balance(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    per_cluster: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Topic-balanced corpus sampling over an embedding column: assign
+    every vector to its nearest of ``n_centroids`` anchor vectors (the
+    ``n_centroids`` smallest ids — deterministic and engine-reproducible,
+    where a k-means codebook would make the oracle chase float iteration
+    order), then keep each cluster's ``per_cluster`` most-central members.
+    The training-data use: cap any one dominant topic's share of a mix
+    (cluster-balanced selection), or pick per-topic exemplars for
+    inspection/eval.
+
+    Scale shape at 100 TB:
+    - the anchor frame is KB-scale (constant rows), broadcast; assignment
+      is ONE linear scan x C — the same bounded BroadcastNestedLoop shape
+      as the ANN probe entries, never vector x vector;
+    - the per-vector argmax and the per-cluster top-m are both
+      rank-filter windows Catalyst rewrites to WindowGroupLimit, so each
+      shuffle partition pre-truncates to m rows map-side — the
+      corpus-sized cluster membership never sorts through one reducer;
+    - cosines round to 6 BEFORE ranking with id tie-breaks (the
+      determinism rule every similarity operator here follows).
+    """
+    cents = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("c_nrm"),
+        )
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
+        .join(F.broadcast(cents), how="cross")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(
+                _dot(F.col("vec"), F.col("c_vec"))
+                / (F.col("nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        scored.withColumn("__a", F.row_number().over(aw))
+        .filter(F.col("__a") == 1)
+        .drop("__a")
+    )
+    cw = Window.partitionBy("centroid_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.withColumn("cluster_rank", F.row_number().over(cw).cast("int"))
+        .filter(F.col("cluster_rank") <= per_cluster)
+        .select("vec_id", "centroid_id", "cosine", "cluster_rank")
+    )

@@ -437,3 +437,48 @@ def bigram_logprob(
         "avg_logprob",
         F.round(F.exp(-F.col("avg_logprob")), 4).alias("ppl"),
     )
+
+
+def hybrid_rrf(
+    lexical: DataFrame,
+    dense: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of a lexical
+    ranking (BM25) and a dense ranking (embedding cosine) — the standard
+    hybrid-retrieval merge in RAG / training-data curation: rrf(d) =
+    Σ_lists 1/(c + rank_list(d)), robust to the two scorers' incomparable
+    scales because only RANKS enter the sum.
+
+    Inputs are two already-ranked frames each carrying (``id_col``,
+    ``rank``); a doc missing from one list contributes 0 for it. Both
+    rank sources are top-k bounded, so the fusion input is AT MOST
+    |lex_k| + |dense_k| rows regardless of corpus size — every join/window
+    here runs on a constant-sized frame; the corpus-scale work lives
+    inside the two upstream retrievers, which are separately scale-shaped
+    (bm25_topk: term-filtered TakeOrdered; cosine_topk: broadcast probe).
+
+    Determinism: the two reciprocal terms are added in a FIXED expression
+    order and rounded to 6 before ranking with id tie-break (same oracle
+    contract as every scorer in this module).
+    """
+    lex = lexical.select(F.col(id_col), F.col("rank").alias("lex_rank"))
+    den = dense.select(F.col(id_col), F.col("rank").alias("dense_rank"))
+    fused = lex.join(den, id_col, "full")
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(c) + F.col("lex_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(c) + F.col("dense_rank")), F.lit(0.0)
+        ),
+        6,
+    )
+    scored = fused.select(
+        id_col, "lex_rank", "dense_rank", rrf.alias("rrf_score")
+    )
+    top = scored.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

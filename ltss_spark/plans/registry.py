@@ -85,6 +85,10 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_cdc",
     "stream_dedup_near",
     "ext_importance_resample",
+    # --- new in round 7 (never driver-verified) ---
+    "ext_token_budget_mix",
+    "ext_cluster_balance",
+    "ext_hybrid_rrf",
     # --- least-recently-verified rotation: every r1-stale entry ---
     "agg_basic",
     "agg_collect",
@@ -130,9 +134,6 @@ _DRIVER_PRIORITY: list[str] = [
     # --- window top-up: the oldest r2-stale entries ---
     "ddl_migrate",
     "ext_fingerprint",
-    "ext_lang_dist",
-    "ext_langid",
-    "ext_multimodal_audio",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -150,6 +151,9 @@ _CHANGED_ENTRIES: set[str] = {
 # block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
     # --- latest driver row: round 2 ---
+    "ext_lang_dist",
+    "ext_langid",
+    "ext_multimodal_audio",
     "ext_multimodal_frames",
     "ext_multimodal_resize",
     "ext_text_quality",

@@ -646,6 +646,58 @@ def ext_sim_search_ivf(spark, sf_dir):
 
 
 @register(
+    "ext_cluster_balance",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    c AS (
+      SELECT vec_id AS centroid_id, e AS ce, nrm AS cnrm
+      FROM n ORDER BY vec_id LIMIT 8
+    ),
+    s AS (
+      SELECT n.vec_id, c.centroid_id,
+             round(list_dot_product(n.e, c.ce) / (n.nrm * c.cnrm), 6) AS cosine
+      FROM n, c
+    ),
+    a AS (
+      SELECT vec_id, centroid_id, cosine FROM (
+        SELECT vec_id, centroid_id, cosine,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC
+               ) AS arank
+        FROM s
+      ) WHERE arank = 1
+    )
+    SELECT vec_id, centroid_id, cosine, cluster_rank FROM (
+      SELECT vec_id, centroid_id, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY centroid_id ORDER BY cosine DESC, vec_id ASC
+             ) AS INT) AS cluster_rank
+      FROM a
+    ) WHERE cluster_rank <= 25
+    """,
+    survey="ext_sim_search win_rank fn_array (cluster-balanced sampling: nearest-anchor assignment + per-cluster top-m — topic balancing / per-topic exemplars for a training mix)",
+)
+def ext_cluster_balance(spark, sf_dir):
+    """Topic-balanced selection (operators/similarity.cluster_balance):
+    every embedding assigns to its nearest of 8 deterministic anchors
+    (the 8 smallest vec_ids), each cluster keeps its 25 most-central
+    members. One broadcast of the KB-scale anchor frame, one linear
+    assignment scan; both rank filters compile to WindowGroupLimit so no
+    cluster's membership ever sorts through one reducer. The oracle
+    recomputes assignment and per-cluster ranking exactly
+    (list_dot_product mirrors the fold arithmetic; round-6 before
+    ranking, id tie-breaks)."""
+    from ltss_spark.operators.similarity import cluster_balance
+
+    return cluster_balance(
+        _t(spark, sf_dir, "embeddings"), n_centroids=8, per_cluster=25
+    )
+
+
+@register(
     "ext_knn_join",
     """
     WITH v AS (
@@ -1772,6 +1824,95 @@ def ext_bm25(spark, sf_dir):
     return bm25_topk(_t(spark, sf_dir, "documents"), list(_BM25_TERMS), k=10)
 
 
+@register(
+    "ext_hybrid_rrf",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    base AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM d),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      FROM base WHERE term IN ({_BM25_TERM_LIST})
+      GROUP BY doc_id, term
+    ),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CAST(len(t) AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM d
+    ),
+    bm25 AS (
+      SELECT tf.doc_id,
+             round(CAST(SUM(CAST(round(
+               round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 8)
+               * (tf * (1.2 + 1.0)
+                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 9)
+             AS DECIMAL(38,9))) AS DOUBLE), 6) AS score
+      FROM tf JOIN dfc USING (term) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+               AS lex_rank
+      FROM bm25 ORDER BY score DESC, doc_id ASC LIMIT 25
+    ),
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id IN (SELECT doc_id FROM documents)
+    ),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    q AS (SELECT e AS qe, nrm AS qnrm FROM n WHERE vec_id = 0),
+    cos AS (
+      SELECT n.vec_id AS doc_id,
+             round(list_dot_product(n.e, q.qe) / (n.nrm * q.qnrm), 6) AS cosine
+      FROM n, q WHERE n.vec_id <> 0
+    ),
+    den AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS INT)
+               AS dense_rank
+      FROM cos ORDER BY cosine DESC, doc_id ASC LIMIT 25
+    ),
+    fused AS (
+      SELECT doc_id, lex_rank, dense_rank,
+             round(COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rank), 0)
+                   + COALESCE(CAST(1 AS DOUBLE) / (60 + dense_rank), 0), 6)
+               AS rrf_score
+      FROM lex FULL JOIN den USING (doc_id)
+    )
+    SELECT doc_id, lex_rank, dense_rank, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INT)
+             AS rank
+    FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+    """,
+    survey="ext_sim_search ext_text_stats join_full win_rank (hybrid retrieval: BM25 lexical + embedding cosine fused by reciprocal-rank — the RAG/curation merge)",
+)
+def ext_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval, end to end (operators/text.hybrid_rrf): the
+    lexical side is BM25 top-25 for the query {hash, join, vector}, the
+    dense side is exact cosine top-25 around document 0's embedding (the
+    corpus slice whose vec_ids are doc_ids), and the two rankings fuse by
+    reciprocal rank (c=60), top-10 out. The fusion input is bounded at
+    25+25 rows whatever the corpus size — all corpus-scale work happens
+    inside the two retrievers, each already scale-shaped. The oracle
+    recomputes BOTH retrievers and the fusion relationally; every rank
+    and every rrf term must match exactly."""
+    from ltss_spark.operators.similarity import cosine_topk
+    from ltss_spark.operators.text import bm25_topk, hybrid_rrf
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    lex = bm25_topk(docs, list(_BM25_TERMS), k=25).select("doc_id", "rank")
+    den = cosine_topk(corpus, corpus.filter(F.col("vec_id") == 0), k=25).select(
+        F.col("candidate_id").alias("doc_id"), "rank"
+    )
+    return hybrid_rrf(lex, den, k=10)
+
+
 _DSIR_ORACLE = f"""
     WITH base AS (
       SELECT doc_id, source IN ('src0', 'src1') AS is_target, text
@@ -1888,6 +2029,52 @@ def ext_vocab_encode(spark, sf_dir):
         "n_tokens",
         "id_checksum",
     )
+
+
+@register(
+    "ext_token_budget_mix",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    t AS (SELECT source, SUM(n_tokens) AS t_s FROM d GROUP BY source),
+    z AS (SELECT SUM(POW(t_s, 0.5)) AS z FROM t),
+    q AS (
+      SELECT source,
+             CAST(FLOOR(CAST(ROUND(POW(t_s, 0.5) / z, 6) AS DECIMAL(18,6))
+                        * 40000) AS BIGINT) AS quota_tokens
+      FROM t, z
+    ),
+    c AS (
+      SELECT d.doc_id, d.source, d.n_tokens,
+             SUM(d.n_tokens) OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens,
+             q.quota_tokens
+      FROM d JOIN q USING (source)
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens, quota_tokens,
+           cum_tokens <= quota_tokens AS selected
+    FROM c
+    """,
+    survey="agg_basic win_cumulative ext_text_stats (temperature-scaled source mixing: per-source token quotas ∝ t_s^alpha, deterministic md5-order fill — the Pile/LLaMA data-mixing step)",
+)
+def ext_token_budget_mix(spark, sf_dir):
+    """Training-mix token budgeting (operators/corpus.token_budget_mix):
+    each source's quota of a 40k-token budget is ∝ sqrt(its token mass)
+    (alpha=0.5 — upweights small sources vs proportional), and documents
+    fill the quota in stable md5 order. No explode (token counts are a
+    projection), totals are one |sources|-row agg broadcast back, the
+    only window is per-source cumulative — nothing global. Quota
+    arithmetic rounds the weight to 6 decimals and multiplies under
+    DECIMAL so a float ulp can't flip the floor; the oracle recomputes
+    every doc's cum/quota/selection exactly."""
+    from ltss_spark.operators.corpus import token_budget_mix
+
+    return token_budget_mix(_t(spark, sf_dir, "documents"), budget_tokens=40_000)
 
 
 @register(

@@ -294,6 +294,15 @@ def test_registry_wide_plan_audit(spark):
         # broadcast codebook cross join + the 1-row coverage/corpus-count
         # aggregates crossed onto the 3-row audit frame
         "ext_knn_join_ivf",
+        # broadcast of the KB-scale anchor frame (8 rows) onto the corpus
+        # scan — the same bounded probe shape as the ANN entries
+        "ext_cluster_balance",
+        # the 1-ROW weight-normalizer aggregate crossed onto the
+        # |sources|-row quota frame — bounded by construction
+        "ext_token_budget_mix",
+        # dense side = cosine_topk's broadcast probe (!= condition); the
+        # fusion itself joins two <=25-row frames
+        "ext_hybrid_rrf",
     }
     # streaming/sink entries run real side-effecting queries — covered by
     # their own tests
