@@ -1182,3 +1182,103 @@ def cluster_balance(
         .filter(F.col("cluster_rank") <= per_cluster)
         .select("vec_id", "centroid_id", "cosine", "cluster_rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space, then compare pairs ONLY
+    within a cluster — semantic near-dups land in the same cluster, so
+    the cross-cluster |V|^2 term is never paid. A vector is a duplicate
+    iff some SMALLER-id vector in its cluster exceeds ``threshold``
+    cosine (the deterministic keep-lowest rule standing in for the
+    paper's keep-random — same dedup pressure, engine-reproducible, and
+    it gives every duplicate a concrete witness: ``dup_of`` = the
+    smallest such neighbor).
+
+    Returns every vector: (vec_id, centroid_id, is_dup, dup_of).
+
+    Scale shape at 100 TB:
+    - assignment is the bounded broadcast-anchor scan (see
+      cluster_balance); anchors here are the ``n_centroids`` smallest
+      ids, deterministic where trained centroids would make the oracle
+      chase float iteration order;
+    - the pair stage is an EQUI-join on centroid_id (shuffle ∝ corpus,
+      both sides co-partitioned), never a cross join; per-cluster work
+      is |cluster|^2 — the paper's own cost model, controlled by scaling
+      n_centroids ∝ N so cluster size (and per-vector work) stays
+      constant;
+    - the witness aggregate (min smaller similar id) is one hash agg.
+    """
+    cents = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("c_nrm"),
+        )
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
+        .join(F.broadcast(cents), how="cross")
+        .select(
+            "vec_id",
+            "vec",
+            "nrm",
+            "centroid_id",
+            (
+                _dot(F.col("vec"), F.col("c_vec"))
+                / (F.col("nrm") * F.col("c_nrm"))
+            ).alias("cent_cos"),
+        )
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_cos").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        scored.withColumn("__a", F.row_number().over(aw))
+        .filter(F.col("__a") == 1)
+        .select("vec_id", "centroid_id", "vec", "nrm")
+        # feeds BOTH sides of the pair join and the final left join —
+        # cut the assignment pipeline so it is computed once
+        .localCheckpoint(eager=False)
+    )
+    x, y = assigned.alias("x"), assigned.alias("y")
+    witnesses = (
+        x.join(
+            y,
+            (F.col("x.centroid_id") == F.col("y.centroid_id"))
+            & (F.col("y.vec_id") < F.col("x.vec_id")),
+        )
+        .filter(
+            F.round(
+                _dot(F.col("x.vec"), F.col("y.vec"))
+                / (F.col("x.nrm") * F.col("y.nrm")),
+                6,
+            )
+            > threshold
+        )
+        .groupBy(F.col("x.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("y.vec_id")).alias("dup_of"))
+    )
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .join(witnesses, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )

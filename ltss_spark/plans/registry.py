@@ -89,6 +89,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_token_budget_mix",
     "ext_cluster_balance",
     "ext_hybrid_rrf",
+    "ext_dedup_semantic",
     # --- least-recently-verified rotation: every r1-stale entry ---
     "agg_basic",
     "agg_collect",
@@ -133,7 +134,6 @@ _DRIVER_PRIORITY: list[str] = [
     "win_rank",
     # --- window top-up: the oldest r2-stale entries ---
     "ddl_migrate",
-    "ext_fingerprint",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -151,6 +151,7 @@ _CHANGED_ENTRIES: set[str] = {
 # block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
     # --- latest driver row: round 2 ---
+    "ext_fingerprint",
     "ext_lang_dist",
     "ext_langid",
     "ext_multimodal_audio",

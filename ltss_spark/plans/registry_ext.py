@@ -698,6 +698,58 @@ def ext_cluster_balance(spark, sf_dir):
 
 
 @register(
+    "ext_dedup_semantic",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    c AS (
+      SELECT vec_id AS centroid_id, e AS ce, cnrm FROM (
+        SELECT vec_id, e, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 8
+      )
+    ),
+    a AS (
+      SELECT vec_id, centroid_id, e, nrm FROM (
+        SELECT n.vec_id, c.centroid_id, n.e, n.nrm,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.e, c.ce) / (n.nrm * c.cnrm) DESC,
+                          c.centroid_id ASC
+               ) AS arank
+        FROM n, c
+      ) WHERE arank = 1
+    ),
+    w AS (
+      SELECT x.vec_id, MIN(y.vec_id) AS dup_of
+      FROM a x JOIN a y
+        ON x.centroid_id = y.centroid_id AND y.vec_id < x.vec_id
+      WHERE round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6) > 0.35
+      GROUP BY x.vec_id
+    )
+    SELECT a.vec_id, a.centroid_id,
+           w.dup_of IS NOT NULL AS is_dup, w.dup_of
+    FROM a LEFT JOIN w USING (vec_id)
+    """,
+    survey="ext_dedup_near ext_sim_search join_inner agg_basic (SemDeDup: cluster-scoped semantic dedup — within-cluster pairs only, deterministic keep-lowest witness)",
+)
+def ext_dedup_semantic(spark, sf_dir):
+    """SemDeDup over the embeddings table (operators/similarity.
+    semantic_dedup): assign to 8 deterministic anchors, flag any vector
+    with a smaller-id same-cluster neighbor above 0.35 cosine, witness =
+    the smallest such neighbor. The pair stage is an equi-join on the
+    cluster key (the paper's trick: near-dups co-cluster, the
+    cross-cluster quadratic term is never computed); per-cluster cost is
+    the knob n_centroids ∝ N holds constant. The oracle recomputes
+    assignment, every within-cluster pair, and each witness exactly."""
+    from ltss_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), n_centroids=8, threshold=0.35
+    )
+
+
+@register(
     "ext_knn_join",
     """
     WITH v AS (
@@ -2048,11 +2100,11 @@ def ext_vocab_encode(spark, sf_dir):
     ),
     c AS (
       SELECT d.doc_id, d.source, d.n_tokens,
-             SUM(d.n_tokens) OVER (
+             CAST(SUM(d.n_tokens) OVER (
                PARTITION BY d.source
                ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS cum_tokens,
+             ) AS BIGINT) AS cum_tokens,
              q.quota_tokens
       FROM d JOIN q USING (source)
     )

@@ -1715,3 +1715,29 @@ def test_distributed_row_number_matches_global_window(spark):
 
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("__rank_pid" in s for s in specs)
+
+
+def test_semantic_dedup_witness_rule(spark):
+    """Hand-built geometry: vectors 0/1 are anchors of two clusters; 2 is
+    nearly parallel to 0 (same cluster, above threshold -> dup_of=0), 3 is
+    nearly parallel to 1 (dup of 1), 4 is in cluster 0 but dissimilar
+    (kept). The keep-lowest rule must flag exactly {2: 0, 3: 1}."""
+    from ltss_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),
+        (3, [0.01, 0.99, 0.0, 0.0]),
+        (4, [0.6, 0.0, 0.8, 0.0]),  # cluster 0, cosine 0.6 to anchor only
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["centroid_id"], r["is_dup"], r["dup_of"])
+        for r in semantic_dedup(df, n_centroids=2, threshold=0.9).collect()
+    }
+    assert out[0] == (0, False, None)
+    assert out[1] == (1, False, None)
+    assert out[2] == (0, True, 0)
+    assert out[3] == (1, True, 1)
+    assert out[4][0] == 0 and out[4][1] is False

@@ -303,6 +303,9 @@ def test_registry_wide_plan_audit(spark):
         # dense side = cosine_topk's broadcast probe (!= condition); the
         # fusion itself joins two <=25-row frames
         "ext_hybrid_rrf",
+        # broadcast anchor assignment (8 rows); the pair stage itself is
+        # an equi-join on centroid_id, audited below
+        "ext_dedup_semantic",
     }
     # streaming/sink entries run real side-effecting queries — covered by
     # their own tests
