@@ -222,3 +222,33 @@ def test_round5_operators_empty(spark, tmp_path):
 
     one = spark.createDataFrame([(1, "a b c", True)], "doc_id long, text string, t boolean")
     assert importance_resample(one, F.col("t")).count() == 0
+
+
+def test_round7_operators_empty(spark):
+    from ltss_spark.operators.corpus import token_budget_mix
+    from ltss_spark.operators.rank import distributed_row_number
+    from ltss_spark.operators.similarity import cluster_balance, semantic_dedup
+    from ltss_spark.operators.text import hybrid_rrf
+
+    docs = spark.createDataFrame([], "doc_id long, source string, text string")
+    out = token_budget_mix(docs)
+    assert out.count() == 0
+    assert out.columns == [
+        "doc_id", "source", "n_tokens", "cum_tokens", "quota_tokens", "selected",
+    ]
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert cluster_balance(emb).count() == 0
+    sd = semantic_dedup(emb)
+    assert sd.count() == 0
+    assert sd.columns == ["vec_id", "centroid_id", "is_dup", "dup_of"]
+
+    ranked = spark.createDataFrame([], "doc_id long, rank int")
+    assert hybrid_rrf(ranked, ranked).count() == 0
+
+    # distributed rank over an empty frame: no partitions, no offsets
+    e = spark.createDataFrame([], "id long, score double")
+    assert (
+        distributed_row_number(e, [F.col("score").desc(), F.col("id")]).count()
+        == 0
+    )
