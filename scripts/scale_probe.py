@@ -489,6 +489,65 @@ def main():
             results["knn_recall_vs_nprobe"][str(nprobe)] = round(hit / n_exact, 4)
             print(json.dumps({"nprobe": nprobe, "recall@5": hit / n_exact}))
 
+    # round-7 operators: each claims a linear scale shape — measured here.
+    # - token_budget_mix: projection + |sources| agg + per-source cumsum
+    # - cluster_balance / semantic_dedup: anchors scale C ∝ N (constant
+    #   cluster size), so assignment and within-cluster pair work are
+    #   both ∝ N by construction
+    # - distributed_row_number: range exchange + partitioned window —
+    #   the replacement for the single-reducer global rank
+    # - hybrid_rrf: fusion input is CONSTANT (k+k rows); the timed cost
+    #   is the two retrievers, each linear
+    if want("r7ops"):
+        from ltss_spark.operators.corpus import token_budget_mix
+        from ltss_spark.operators.rank import distributed_row_number
+        from ltss_spark.operators.similarity import (
+            cluster_balance,
+            cosine_topk,
+            semantic_dedup,
+        )
+        from ltss_spark.operators.text import bm25_topk, hybrid_rrf
+
+        results["r7_scaling"] = {}
+        token_budget_mix(warm, source_col="lang").count()  # warm
+        cluster_balance(emb1).count()
+        for factor in (1, 2, 4, 8):
+            docs = replicated_docs(spark, sf_dir, factor, base)
+            embsh = replicated_embeddings_shifted(spark, sf_dir, factor, base)
+            n = embsh.count()
+            c = max(8, n // 125)
+            row = {"n_docs": docs.count(), "n_vecs": n, "n_centroids": c}
+            row["mix_rows"], row["mix_sec"] = timed(
+                lambda: token_budget_mix(docs, source_col="lang").count()
+            )
+            row["cbal_rows"], row["cbal_sec"] = timed(
+                lambda: cluster_balance(embsh, n_centroids=c).count()
+            )
+            row["semdedup_rows"], row["semdedup_sec"] = timed(
+                lambda: semantic_dedup(embsh, n_centroids=c).count()
+            )
+            row["rank_rows"], row["rank_sec"] = timed(
+                lambda: distributed_row_number(
+                    docs.select(
+                        "doc_id", F.length("text").cast("long").alias("score")
+                    ),
+                    [F.col("score").desc(), F.col("doc_id").asc()],
+                ).count()
+            )
+
+            def _hybrid():
+                lex = bm25_topk(
+                    docs, ["hash", "join", "vector"], k=25
+                ).select("doc_id", "rank")
+                den = cosine_topk(
+                    embsh, embsh.filter(F.col("vec_id") == 0), k=25
+                ).select(F.col("candidate_id").alias("doc_id"), "rank")
+                return hybrid_rrf(lex, den, k=10).count()
+
+            row["hybrid_rows"], row["hybrid_sec"] = timed(_hybrid)
+            results["r7_scaling"][str(factor)] = row
+            print(json.dumps({factor: row}))
+
     # partial runs merge into the existing probe file: one new operator
     # family should not require re-timing (or losing) the whole suite
     if "all" not in sections and os.path.exists(out_json):
