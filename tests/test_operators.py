@@ -1741,3 +1741,42 @@ def test_semantic_dedup_witness_rule(spark):
     assert out[2] == (0, True, 0)
     assert out[3] == (1, True, 1)
     assert out[4][0] == 0 and out[4][1] is False
+
+
+def test_token_budget_mix_quota_maximality(spark):
+    """Contract: per source, the selected set fills the quota GREEDILY in
+    the md5 order — selected docs' tokens never exceed the quota, and the
+    first unselected doc (in fill order) would have pushed it over. Quotas
+    follow the alpha=0.5 temperature rule: a small source gets a larger
+    share than proportional."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from ltss_spark.operators.corpus import token_budget_mix
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        src = "big" if i < 270 else "small"  # 90/10 doc split
+        rows.append((i, src, " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(5, 40)))))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = token_budget_mix(docs, budget_tokens=2000).collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rws in by_src.items():
+        rws.sort(key=lambda r: r["cum_tokens"])
+        quota = rws[0]["quota_tokens"]
+        sel = [r for r in rws if r["selected"]]
+        unsel = [r for r in rws if not r["selected"]]
+        assert sum(r["n_tokens"] for r in sel) <= quota
+        if unsel:  # greedy maximality at the frontier
+            first_out = unsel[0]
+            assert sum(r["n_tokens"] for r in sel) + first_out["n_tokens"] > quota
+    # temperature: the small source's quota share exceeds its token share
+    tot = {s: sum(r["n_tokens"] for r in rws) for s, rws in by_src.items()}
+    q = {s: rws[0]["quota_tokens"] for s, rws in by_src.items()}
+    small_tok_share = tot["small"] / (tot["small"] + tot["big"])
+    small_quota_share = q["small"] / (q["small"] + q["big"])
+    assert small_quota_share > small_tok_share
