@@ -55,23 +55,34 @@ def distributed_row_number(
     order: list[Column],
     out_col: str = "rank",
     num_partitions: int | None = None,
+    single_task_threshold: int = 1_000_000,
 ) -> DataFrame:
     """``df`` + an ``out_col`` holding the 1-based global row_number under
     ``order`` (a list of Column sort expressions, e.g.
     ``[F.col("score").desc(), F.col("id").asc()]``). ``order`` MUST be a
     total order (end it with a unique key): equal keys straddling a range
     boundary would otherwise make local ranks ambiguous.
+
+    Adaptive, like a broadcast-join threshold: below
+    ``single_task_threshold`` rows the plain global window is CHEAPER
+    (the two-pass machinery is ~5 sequential jobs of fixed overhead) and
+    perfectly safe — a bounded row set through one reducer is exactly
+    the case the scale rule permits. Above it, the two-pass path takes
+    over. Both paths produce bit-identical output (the order is total),
+    so the switch is an execution decision, not a semantic one. The
+    input is materialized either way — the count that drives the switch
+    and (on the distributed path) the range-boundary sampling job must
+    not re-evaluate an expensive upstream pipeline (measured: the DSIR
+    score pipeline at 6.9 s when sampled uncached vs 2.0 s cached).
     """
     spark = df.sparkSession
     parts = num_partitions or spark.sparkContext.defaultParallelism
-    # materialize the INPUT first: repartitionByRange runs a separate
-    # range-boundary SAMPLING job over its child before the exchange, so
-    # an uncached upstream pipeline would execute twice (measured: the
-    # DSIR score pipeline at 6.9 s vs 1.5 s). The ranked frame is
-    # checkpointed again after the window because the boundary sampling
-    # is not recompute-stable and the offset join below must see the
-    # exact partition assignment the counts saw.
     df = df.localCheckpoint()
+    if df.count() <= single_task_threshold:
+        w = Window.orderBy(*order)
+        return df.withColumn(
+            out_col, F.row_number().over(w).cast("int")
+        )
     local = _local_ranked(df, order, parts).localCheckpoint()
     counts = (
         local.groupBy(_PID)

@@ -161,11 +161,14 @@ def stream_dedup_near_q(spark, sf_dir):
     signature store is seeded with 60% of the corpus, the remaining docs
     arrive as TWO micro-batches (one file each, modification-time
     ordered), and each batch is flagged against the store AS IT STOOD —
-    so batch 2 sees batch 1's documents but not vice versa. The oracle
-    reproduces the visibility boundary exactly: a streamed doc is
-    dup_of_earlier iff it shares an LSH band bucket with any doc of a
-    strictly earlier batch (store for batch 1; store ∪ batch 1 for
-    batch 2)."""
+    so batch 2 sees batch 1's documents but not vice versa. The store is
+    hash-bucket partitioned on the signature key and each probe reads
+    only the batch's own buckets (n_buckets=16 here — the LAYOUT knob: a
+    100 TB store uses more buckets for finer pruning; locally fewer
+    buckets bound the per-batch file churn). The oracle reproduces the
+    visibility boundary exactly: a streamed doc is dup_of_earlier iff it
+    shares an LSH band bucket with any doc of a strictly earlier batch
+    (store for batch 1; store ∪ batch 1 for batch 2)."""
     import glob as g
     import os
     import shutil
@@ -182,7 +185,7 @@ def stream_dedup_near_q(spark, sf_dir):
     src, store, out, ckpt = (f"{base}/{d}" for d in ("src", "store", "out", "ckpt"))
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     m = F.col("doc_id") % 10
-    seed_signature_store(band_signatures(docs.filter(m < 6)), store)
+    seed_signature_store(band_signatures(docs.filter(m < 6)), store, n_buckets=16)
     os.makedirs(src, exist_ok=True)
     now = 1_700_000_000
     for i, (fname, part) in enumerate(
@@ -193,7 +196,7 @@ def stream_dedup_near_q(spark, sf_dir):
         shutil.move(g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/{fname}")
         shutil.rmtree(f"{src}/__tmp")
         os.utime(f"{src}/{fname}", (now + 600 * i, now + 600 * i))
-    run_streaming_near_dup(spark, src, store, out, ckpt)
+    run_streaming_near_dup(spark, src, store, out, ckpt, n_buckets=16)
     return spark.read.parquet(out)
 
 

@@ -59,10 +59,14 @@ def seed_signature_store(
     sigs: DataFrame, store_path: str, n_buckets: int = 64
 ) -> None:
     """Write a pre-existing corpus's band signatures as the initial store
-    in the bucketed layout the stream probe prunes on."""
-    _with_sig_bucket(sigs, n_buckets).write.mode("error").partitionBy(
-        SIG_BUCKET_COL
-    ).parquet(store_path)
+    in the bucketed layout the stream probe prunes on. Repartitioned on
+    the bucket column first: partitionBy alone writes one file per
+    (task x bucket) — up to cores x N tiny files — where clustering
+    buckets into tasks bounds the file count by the touched buckets."""
+    bucketed = _with_sig_bucket(sigs, n_buckets)
+    bucketed.repartition(F.col(SIG_BUCKET_COL)).write.mode(
+        "error"
+    ).partitionBy(SIG_BUCKET_COL).parquet(store_path)
 
 
 def _pruned_store(
@@ -134,8 +138,13 @@ def run_streaming_near_dup(
             out = out.select("doc_id", F.lit(False).alias("dup_of_earlier"))
         out.write.mode("append").parquet(out_path)
         # visibility boundary: the batch's own signatures enter the store
-        # AFTER its verdicts are written
-        sigs.write.mode("append").partitionBy(SIG_BUCKET_COL).parquet(store_path)
+        # AFTER its verdicts are written. Repartition on the bucket column
+        # so the append lands ONE file per touched bucket, not one per
+        # (task x bucket) — micro-batches are small and frequent, and
+        # uncontrolled file counts are their own 100 TB failure mode.
+        sigs.repartition(F.col(SIG_BUCKET_COL)).write.mode("append").partitionBy(
+            SIG_BUCKET_COL
+        ).parquet(store_path)
 
     q = (
         spark.readStream.schema(schema)

@@ -1694,8 +1694,15 @@ def test_distributed_row_number_matches_global_window(spark):
     order = [F.col("score").desc(), F.col("id").asc()]
     got = {
         r["id"]: r["rank"]
-        for r in distributed_row_number(df, order, num_partitions=7).collect()
+        for r in distributed_row_number(
+            df, order, num_partitions=7, single_task_threshold=0
+        ).collect()
     }
+    # the adaptive small path must agree too (bit-identical by contract)
+    small = {
+        r["id"]: r["rank"] for r in distributed_row_number(df, order).collect()
+    }
+    assert small == got
     want = {
         r["id"]: r["rank"]
         for r in df.withColumn(
