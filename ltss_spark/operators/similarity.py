@@ -1190,6 +1190,7 @@ def semantic_dedup(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    score: str = "fold",
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1215,6 +1216,15 @@ def semantic_dedup(
       n_centroids ∝ N so cluster size (and per-vector work) stays
       constant;
     - the witness aggregate (min smaller similar id) is one hash agg.
+
+    ``score`` picks the pair-scoring engine, the same trade as knn_join:
+    ``'fold'`` (default) keeps pure zip_with expressions — bit-identical
+    to the DuckDB list_dot_product oracle, which is why the registered
+    entry uses it; ``'arrow'`` runs ONE |cluster| x |cluster| numpy
+    matmul per cluster (applyInPandas) — the shape a 100 TB deployment
+    runs, since the interpreted fold pays per pair. Matmul summation
+    order can differ from the fold in the last ulp pre-round, so the
+    arrow path is verified by equivalence tests, not value-hash oracles.
     """
     cents = (
         corpus.orderBy(F.col(id_col).asc())
@@ -1254,6 +1264,11 @@ def semantic_dedup(
         # cut the assignment pipeline so it is computed once
         .localCheckpoint(eager=False)
     )
+    if score == "arrow":
+        id_dt = corpus.schema[id_col].dataType.simpleString()
+        return _cluster_witness_arrow(assigned, threshold, id_dt)
+    if score != "fold":
+        raise ValueError(f"score must be fold|arrow, got {score!r}")
     x, y = assigned.alias("x"), assigned.alias("y")
     witnesses = (
         x.join(
@@ -1280,5 +1295,50 @@ def semantic_dedup(
             "centroid_id",
             F.col("dup_of").isNotNull().alias("is_dup"),
             "dup_of",
+        )
+    )
+
+
+def _cluster_witness_arrow(
+    assigned: DataFrame, threshold: float, id_dt: str
+) -> DataFrame:
+    """semantic_dedup's arrow scorer: one numpy matmul per cluster instead
+    of an interpreted fold per pair. Each group is one inverted cluster
+    (bounded by the C ∝ N deployment rule); rows sort by id inside the
+    kernel so 'first True along the strict lower triangle' IS the minimum
+    smaller similar id. Cosines round to 6 before the threshold compare,
+    mirroring the fold path's determinism contract (summation order can
+    still differ in the last pre-round ulp — equivalence-tested, not
+    value-hash-oracled)."""
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        nrm = pdf["nrm"].to_numpy()
+        cos = np.round((V @ V.T) / np.outer(nrm, nrm), 6)
+        ids = pdf["vec_id"].to_numpy()
+        hit = np.tril(cos > threshold, k=-1)  # strict lower: only j < i
+        any_hit = hit.any(axis=1)
+        first = hit.argmax(axis=1)
+        dup_of = pd.array(
+            [ids[j] if h else None for h, j in zip(any_hit, first)],
+            dtype="Int64",
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "centroid_id": pdf["centroid_id"].to_numpy(),
+                "is_dup": any_hit,
+                "dup_of": dup_of,
+            }
+        )
+
+    return (
+        assigned.select("vec_id", "centroid_id", "vec", "nrm")
+        .groupBy("centroid_id")
+        .applyInPandas(
+            cell,
+            f"vec_id {id_dt}, centroid_id {id_dt}, is_dup boolean, "
+            f"dup_of {id_dt}",
         )
     )

@@ -1787,3 +1787,20 @@ def test_token_budget_mix_quota_maximality(spark):
     small_tok_share = tot["small"] / (tot["small"] + tot["big"])
     small_quota_share = q["small"] / (q["small"] + q["big"])
     assert small_quota_share > small_tok_share
+
+
+def test_semantic_dedup_arrow_equals_fold(spark):
+    """The arrow (per-cluster matmul) scorer must agree with the fold
+    (expression) scorer row-for-row on the fixture — same assignment, same
+    witnesses, same flags."""
+    from ltss_spark.operators.similarity import semantic_dedup
+    from ltss_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    key = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], r["centroid_id"], r["is_dup"], r["dup_of"])
+        for r in df.collect()
+    )
+    fold = key(semantic_dedup(emb, score="fold"))
+    arrow = key(semantic_dedup(emb, score="arrow"))
+    assert fold == arrow
