@@ -703,3 +703,78 @@ def ewma(
         "x",
         F.round(num.cast("double") / den.cast("double"), 6).alias("ewma"),
     )
+
+
+def seasonal_anomaly(
+    events: DataFrame,
+    time_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id",),
+    value_col: str = "value",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection — the sensor-monitoring query
+    robust_outliers can't answer: a value normal at 14:00 may be anomalous
+    at 03:00, so each point compares against the mean/stddev of ITS OWN
+    (key, hour-of-day) stratum rather than the key's global distribution
+    (the seasonal-naive baseline; hour-of-day is the dominant cycle for
+    home/sensor telemetry).
+
+    Determinism contract (oracle value-hashes every z): the stratum sums
+    are EXACT decimal aggregates (order-free); mean/stddev derive from
+    them in a fixed double expression rounded to 6; z rounds to 6 before
+    the threshold compare. A zero/one-sample stratum can't score: sd=0
+    falls back to 'anomalous iff v differs from the stratum mean' (the
+    robust_outliers convention), n=1 strata flag nothing.
+
+    Scale shape: one hash agg to a |keys| x 24 baseline frame (KB-scale,
+    broadcast back onto the event scan — the events never shuffle), pure
+    projection after the join.
+    """
+    hod = F.hour(F.col(time_col)).alias("hod")
+    v = F.col(value_col)
+    base = (
+        events.groupBy(*key_cols, hod)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v.cast("decimal(38,6)")).alias("s"),
+            F.sum((v * v).cast("decimal(38,6)")).alias("s2"),
+        )
+        .select(
+            *key_cols,
+            "hod",
+            "n",
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("mean"),
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    F.sqrt(
+                        F.greatest(
+                            F.lit(0.0),
+                            (
+                                F.col("s2").cast("double")
+                                - F.col("s").cast("double")
+                                * F.col("s").cast("double")
+                                / F.col("n")
+                            )
+                            / (F.col("n") - 1),
+                        )
+                    ),
+                    6,
+                ),
+            ).alias("sd"),
+        )
+    )
+    z = F.when(
+        F.col("sd") > 0.0, F.round((v - F.col("mean")) / F.col("sd"), 6)
+    )
+    flag = (
+        F.when(F.col("sd").isNull(), F.lit(False))
+        .when(F.col("sd") == 0.0, v != F.col("mean"))
+        .otherwise(F.abs(z) > F.lit(z_threshold))
+    )
+    return (
+        events.withColumn("hod", F.hour(F.col(time_col)))
+        .join(F.broadcast(base), [*key_cols, "hod"])
+        .withColumn("z", z)
+        .withColumn("is_anomalous", flag)
+    )

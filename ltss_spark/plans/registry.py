@@ -90,6 +90,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_cluster_balance",
     "ext_hybrid_rrf",
     "ext_dedup_semantic",
+    "ts_seasonal_anomaly",
     # --- least-recently-verified rotation: every r1-stale entry ---
     "agg_basic",
     "agg_collect",
@@ -132,8 +133,6 @@ _DRIVER_PRIORITY: list[str] = [
     "win_frame",
     "win_range_frame",
     "win_rank",
-    # --- window top-up: the oldest r2-stale entries ---
-    "ddl_migrate",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -151,6 +150,7 @@ _CHANGED_ENTRIES: set[str] = {
 # block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
     # --- latest driver row: round 2 ---
+    "ddl_migrate",
     "ext_fingerprint",
     "ext_lang_dist",
     "ext_langid",

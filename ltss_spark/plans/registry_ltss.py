@@ -1004,6 +1004,60 @@ def ts_outliers_q(spark, sf_dir):
 
 
 @register(
+    "ts_seasonal_anomaly",
+    """
+    WITH base AS (
+      SELECT user_id, CAST(hour(ts) AS INT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(38,6))) AS s,
+             SUM(CAST(value * value AS DECIMAL(38,6))) AS s2
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT user_id, hod, n,
+             round(CAST(s AS DOUBLE) / n, 6) AS mean,
+             CASE WHEN n > 1 THEN
+               round(sqrt(greatest(0.0,
+                 (CAST(s2 AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))), 6)
+             END AS sd
+      FROM base
+    ),
+    scored AS (
+      SELECT e.event_id, e.user_id, st.hod, e.value, st.n, st.mean, st.sd,
+             CASE WHEN st.sd > 0.0
+                  THEN round((e.value - st.mean) / st.sd, 6) END AS z
+      FROM events e
+      JOIN stats st ON e.user_id = st.user_id
+                   AND CAST(hour(e.ts) AS INT) = st.hod
+    )
+    SELECT event_id, user_id, hod, value, n, mean, sd, z,
+           CASE WHEN sd IS NULL THEN FALSE
+                WHEN sd = 0.0 THEN value <> mean
+                ELSE abs(z) > 3.0 END AS is_anomalous
+    FROM scored
+    """,
+    survey="agg_basic join_broadcast fn_date fn_math B3 (seasonal-baseline anomaly flags: per (key, hour-of-day) mean/stddev z-scores — the 'normal at 14:00, anomalous at 03:00' monitoring query)",
+)
+def ts_seasonal_anomaly_q(spark, sf_dir):
+    """Seasonal anomaly detection (operators/timeseries.seasonal_anomaly):
+    every event z-scores against its own (user, hour-of-day) stratum's
+    mean/stddev — the diurnal-cycle-aware complement to ts_outliers'
+    global per-key median/MAD. Stratum sums are exact decimal aggregates,
+    mean/sd derive in a fixed double expression rounded to 6, z rounds
+    before the 3-sigma compare; the |keys| x 24 baseline broadcasts back
+    so the event scan never shuffles. The oracle recomputes every stratum
+    and every z exactly."""
+    from ltss_spark.operators.timeseries import seasonal_anomaly
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return seasonal_anomaly(e).select(
+        "event_id", "user_id", "hod", "value", "n", "mean", "sd", "z",
+        "is_anomalous",
+    )
+
+
+@register(
     "ts_histogram",
     f"""
     WITH {_STATES_CTE},
