@@ -1804,3 +1804,54 @@ def test_semantic_dedup_arrow_equals_fold(spark):
     fold = key(semantic_dedup(emb, score="fold"))
     arrow = key(semantic_dedup(emb, score="arrow"))
     assert fold == arrow
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _RANK_ROWS = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=-3, max_value=3),  # heavy score ties
+        ),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[0],
+    )
+
+    @given(rows=_RANK_ROWS, parts=st.integers(min_value=1, max_value=9))
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_distributed_rank_property(spark, rows, parts):
+        """Property: for ANY frame with a unique tie-break and ANY
+        partition count, the two-pass distributed rank equals the global
+        window rank exactly."""
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        from ltss_spark.operators.rank import distributed_row_number
+
+        df = spark.createDataFrame(
+            [(i, float(s)) for i, s in rows], "id long, score double"
+        )
+        order = [F.col("score").desc(), F.col("id").asc()]
+        got = {
+            r["id"]: r["rank"]
+            for r in distributed_row_number(
+                df, order, num_partitions=parts, single_task_threshold=0
+            ).collect()
+        }
+        want = {
+            r["id"]: r["rank"]
+            for r in df.withColumn(
+                "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
+            ).collect()
+        }
+        assert got == want
+
+except ImportError:  # hypothesis not installed — the fixed test above runs
+    pass
