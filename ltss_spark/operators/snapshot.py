@@ -368,3 +368,36 @@ def make_snapshot_sink(path: str, app_id: str):
         commit(batch, path, mode="append", txn=(app_id, int(epoch_id)))
 
     return sink
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE — small-file compaction as a table version (the Delta
+    ``OPTIMIZE`` / Iceberg rewrite_data_files analogue): rewrite the
+    LATEST version's live rows into ``target_files`` files and commit the
+    result as a NEW version with ``mode='overwrite'``. Content-identical
+    by construction; what changes is the physical layout.
+
+    Why this composes for free with the manifest design:
+    - snapshot isolation — a reader pinned to any prior version keeps
+      reading its own immutable directories while the rewrite lands;
+    - O(1) un-optimize — ``rollback`` flips the manifest pointer back;
+    - GC — the small files are reclaimed later by ``expire``, exactly
+      like any other dead version.
+
+    The rewrite uses ``coalesce`` (partition merge, NO shuffle): a
+    compaction moves bytes, it should not also re-hash them. The trade is
+    Spark's: coalesced files inherit upstream partition sizes rather than
+    being bin-packed equal; a deployment sizes ``target_files`` from
+    table bytes / desired file size (128-512 MB at 100 TB — thousands of
+    files, not one). Passing ``stats_cols`` re-records zone maps for the
+    compacted directory so manifest pruning keeps working post-OPTIMIZE.
+    """
+    if target_files < 1:
+        raise ValueError(f"target_files must be >= 1, got {target_files}")
+    compacted = read_version(spark, path).coalesce(target_files)
+    return commit(compacted, path, mode="overwrite", stats_cols=stats_cols)

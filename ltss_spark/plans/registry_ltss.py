@@ -2071,6 +2071,36 @@ def sink_versioned_q(spark, sf_dir):
 
 
 @register(
+    "sink_optimize",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+    survey="sink_append sink_compact A12 (OPTIMIZE: small-file compaction committed as a table version — content identical, layout collapsed, O(1) un-optimize via rollback)",
+)
+def sink_optimize_q(spark, sf_dir):
+    """Small-file compaction on the versioned sink (operators/snapshot.
+    optimize_table — the Delta OPTIMIZE analogue): three append commits
+    accumulate many small files across three live directories, then the
+    rewrite coalesces (no shuffle — a compaction moves bytes, it should
+    not re-hash them) the whole table into one directory committed as a
+    NEW version. The returned latest read must hash-equal the full
+    union — compaction may never change content — while snapshot
+    isolation keeps every pre-OPTIMIZE version readable until expire();
+    the file-count collapse and rollback-undo are pinned in
+    tests/test_snapshot.py."""
+    from ltss_spark.operators.snapshot import commit, optimize_table, read_version
+
+    base = scratch_dir("ltss_optimize")
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    for m in range(3):
+        commit(e.filter(F.col("event_id") % 3 == m), base, mode="append")
+    optimize_table(spark, base, target_files=1)
+    return read_version(spark, base)
+
+
+@register(
     "sink_version_diff",
     """
     SELECT event_id, user_id, value, 'insert' AS _change

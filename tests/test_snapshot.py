@@ -247,3 +247,36 @@ def test_zone_map_date_and_decimal_stats(spark, tmp_path):
     with pytest.raises(ValueError, match="non-orderable"):
         commit(bad, p2, stats_cols=["arr"])
     assert not os.path.exists(p2)
+
+
+def test_optimize_compacts_files_preserves_content(spark, tmp_path):
+    """OPTIMIZE: the compacted version holds identical rows in fewer
+    files; pre-OPTIMIZE versions stay readable (snapshot isolation);
+    rollback un-optimizes with no data movement; expire reclaims the
+    small files; zone maps re-record for the compacted directory."""
+    from ltss_spark.operators.snapshot import expire, optimize_table
+
+    p = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        commit(
+            _slice(spark, lo, lo + 100).repartition(8), p, stats_cols=["k"]
+        )
+    before = read_version(spark, p)
+    n_files_before = len(before.inputFiles())
+    assert n_files_before >= 24  # 3 commits x 8 files
+    v4 = optimize_table(spark, p, target_files=2, stats_cols=["k"])
+    after = read_version(spark, p)
+    assert len(after.inputFiles()) <= 2
+    assert sorted(r.k for r in after.collect()) == list(range(300))
+    # snapshot isolation: the pre-OPTIMIZE version still reads its files
+    assert read_version(spark, p, v4 - 1).count() == 300
+    # zone maps survive compaction: pruning still plans from the manifest
+    pruned = read_version(spark, p, prune=("k", 500, 600))
+    assert pruned.count() == 0
+    # O(1) un-optimize
+    rollback(p, v4 - 1)
+    assert len(read_version(spark, p).inputFiles()) == n_files_before
+    # GC: after re-optimizing and expiring, the small-file dirs are gone
+    v6 = optimize_table(spark, p, target_files=1)
+    expire(p, keep_last=1)
+    assert read_version(spark, p, v6).count() == 300
