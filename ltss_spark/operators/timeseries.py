@@ -778,3 +778,70 @@ def seasonal_anomaly(
         .withColumn("z", z)
         .withColumn("is_anomalous", flag)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str = "start",
+    l_end: str = "end",
+    r_start: str = "w_start",
+    r_end: str = "w_end",
+    unit: str = "day",
+) -> DataFrame:
+    """Interval OVERLAP join — ``l.start < r.end AND r.start < l.end``
+    (both ends exclusive) — executed as a time-grid bucket EQUI-join +
+    exact post-filter, the 1-D analogue of geo_bbox_join's grid trick:
+    every interval fans out to the ``unit`` buckets it touches, two
+    overlapping intervals necessarily share at least one bucket, so the
+    equi-join finds every true pair; the exact predicate removes
+    same-bucket non-overlaps and ``distinct`` collapses pairs that share
+    several buckets. Returns all columns of both inputs plus
+    ``overlap_micros``.
+
+    Why not the theta join: Catalyst can only execute an inequality-only
+    join as BroadcastNestedLoop/cartesian — |L| x |R| comparisons. The
+    bucket form shuffles both sides on the bucket key instead: work is
+    ∝ Σ interval-days + true pairs, and skew follows LONG intervals
+    (they fan out to many buckets) — at 100 TB pick ``unit`` near the
+    median interval length, and split-or-cap degenerate open-ended
+    intervals before joining (the same knob as the spatial grid cell
+    size). Every column expression here is codegen; the only Python is
+    plan construction.
+    """
+    lb = left.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.date_trunc(unit, F.col(l_start)),
+                F.date_trunc(
+                    unit, F.col(l_end) - F.expr("INTERVAL 1 MICROSECOND")
+                ),
+                F.expr(f"INTERVAL 1 {unit}"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.date_trunc(unit, F.col(r_start)),
+                F.date_trunc(
+                    unit, F.col(r_end) - F.expr("INTERVAL 1 MICROSECOND")
+                ),
+                F.expr(f"INTERVAL 1 {unit}"),
+            )
+        ),
+    )
+    overlap = F.unix_micros(
+        F.least(F.col(l_end), F.col(r_end))
+    ) - F.unix_micros(F.greatest(F.col(l_start), F.col(r_start)))
+    return (
+        lb.join(rb, "__b")
+        .filter(
+            (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+        )
+        .drop("__b")
+        .distinct()
+        .withColumn("overlap_micros", overlap)
+    )

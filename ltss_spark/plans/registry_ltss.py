@@ -1004,6 +1004,74 @@ def ts_outliers_q(spark, sf_dir):
 
 
 @register(
+    "join_interval",
+    f"""
+    WITH {_STATES_CTE},
+    iv AS (
+      SELECT entity_id, time AS i_start,
+             lead(time) OVER (PARTITION BY entity_id
+                              ORDER BY time, event_id) AS i_end
+      FROM states
+    ),
+    iv2 AS (
+      SELECT entity_id, i_start, i_end FROM iv
+      WHERE i_end IS NOT NULL AND i_end > i_start
+    ),
+    w AS (
+      SELECT DISTINCT
+             date_trunc('day', time) + INTERVAL 2 HOUR AS w_start,
+             date_trunc('day', time) + INTERVAL 3 HOUR AS w_end
+      FROM states
+    )
+    SELECT entity_id, i_start, i_end, w_start, w_end,
+           CAST(epoch_us(least(i_end, w_end))
+                - epoch_us(greatest(i_start, w_start)) AS BIGINT)
+             AS overlap_micros
+    FROM iv2 JOIN w ON i_start < w_end AND w_start < i_end
+    """,
+    survey="join_range join_theta fn_date B4 (interval OVERLAP join: time-grid bucket equi-join + exact post-filter — never a nested loop; 'which state intervals crossed each maintenance window')",
+)
+def join_interval_q(spark, sf_dir):
+    """Interval overlap join (operators/timeseries.interval_overlap_join):
+    state validity intervals x daily 02:00-03:00 maintenance windows,
+    pairs where the ranges truly overlap plus the overlap duration. The
+    plan is the 1-D grid trick — both interval sets fan out to the day
+    buckets they touch and equi-join on the bucket (shuffle ∝
+    interval-days), with the exact range predicate as a post-filter;
+    Catalyst's only native strategy for the pure inequality join is a
+    nested loop. The oracle runs that very theta join relationally —
+    identical pairs and identical overlap micros prove the bucket
+    rewrite sound."""
+    from pyspark.sql import Window
+
+    from ltss_spark.operators.timeseries import interval_overlap_join
+
+    states = states_from_events(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("entity_id").orderBy("time", "event_id")
+    iv = (
+        states.select(
+            "entity_id",
+            F.col("time").alias("i_start"),
+            F.lead("time").over(w).alias("i_end"),
+        )
+        .filter(F.col("i_end").isNotNull() & (F.col("i_end") > F.col("i_start")))
+    )
+    windows = states.select(
+        (F.date_trunc("day", "time") + F.expr("INTERVAL 2 HOUR")).alias(
+            "w_start"
+        ),
+        (F.date_trunc("day", "time") + F.expr("INTERVAL 3 HOUR")).alias(
+            "w_end"
+        ),
+    ).distinct()
+    return interval_overlap_join(
+        iv, windows, l_start="i_start", l_end="i_end"
+    ).select(
+        "entity_id", "i_start", "i_end", "w_start", "w_end", "overlap_micros"
+    )
+
+
+@register(
     "ts_seasonal_anomaly",
     """
     WITH base AS (
