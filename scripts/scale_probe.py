@@ -23,6 +23,7 @@ import uuid
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import Window  # noqa: E402
 
 
 def replicated_docs(spark, sf_dir, factor, base_dir, tag=""):
@@ -545,6 +546,41 @@ def main():
                 return hybrid_rrf(lex, den, k=10).count()
 
             row["hybrid_rows"], row["hybrid_sec"] = timed(_hybrid)
+            # late-r7 ops over the replicated state/event tables:
+            # - seasonal_anomaly: one hash agg to |keys| x 24 + broadcast
+            # - interval_overlap_join: shuffle ∝ interval-days
+            from ltss_spark.operators.timeseries import (
+                interval_overlap_join,
+                seasonal_anomaly,
+            )
+
+            states = replicated_states(spark, sf_dir, factor, base)
+            ev = states.select(
+                F.monotonically_increasing_id().alias("event_id"),
+                F.col("entity_id").alias("user_id"),
+                F.col("time").alias("ts"),
+                F.coalesce(
+                    F.expr("try_cast(state AS DOUBLE)"), F.lit(0.0)
+                ).alias("value"),
+            )
+            row["anomaly_rows"], row["anomaly_sec"] = timed(
+                lambda: seasonal_anomaly(ev).count()
+            )
+            wspec = Window.partitionBy("entity_id").orderBy("time")
+            iv = states.select(
+                "entity_id",
+                F.col("time").alias("i_start"),
+                F.lead("time").over(wspec).alias("i_end"),
+            ).filter(F.col("i_end") > F.col("i_start"))
+            wins = states.select(
+                (F.date_trunc("day", "time") + F.expr("INTERVAL 2 HOUR")).alias("w_start"),
+                (F.date_trunc("day", "time") + F.expr("INTERVAL 3 HOUR")).alias("w_end"),
+            ).distinct()
+            row["ivjoin_rows"], row["ivjoin_sec"] = timed(
+                lambda: interval_overlap_join(
+                    iv, wins, l_start="i_start", l_end="i_end"
+                ).count()
+            )
             results["r7_scaling"][str(factor)] = row
             print(json.dumps({factor: row}))
 
