@@ -1221,10 +1221,15 @@ def semantic_dedup(
     ``'fold'`` (default) keeps pure zip_with expressions — bit-identical
     to the DuckDB list_dot_product oracle, which is why the registered
     entry uses it; ``'arrow'`` runs ONE |cluster| x |cluster| numpy
-    matmul per cluster (applyInPandas) — the shape a 100 TB deployment
-    runs, since the interpreted fold pays per pair. Matmul summation
-    order can differ from the fold in the last ulp pre-round, so the
-    arrow path is verified by equivalence tests, not value-hash oracles.
+    matmul per cluster (applyInPandas). MEASURED crossover (probe,
+    dim=64): at the C ∝ N deployment rule's ~125-vector clusters the
+    fold is FASTER (1.4 vs 1.9 s at 8×) — the Arrow cogroup round trip
+    outweighs a tiny matmul; arrow pays off when per-cluster pair volume
+    is large (big clusters, high dim — the regime where knn_join's same
+    kernel measured 6.9 → 1.9 s). Pick by cluster size, not by habit.
+    Matmul summation order can differ from the fold in the last ulp
+    pre-round, so the arrow path is verified by equivalence tests, not
+    value-hash oracles.
     """
     cents = (
         corpus.orderBy(F.col(id_col).asc())

@@ -527,6 +527,11 @@ def main():
             row["semdedup_rows"], row["semdedup_sec"] = timed(
                 lambda: semantic_dedup(embsh, n_centroids=c).count()
             )
+            _, row["semdedup_arrow_sec"] = timed(
+                lambda: semantic_dedup(
+                    embsh, n_centroids=c, score="arrow"
+                ).count()
+            )
             row["rank_rows"], row["rank_sec"] = timed(
                 lambda: distributed_row_number(
                     docs.select(
