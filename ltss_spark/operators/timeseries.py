@@ -845,3 +845,31 @@ def interval_overlap_join(
         .distinct()
         .withColumn("overlap_micros", overlap)
     )
+
+
+def time_bucket_origin_agg(
+    states: DataFrame,
+    width: str = "90 minutes",
+    origin_offset: str = "15 minutes",
+    time_col: str = "time",
+    key_col: str = "entity_id",
+) -> DataFrame:
+    """TimescaleDB's ``time_bucket(width, ts, origin)`` — ARBITRARY-width
+    buckets aligned to a custom origin, the overload ``date_trunc`` cannot
+    express (90-minute buckets; shift-schedule alignment at :15). Spark's
+    ``window(ts, width, width, startTime)`` is the same function: bucket
+    boundaries sit at epoch + origin_offset modulo width, verified
+    value-equal to DuckDB's origin overload.
+
+    One hash aggregation; the window expression is a pure projection
+    (tumbling — slide == width — emits exactly one bucket per row, no
+    fan-out), so cost is the groupBy shuffle and nothing else.
+    """
+    w = F.window(time_col, width, width, origin_offset)
+    return (
+        states.groupBy(w.alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("bucket_start"), key_col, "n_events"
+        )
+    )

@@ -93,6 +93,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ts_seasonal_anomaly",
     "sink_optimize",
     "join_interval",
+    "ltss_bucket_origin",
     # --- least-recently-verified rotation: every r1-stale entry ---
     "agg_basic",
     "agg_collect",
@@ -132,7 +133,6 @@ _DRIVER_PRIORITY: list[str] = [
     "topk_group",
     "win_cumulative",
     "win_distribution",
-    "win_frame",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -149,6 +149,7 @@ _CHANGED_ENTRIES: set[str] = {
 # first (r2 remainder, then r3, r4, r6) — any window wider than the priority
 # block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
+    "win_frame",
     "win_range_frame",
     "win_rank",
     # --- latest driver row: round 2 ---

@@ -294,6 +294,32 @@ def ltss_bucket(spark, sf_dir):
 
 
 @register(
+    "ltss_bucket_origin",
+    f"""
+    WITH {_STATES_CTE}
+    SELECT time_bucket(INTERVAL '90 minutes', time,
+                       TIMESTAMP '1970-01-01 00:15:00') AS bucket_start,
+           entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM states GROUP BY 1, 2
+    """,
+    survey="B4 fn_date (time_bucket with custom width AND origin: 90-minute buckets aligned to :15 — the overload date_trunc cannot express)",
+)
+def ltss_bucket_origin(spark, sf_dir):
+    """Origin-aligned arbitrary-width buckets (operators/timeseries.
+    time_bucket_origin_agg): TimescaleDB's time_bucket(width, ts, origin)
+    overload — 90-minute buckets whose boundaries sit at :15 past the
+    grid. Spark's window(ts, w, w, startTime) is verified value-equal to
+    DuckDB's origin overload (both place boundaries at epoch + offset
+    modulo width); tumbling windows emit one bucket per row, so the whole
+    query is one hash aggregation."""
+    states = states_from_events(_t(spark, sf_dir, "events"))
+    from ltss_spark.operators.timeseries import time_bucket_origin_agg
+
+    return time_bucket_origin_agg(states)
+
+
+@register(
     "ltss_entity_range",
     f"""
     WITH {_STATES_CTE}
