@@ -6,6 +6,13 @@ via embedded Derby (test_streaming.py) — but the GENERATED Postgres
 DDL/upsert text itself is never executed by a real server there. This
 module closes that gap in any environment that has one:
 
+    make pg-live          # one command: compose up -> test matrix -> down
+    # (docker/pg-live/docker-compose.yml runs the reference's container
+    #  matrix: timescale/timescaledb:latest-pg14 and
+    #  timescale/timescaledb-postgis:latest-pg12 — see
+    #  reference tests/pytest/test_databases.py:70-95)
+
+    # or against any server you already have:
     export LTSS_PG_URL='jdbc:postgresql://host:5432/db'
     export LTSS_PG_USER=... LTSS_PG_PASSWORD=...      # if required
     # postgres JDBC driver on the Spark classpath, e.g.
