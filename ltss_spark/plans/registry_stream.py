@@ -734,3 +734,91 @@ def stream_snapshot_q(spark, sf_dir):
         )
         q.awaitTermination()
     return read_version(spark, f"{base}/table").select(*cols)
+
+
+@register(
+    "stream_kafka_decode",
+    """
+    SELECT
+        'ltss.events' AS topic,
+        CAST(event_id % 8 AS BIGINT) AS partition,
+        CAST(COUNT(*) AS BIGINT) AS n_msgs,
+        CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_rejects,
+        CAST(MIN(event_id) AS BIGINT) AS min_offset,
+        CAST(MAX(event_id) AS BIGINT) AS max_offset,
+        CAST(SUM(CASE WHEN event_id % 97 <> 0 THEN user_id ELSE 0 END)
+             AS BIGINT) AS decoded_user_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey="scan_stream A1 (Kafka decode contract: value bytes -> event rows "
+    "with topic/partition/offset provenance + __reject dead-lettering, "
+    "exercised as a REAL streaming query over the synthesized wire shape — "
+    "jar-free; the format('kafka') builder itself is capability-gated in "
+    "streaming/ingest.py:events_stream_kafka)",
+)
+def stream_kafka_decode_q(spark, sf_dir):
+    """The Kafka ingest path minus the connector jar (VERDICT r7 item 7).
+
+    The events table is serialized to the exact wire shape
+    ``format("kafka")`` emits — ``value`` binary JSON plus
+    ``topic``/``partition``/``offset``/``timestamp`` — with every
+    ``event_id % 97 == 0`` payload deterministically corrupted. That frame
+    is then read back as a genuine file STREAM and decoded by
+    :func:`ltss_spark.streaming.ingest.parse_kafka_events` (the
+    source-independent half of the Kafka source, reference event bus
+    __init__.py:116-119), so the decode contract the production builder
+    relies on — field extraction, offset provenance, ``__reject``
+    dead-lettering instead of dropped rows — runs under the streaming
+    engine and is value-hashed against a plain-SQL oracle:
+
+    - ``n_msgs``/``min_offset``/``max_offset`` pin provenance (no message
+      lost or duplicated per partition);
+    - ``n_rejects`` pins the dead-letter flag (corrupt payloads survive as
+      flagged rows, the reference's drop-vs-divert posture A10);
+    - ``decoded_user_sum`` pins actual field extraction (a decoder that
+      only counted would still fail the hash).
+
+    Scale: the decode is a pure column projection (from_json) — fully
+    parallel per Kafka partition, no shuffle before the final agg.
+    """
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.scratch import scratch_dir
+    from ltss_spark.streaming.ingest import parse_kafka_events
+    from ltss_spark.streaming.windows import run_to_memory
+
+    e = _t(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    corrupt = F.col("event_id") % 97 == 0
+    wire = e.select(
+        F.lit("ltss.events").alias("topic"),
+        (F.col("event_id") % 8).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.when(corrupt, F.lit("{corrupt")).otherwise(payload)
+        .cast("binary")
+        .alias("value"),
+    )
+    base = scratch_dir("ltss_kafka_wire")
+    wire.write.mode("overwrite").parquet(base)
+    raw = spark.readStream.schema(
+        "topic string, partition int, offset long, "
+        "timestamp timestamp, value binary"
+    ).parquet(base)
+    decoded = run_to_memory(
+        parse_kafka_events(raw), "append", "kafka_decode"
+    )
+    return decoded.groupBy(
+        "topic", F.col("partition").cast("long").alias("partition")
+    ).agg(
+        F.count("*").alias("n_msgs"),
+        F.sum(F.col("__reject").cast("long")).alias("n_rejects"),
+        F.min("offset").alias("min_offset"),
+        F.max("offset").alias("max_offset"),
+        F.sum(
+            F.when(~F.col("__reject"), F.col("user_id")).otherwise(F.lit(0))
+        ).alias("decoded_user_sum"),
+    )
