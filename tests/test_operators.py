@@ -1855,3 +1855,65 @@ try:
 
 except ImportError:  # hypothesis not installed — the fixed test above runs
     pass
+
+
+def test_semantic_dedup_kmeans_recall_vs_anchor(spark):
+    """VERDICT r7 item 5 invariant: the trained-quantizer variant
+    (stride_codebook seeds + Lloyd refinement) must catch AT LEAST as many
+    planted near-duplicate pairs as the smallest-id-anchor variant on the
+    same corpus — trained centroids track data density, so planted dups
+    co-cluster at least as reliably. Fixture: 6 well-separated centers in
+    R^8, 20 members each, plus 30 planted copies (cosine > 0.99 to their
+    source); a planted pair is 'caught' when the higher-id copy is
+    flagged is_dup."""
+    import numpy as np
+
+    from ltss_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_kmeans,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(6, 8))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(120):
+        v = centers[i % 6] + 0.05 * rng.normal(size=8)
+        rows.append((i, [float(x) for x in v]))
+    base = dict(rows)
+    planted = []
+    for j in range(30):
+        src = j * 4  # spread sources across all clusters
+        v = np.asarray(base[src]) + 0.001 * rng.normal(size=8)
+        rows.append((1000 + j, [float(x) for x in v]))
+        planted.append((src, 1000 + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def recall(out_df):
+        flagged = {
+            r["vec_id"] for r in out_df.collect() if r["is_dup"]
+        }
+        return sum(1 for _, copy in planted if copy in flagged) / len(planted)
+
+    r_anchor = recall(semantic_dedup(df, n_centroids=6, threshold=0.9))
+    r_kmeans = recall(
+        semantic_dedup_kmeans(df, n_centroids=6, threshold=0.9, iters=2)
+    )
+    assert r_kmeans >= r_anchor
+    assert r_kmeans >= 0.9  # trained clusters must catch nearly all plants
+
+
+def test_semantic_dedup_kmeans_arrow_equals_fold(spark):
+    """The kmeans variant's two scorers must agree row-for-row, same as
+    the anchor variant's equivalence contract."""
+    from ltss_spark.operators.similarity import semantic_dedup_kmeans
+    from ltss_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    key = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], r["centroid_id"], r["is_dup"], r["dup_of"])
+        for r in df.collect()
+    )
+    fold = key(semantic_dedup_kmeans(emb, score="fold"))
+    arrow = key(semantic_dedup_kmeans(emb, score="arrow"))
+    assert fold == arrow
