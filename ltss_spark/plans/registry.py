@@ -69,90 +69,25 @@ def register(name: str, oracle: str | None, survey: str = ""):
 # Driver CORRECTNESS-window priority.
 #
 # The per-round driver check covers roughly the first 50 `queries()` entries
-# in dict order. Rounds 1-6 gave every one of the 203 registry entries at
-# least one driver row (union of CORRECTNESS_r01-r06). Round 7 heads the
-# window with the entries whose implementation materially changed this round
-# (the r5/r6 red ext_vocab_encode serialization + bounded-vocab fix, the
-# cdc_apply crash-atomicity rework, the bucketed near-dup signature store),
-# then rotates in the least-recently-verified surface: ALL 41 entries whose
-# latest driver row is still round 1, topped up with the oldest round-2
-# rows. _DRIVER_SECOND continues strictly least-recently-verified-first.
+# in dict order. The union of CORRECTNESS_r01-r07 gave every one of the 211
+# pre-r8 entries at least one driver row, all green on their latest check.
+# Round 8 heads the window with this round's never-verified entries and the
+# entries whose implementation materially changed (the sink_optimize
+# bin-pack compaction rework, the ext_dedup_cluster CC shave), then drains
+# the ENTIRE r1/r2 staleness tail (VERDICT r7 item 2: all 30 entries whose
+# latest driver row predates round 3). Remaining window slots and
+# _DRIVER_SECOND continue strictly least-recently-verified-first, so by r9
+# the r3 cohort drains too.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY: list[str] = [
-    # --- materially changed in round 7 (must re-verify) ---
-    "ext_vocab_encode",
-    "stream_cdc",
-    "stream_dedup_near",
-    "ext_importance_resample",
-    # --- new in round 7 (never driver-verified) ---
-    "ext_token_budget_mix",
-    "ext_cluster_balance",
-    "ext_hybrid_rrf",
-    "ext_dedup_semantic",
-    "ts_seasonal_anomaly",
+    # --- new in round 8 (never driver-verified) ---
+    "stream_kafka_decode",
+    "ext_dedup_semantic_kmeans",
+    # --- materially changed in round 8 (must re-verify) ---
     "sink_optimize",
-    "join_interval",
-    "ltss_bucket_origin",
-    # --- least-recently-verified rotation: every r1-stale entry ---
-    "agg_basic",
-    "agg_collect",
-    "agg_distinct",
-    "agg_first_last",
-    "agg_groupsets",
-    "agg_minmax_by",
-    "agg_pivot",
-    "agg_skew_distinct",
-    "agg_unpivot",
-    "filter_basic",
-    "filter_entity",
-    "filter_in",
-    "filter_like",
-    "filter_not_in",
-    "filter_null",
-    "fn_array",
-    "fn_conditional",
-    "fn_fuzzy",
-    "fn_json",
-    "fn_map",
-    "fn_math",
-    "fn_string",
-    "join_anti",
-    "join_broadcast",
-    "join_inner",
-    "join_semi",
-    "join_theta",
-    "limit",
-    "ltss_states",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sort",
-    "sort_nulls",
-    "sql_subquery",
-    "topk_group",
-    "win_cumulative",
-    "win_distribution",
-]
-
-#: entries with a PRE-existing driver row whose implementation or oracle
-#: changed materially this round — they justify a window slot exactly like a
-#: never-verified entry (tests/test_plans.py window-packing guard).
-_CHANGED_ENTRIES: set[str] = {
-    "ext_vocab_encode",
-    "ext_importance_resample",
-    "stream_cdc",
-    "stream_dedup_near",
-}
-
-# Entries with an existing green driver row; order is least-recently-verified
-# first (r2 remainder, then r3, r4, r6) — any window wider than the priority
-# block re-confirms the stalest surface next.
-_DRIVER_SECOND: list[str] = [
-    "win_frame",
-    "win_range_frame",
-    "win_rank",
-    # --- latest driver row: round 2 ---
+    "ext_dedup_cluster",
+    # --- staleness drain: every entry whose latest driver row is r1/r2 ---
     "ddl_migrate",
     "ext_fingerprint",
     "ext_lang_dist",
@@ -180,13 +115,29 @@ _DRIVER_SECOND: list[str] = [
     "ts_counter_delta",
     "ts_interpolate",
     "ts_timeweight",
+    "win_frame",
+    "win_range_frame",
+    "win_rank",
+]
+
+#: entries with a PRE-existing driver row whose implementation or oracle
+#: changed materially this round — they justify a window slot exactly like a
+#: never-verified entry (tests/test_plans.py window-packing guard).
+_CHANGED_ENTRIES: set[str] = {
+    "sink_optimize",
+    "ext_dedup_cluster",
+}
+
+# Entries with an existing green driver row; least-recently-verified first
+# (r3 cohort, then r4, r6, r7) — any window wider than the priority block
+# re-confirms the stalest surface next.
+_DRIVER_SECOND: list[str] = [
     # --- latest driver row: round 3 ---
     "agg_approx",
     "agg_percentile",
     "agg_sketch_rollup",
     "ddl_upgrade",
     "ext_contamination",
-    "ext_dedup_cluster",
     "ext_dedup_incremental",
     "ext_dedup_pipeline",
     "ext_hash_split",
@@ -314,7 +265,58 @@ _DRIVER_SECOND: list[str] = [
     "ts_ohlc",
     "ts_outliers",
     "win_lag_lead",
+    # --- latest driver row: round 7 ---
+    "agg_basic",
+    "agg_collect",
+    "agg_distinct",
+    "agg_first_last",
+    "agg_groupsets",
+    "agg_minmax_by",
+    "agg_pivot",
+    "agg_skew_distinct",
+    "agg_unpivot",
+    "ext_cluster_balance",
+    "ext_dedup_semantic",
+    "ext_hybrid_rrf",
+    "ext_importance_resample",
+    "ext_token_budget_mix",
+    "ext_vocab_encode",
+    "filter_basic",
+    "filter_entity",
+    "filter_in",
+    "filter_like",
+    "filter_not_in",
+    "filter_null",
+    "fn_array",
+    "fn_conditional",
+    "fn_fuzzy",
+    "fn_json",
+    "fn_map",
+    "fn_math",
+    "fn_string",
+    "join_anti",
+    "join_broadcast",
+    "join_inner",
+    "join_interval",
+    "join_semi",
+    "join_theta",
+    "limit",
+    "ltss_bucket_origin",
+    "ltss_states",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sort",
+    "sort_nulls",
+    "sql_subquery",
+    "stream_cdc",
+    "stream_dedup_near",
+    "topk_group",
+    "ts_seasonal_anomaly",
+    "win_cumulative",
+    "win_distribution",
 ]
+
 
 
 def _ordered() -> list[Q]:
