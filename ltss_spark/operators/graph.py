@@ -7,8 +7,10 @@ survivor selection requires the connected components of the pair graph.
 
 Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
 Components in MapReduce and Beyond", SoCC'14) — the published shared-nothing
-CC algorithm. Each round is ONE hash aggregation (per-node min neighbor) and
-ONE shuffle-free re-emit joined back on the grouping key; convergence in
+CC algorithm. Each star is ONE exchange of the edge set (per-node min as a
+whole-frame window aggregate — no join-back) and each round carries a single
+distinct, after the small star (r8 shave; the large star's duplicates only
+re-emit identical pairs, collapsed there); convergence in
 O(log^2 n) rounds regardless of graph diameter, unlike plain label
 propagation whose round count is the component diameter (a 10^6-node chain
 — pathological but possible with chained near-dups — would need 10^6
@@ -24,7 +26,7 @@ action per round, no collect of data rows).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
@@ -41,30 +43,40 @@ def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
     return row["n"], int(row["s"])
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
     """For each node u with neighborhood N(u): connect every *strictly
     larger* neighbor to m = min(N(u) + {u}). Input edges may be in any
-    orientation; output edges all satisfy a > b."""
+    orientation; output edges all satisfy a > b.
+
+    The per-u minimum is a WINDOW aggregate (partitionBy u, whole-frame
+    min — no orderBy, no frame walk): ONE exchange of the symmetrized
+    edge set where the former groupBy+join-back needed the aggregate's
+    exchange plus a join, and each round here is task-launch-bound (the
+    r8 shave, measured in docs/PLANS.md). ``dedup=False`` lets the round
+    driver skip this star's distinct — a duplicate edge only re-emits
+    the same (v, m) pair, the min is unaffected, and the round's single
+    post-small-star distinct collapses the multiset; the round count is
+    unchanged (convergence compares post-distinct sets)."""
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-    mins = mins.select("u", F.least("u", "mn").alias("m"))
-    return (
-        sym.join(mins, "u")
+    w = Window.partitionBy("u")
+    out = (
+        sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("a"), F.col("m").alias("b"))
         .filter(F.col("a") != F.col("b"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Input edges all point large -> small (a > b). For each node a:
-    connect a and all its (smaller) neighbors to the minimum neighbor."""
-    mins = edges.groupBy("a").agg(F.min("b").alias("m"))
-    emitted = (
-        edges.join(mins, "a")
+    connect a and all its (smaller) neighbors to the minimum neighbor.
+    Same single-exchange window-min shape as :func:`_large_star`."""
+    w = Window.partitionBy("a")
+    return (
+        edges.withColumn("m", F.min("b").over(w))
         .select(
             F.explode(
                 F.array(
@@ -77,7 +89,60 @@ def _small_star(edges: DataFrame) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    return emitted
+
+
+#: Below this edge count the component computation runs as a driver-side
+#: union-find over the (already checkpointed) edge list instead of the
+#: star loop. Measured rationale (docs/PLANS.md round 8): the star loop's
+#: FLOOR on local[32] is ~1.2 s of stage scheduling for 2 rounds even on a
+#: 254-edge graph, while collect + union-find on 100k edges is ~0.1 s and
+#: a few MB of driver memory — the same adaptive-threshold pattern as
+#: operators/rank.py's distributed_row_number. At 100 TB the LSH pair set
+#: exceeds the threshold and the provably-scaling star loop runs unchanged.
+SMALL_GRAPH_EDGES = 100_000
+
+
+def _driver_union_find(edges: DataFrame, stats: dict | None) -> DataFrame:
+    """Exact CC for a small edge set: collect (bounded by
+    SMALL_GRAPH_EDGES — driver-side metadata, not a data-plane collect),
+    union-find with path compression, map each set to its MINIMUM member
+    (the same deterministic representative the star loop converges to),
+    return as a DataFrame with the input id type."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges.collect()
+    for r in rows:
+        a, b = r["a"], r["b"]
+        for x in (a, b):
+            if x not in parent:
+                parent[x] = x
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        if r not in comp_min or x < comp_min[r]:
+            comp_min[r] = x
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["path"] = "driver-union-find"
+    from pyspark.sql import types as T
+
+    id_type = edges.schema["a"].dataType
+    schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("component", id_type)]
+    )
+    data = [(x, comp_min[find(x)]) for x in parent]
+    return edges.sparkSession.createDataFrame(data, schema)
 
 
 def connected_components(
@@ -87,6 +152,7 @@ def connected_components(
     max_iter: int = 25,
     tune_session_shuffle: bool = False,
     stats: dict | None = None,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Component assignment for every node appearing in ``pairs``: returns
     (node, component) where component is the MINIMUM node id of the
@@ -117,6 +183,12 @@ def connected_components(
     # One extra small job buys exactly-once evaluation of the candidate
     # generator.
     edges = edges.localCheckpoint()
+    # Adaptive path pick: the edge count is one scalar over the
+    # just-checkpointed blocks. Small graphs skip the star loop entirely
+    # (see SMALL_GRAPH_EDGES); pass small_graph_edges=0 to force the
+    # distributed loop (tests and scale probes do).
+    if small_graph_edges and edges.count() <= small_graph_edges:
+        return _driver_union_find(edges, stats)
     spark = edges.sparkSession
     conf = spark.conf
     prev_shuf = conf.get("spark.sql.shuffle.partitions", "200")
@@ -140,7 +212,9 @@ def connected_components(
         prev = _edge_checksum(edges)
         rounds = 1
         for _ in range(max_iter):
-            edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+            edges = _small_star(
+                _large_star(edges, dedup=False)
+            ).localCheckpoint(eager=False)
             cur = _edge_checksum(edges)
             rounds += 1
             if cur == prev:
@@ -150,6 +224,7 @@ def connected_components(
             # observability for the scale probe: star rounds grow
             # O(log^2 n); the probe charts this at 1x-32x (docs/SCALING.md)
             stats["rounds"] = rounds
+            stats["path"] = "star"
         # Converged state is a star per component: (member, min).
         # Components of size >= 2 have one row per non-min member; add the
         # min itself. NOTE: this returned aggregate is LAZY — it executes

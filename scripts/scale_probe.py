@@ -190,7 +190,7 @@ def main():
     warm = replicated_docs(spark, sf_dir, 1, base, tag="_warm")
     # untimed warmup: JVM/codegen/broadcast machinery out of the 1x numbers
     minhash_lsh_pairs(warm).count()
-    connected_components(minhash_lsh_pairs(warm)).count()
+    connected_components(minhash_lsh_pairs(warm), small_graph_edges=0).count()
     exact_dedup_groups(warm).count()
     repetition_stats(warm).count()
 
@@ -250,7 +250,10 @@ def main():
         )
         cc_stats: dict = {}
         row["cc_components"], row["cc_sec"] = timed(
-            lambda: connected_components(minhash_lsh_pairs(docs), stats=cc_stats).count()
+            # small_graph_edges=0: the probe charts the DISTRIBUTED star loop
+            lambda: connected_components(
+                minhash_lsh_pairs(docs), stats=cc_stats, small_graph_edges=0
+            ).count()
         )
         row["cc_rounds"] = cc_stats.get("rounds")
         row["exact_groups"], row["exact_sec"] = timed(
@@ -434,7 +437,9 @@ def main():
         pairs = minhash_lsh_pairs(docs)
         cc_stats = {}
         comps, sec = timed(
-            lambda: connected_components(pairs, stats=cc_stats).count()
+            lambda: connected_components(
+                pairs, stats=cc_stats, small_graph_edges=0
+            ).count()
         )
         results["cc_deep_scaling"][str(factor)] = {
             "n_docs": docs.count(),

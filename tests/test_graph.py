@@ -29,13 +29,16 @@ def _uf_components(n_nodes, edges):
     return {x: min(members) for r, members in comp.items() for x in members}
 
 
-def _spark_components(spark, edges):
+def _spark_components(spark, edges, **kw):
     df = spark.createDataFrame(
         [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
     )
+    # small_graph_edges=0 forces the distributed star loop — these tests
+    # pin the SCALE path; the adaptive driver path has its own tests below
+    kw.setdefault("small_graph_edges", 0)
     return {
         r["node"]: r["component"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, **kw).collect()
     }
 
 
@@ -120,3 +123,34 @@ try:
 
 except ImportError:  # hypothesis not installed — seeded trials above still run
     pass
+
+
+def test_cc_adaptive_small_graph_matches_star_loop(spark):
+    """The driver union-find path (default below SMALL_GRAPH_EDGES) must
+    return exactly the star loop's assignment — same nodes, same minimum
+    representative — and report its path in stats."""
+    rng = random.Random(13)
+    n = 80
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    star = _spark_components(spark, edges)  # forced distributed
+    st = {}
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    uf = {
+        r["node"]: r["component"]
+        for r in connected_components(df, stats=st).collect()
+    }
+    assert st["path"] == "driver-union-find" and st["rounds"] == 0
+    assert uf == star
+
+
+def test_cc_adaptive_empty_and_schema(spark):
+    """Empty pair set through the adaptive path: empty result with the
+    (node, component) schema in the input id type."""
+    df = spark.createDataFrame([], "doc_a string, doc_b string")
+    out = connected_components(df, src="doc_a", dst="doc_b")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "component"]
+    assert out.schema["node"].dataType.simpleString() == "string"
