@@ -66,6 +66,11 @@ HEADLINE = [
     "sql_q13",
     "ts_sessionize",
     "ext_tfidf",
+    # round 8 (VERDICT r7 item 6): two heavy TPC-H shapes so a Catalyst
+    # plan regression in the SQL sweep surfaces in perf history, not just
+    # correctness — q9 (6-table join tree + agg), q18 (large IN-subquery)
+    "sql_q9",
+    "sql_q18",
 ]
 
 
