@@ -482,3 +482,51 @@ def hybrid_rrf(
     top = scored.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    keep_below: int = 2,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    score every document with the corpus bigram LM
+    (:func:`bigram_logprob`), rank the corpus by perplexity ascending,
+    and split into ``n_buckets`` equal rank slices — CCNet's
+    head/middle/tail, where head = lowest perplexity = most fluent.
+    Returns (doc_id, ppl, bucket, keep): bucket 0..n_buckets-1, keep =
+    bucket < ``keep_below`` (CCNet trains on head+middle and drops tail).
+
+    Bucket boundary is RANK-based, not value-based: floor((rank-1) *
+    n_buckets / N) — deterministic under ties (rank breaks them by
+    doc_id), engine-portable (no percentile interpolation to chase), and
+    the buckets are equal-size by construction, which is the CCNet
+    design (equal thirds per language).
+
+    Scale shape: scoring is bigram_logprob's linear pipeline; the global
+    rank is :func:`ltss_spark.operators.rank.distributed_row_number` —
+    two-pass range partitioning above its measured threshold, so no
+    corpus-sized single-reducer window; the total count joins as a
+    broadcast 1-row aggregate. Docs with <2 tokens have no bigrams, no
+    score, and no row (the same contract as bigram_logprob)."""
+    from ltss_spark.operators.rank import distributed_row_number
+
+    scored = bigram_logprob(docs, text_col, id_col).select(id_col, "ppl")
+    ranked = distributed_row_number(
+        scored, [F.col("ppl").asc(), F.col(id_col).asc()], out_col="__rn"
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "ppl",
+            F.floor(
+                (F.col("__rn") - 1) * n_buckets / F.col("__n")
+            ).cast("int").alias("bucket"),
+        )
+        .withColumn("keep", F.col("bucket") < keep_below)
+    )

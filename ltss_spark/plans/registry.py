@@ -84,6 +84,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 8 (never driver-verified) ---
     "stream_kafka_decode",
     "ext_dedup_semantic_kmeans",
+    "ext_perplexity_buckets",
     # --- materially changed in round 8 (must re-verify) ---
     "sink_optimize",
     "ext_dedup_cluster",

@@ -2224,3 +2224,59 @@ def ext_token_topk_approx(spark, sf_dir):
     from ltss_spark.operators.text import token_topk_sketch
 
     return token_topk_sketch(_t(spark, sf_dir, "documents"), k=10)
+
+
+_BIGRAM_PPL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE t[u.i] <> '' AND t[u.i + 1] <> ''
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(*) AS v FROM c1),
+    lp AS (
+      SELECT bg.doc_id,
+             round(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)), 6) AS lp
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id,
+             round(CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_lp
+      FROM lp GROUP BY doc_id
+    )"""
+
+
+@register(
+    "ext_perplexity_buckets",
+    _BIGRAM_PPL
+    + """,
+    scored AS (SELECT doc_id, round(exp(-avg_lp), 4) AS ppl FROM agg),
+    rn AS (
+      SELECT doc_id, ppl,
+             row_number() OVER (ORDER BY ppl, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM scored
+    )
+    SELECT doc_id, ppl,
+           CAST(floor((rn - 1) * 3.0 / n) AS INT) AS bucket,
+           floor((rn - 1) * 3.0 / n) < 2 AS keep
+    FROM rn
+    """,
+    survey="ext_text_stats fn_math win_rank agg_basic (CCNet perplexity "
+    "bucketing: corpus bigram-LM score -> global rank -> equal "
+    "head/middle/tail slices, keep = head+middle; the rank is "
+    "distributed_row_number, no corpus-sized single-reducer window)",
+)
+def ext_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail perplexity filter (operators/text.
+    perplexity_buckets): bigram-LM perplexity -> scale-safe global rank
+    -> equal rank slices; keep = bucket < 2. Rank-based (not
+    percentile-value-based) boundaries make the bucketing deterministic
+    under ties and engine-portable — the oracle replays it with a plain
+    window row_number."""
+    from ltss_spark.operators.text import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents"))
