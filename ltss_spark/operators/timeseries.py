@@ -873,3 +873,101 @@ def time_bucket_origin_agg(
             F.col("w.start").alias("bucket_start"), key_col, "n_events"
         )
     )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    tie_col: str = "event_id",
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per series (Page 1954) —
+    the standard mean-shift detector a telemetry pipeline runs beside
+    seasonal anomaly checks: a point is flagged when the cumulative
+    evidence of an up- (or down-) shift exceeds ``h``·sigma, with drift
+    allowance ``k``·sigma per step.
+
+    The textbook form is RECURSIVE (s_i = max(0, s_{i-1} + y_i)) and so
+    looks window-inexpressible; the reflection identity turns it into
+    two plain windows: with c_i = prefix-sum(y), the reflected walk is
+    exactly c_i - min(0, prefix-min(c)). So the whole detector is ONE
+    window shuffle per series key (all four cumulative aggregates share
+    the partition/order spec and compile into one WindowExec), no joins
+    but the broadcast 1-row-per-key stats join, no recursion.
+
+    Determinism (the repo's transcendental rule, ts_ewma's micro-unit
+    form): per-series mean and sigma round to 6 BEFORE use (sqrt is
+    transcendental); each per-step deviation scales to MICRO-UNIT LONGs
+    (round(dev * 1e6, 0) — integer rounding, where both engines round
+    half away from zero) and every prefix sum/min/threshold compare is
+    exact BIGINT arithmetic. Fractional-decimal rounding (round(x, 6))
+    is deliberately avoided mid-pipeline: engines implement it via
+    different float paths and disagree on near-tie values (measured: 1e-6
+    flips vs DuckDB), while integer rounding agrees.
+
+    Scale: the window is per-``key_col`` — series-parallel like every
+    ts_* operator; a 100 TB deployment's series count (users/entities)
+    dwarfs executor count, and the per-series scan is inherent to any
+    ordered recursion (same posture as ts_ewma/ts_sessionize).
+    """
+    x = F.col("x")
+    base = events.filter(F.col(value_col).isNotNull()).select(
+        tie_col, key_col, time_col, F.col(value_col).cast("double").alias("x")
+    )
+    d6 = lambda c: F.round(c, 6).cast("decimal(38,6)")  # noqa: E731
+    sums = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d6(x)).alias("sx"),
+        F.sum(d6(x * x)).alias("sxx"),
+    )
+    mu = F.round(F.col("sx").cast("double") / F.col("n"), 6)
+    stats = sums.select(
+        key_col,
+        mu.alias("mu"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.col("sxx").cast("double") / F.col("n") - mu * mu,
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("sigma"),
+    )
+    micro = lambda c: F.round(c * 1e6, 0).cast("long")  # noqa: E731
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(time_col).asc(), F.col(tie_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.join(F.broadcast(stats), key_col).select(
+        tie_col,
+        key_col,
+        time_col,
+        "x",
+        "sigma",
+        F.sum(micro(x - F.col("mu") - k * F.col("sigma"))).over(w).alias("cpos"),
+        F.sum(micro(-(x - F.col("mu") + k * F.col("sigma")))).over(w).alias("cneg"),
+    )
+    # the reflection window reuses the SAME (time, tie) total order and
+    # partition key, so Catalyst keeps it in the same sort/shuffle
+    ref = cum.select(
+        tie_col,
+        key_col,
+        "x",
+        "sigma",
+        (F.col("cpos") - F.least(F.min("cpos").over(w), F.lit(0))).alias("sp"),
+        (F.col("cneg") - F.least(F.min("cneg").over(w), F.lit(0))).alias("sn"),
+    )
+    thr = micro(h * F.col("sigma"))
+    return ref.select(
+        tie_col,
+        key_col,
+        "x",
+        F.round(F.col("sp") / 1e6, 6).alias("s_pos"),
+        F.round(F.col("sn") / 1e6, 6).alias("s_neg"),
+        ((F.col("sp") > thr) | (F.col("sn") > thr)).alias("is_change"),
+    )

@@ -85,6 +85,8 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_kafka_decode",
     "ext_dedup_semantic_kmeans",
     "ext_perplexity_buckets",
+    "ltss_state_transitions",
+    "ts_changepoint_cusum",
     # --- materially changed in round 8 (must re-verify) ---
     "sink_optimize",
     "ext_dedup_cluster",

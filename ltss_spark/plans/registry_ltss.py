@@ -2468,3 +2468,118 @@ def ltss_cagg_ivm(spark, sf_dir):
     return ivm_apply(
         rollup_v1, feed, ["event_type"], sum_cols={"id_sum": "event_id"}
     )
+
+
+@register(
+    "ltss_state_transitions",
+    f"""
+    WITH {_STATES_CTE},
+    ordered AS (
+      SELECT entity_id, state,
+             lag(state) OVER (PARTITION BY entity_id ORDER BY time, event_id)
+               AS prev_state
+      FROM states
+    )
+    SELECT entity_id, prev_state AS from_state, state AS to_state,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM ordered
+    WHERE prev_state IS NOT NULL AND state IS DISTINCT FROM prev_state
+    GROUP BY 1, 2, 3
+    """,
+    survey="win_lag_lead agg_basic B3 (state transition matrix: per-entity "
+    "Markov counts over the collapsed change stream — the 'what does this "
+    "sensor do after X' analytics companion to ltss_state_periods)",
+)
+def ltss_state_transitions_q(spark, sf_dir):
+    """Per-entity state transition counts (from_state -> to_state): lag
+    window over the entity timeline, keep only genuine changes (null-safe
+    state inequality — HA state machines re-emit identical states on
+    attribute updates), one hash agg. One window shuffle on the entity
+    key + one agg shuffle; both series-parallel."""
+    from pyspark.sql import Window as W
+
+    states = states_from_events(_t(spark, sf_dir, "events"))
+    w = W.partitionBy("entity_id").orderBy("time", "event_id")
+    ordered = states.select(
+        "entity_id", "state", F.lag("state").over(w).alias("prev_state")
+    )
+    return (
+        ordered.filter(
+            F.col("prev_state").isNotNull()
+            & ~F.col("state").eqNullSafe(F.col("prev_state"))
+        )
+        .groupBy(
+            "entity_id",
+            F.col("prev_state").alias("from_state"),
+            F.col("state").alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@register(
+    "ts_changepoint_cusum",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    sums AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CAST(round(x, 6) AS DECIMAL(38,6))) AS sx,
+             SUM(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS sxx
+      FROM base GROUP BY user_id
+    ),
+    stats AS (
+      SELECT user_id,
+             round(CAST(sx AS DOUBLE) / n, 6) AS mu,
+             round(sqrt(greatest(
+               CAST(sxx AS DOUBLE) / n
+               - round(CAST(sx AS DOUBLE) / n, 6) * round(CAST(sx AS DOUBLE) / n, 6),
+               0.0)), 6) AS sigma
+      FROM sums
+    ),
+    cum AS (
+      SELECT b.event_id, b.user_id, b.ts, b.x, s.sigma,
+             SUM(CAST(round((b.x - s.mu - 0.5 * s.sigma) * 1e6, 0) AS BIGINT))
+               OVER w AS cpos,
+             SUM(CAST(round(-(b.x - s.mu + 0.5 * s.sigma) * 1e6, 0) AS BIGINT))
+               OVER w AS cneg
+      FROM base b JOIN stats s USING (user_id)
+      WINDOW w AS (PARTITION BY b.user_id ORDER BY b.ts, b.event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    ref AS (
+      SELECT event_id, user_id, x, sigma,
+             cpos - least(MIN(cpos) OVER w2, 0) AS sp,
+             cneg - least(MIN(cneg) OVER w2, 0) AS sn
+      FROM cum
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, x,
+           round(sp / 1e6, 6) AS s_pos,
+           round(sn / 1e6, 6) AS s_neg,
+           (sp > CAST(round(4.0 * sigma * 1e6, 0) AS BIGINT)
+            OR sn > CAST(round(4.0 * sigma * 1e6, 0) AS BIGINT)) AS is_change
+    FROM ref
+    """,
+    survey="win_cumulative win_frame agg_basic fn_math B3 (two-sided CUSUM "
+    "change-point detection: recursive reflected walk re-expressed as "
+    "prefix-sum minus prefix-min — one window shuffle per series, the "
+    "mean-shift companion to ts_seasonal_anomaly/ts_outliers)",
+)
+def ts_changepoint_cusum_q(spark, sf_dir):
+    """Page's two-sided CUSUM per user series (operators/timeseries.
+    cusum_changepoints): the recursive max(0, s+y) walk becomes
+    prefix-sum(y) - min(0, prefix-min) (reflection identity), so the
+    detector is plain windows — no recursion, no UDF. Per-series
+    mean/sigma round to 6 before use; deviations scale to micro-unit
+    LONGs (ts_ewma's determinism form — integer rounding agrees across
+    engines where round(x, 6) mid-pipeline does not; measured 1e-6 flips
+    vs DuckDB with the fractional form) and every prefix sum/min and
+    threshold compare is exact BIGINT. Both windows — Spark and oracle —
+    use the full (ts, event_id) total order."""
+    from ltss_spark.operators.timeseries import cusum_changepoints
+
+    return cusum_changepoints(_t(spark, sf_dir, "events"))

@@ -1917,3 +1917,38 @@ def test_semantic_dedup_kmeans_arrow_equals_fold(spark):
     fold = key(semantic_dedup_kmeans(emb, score="fold"))
     arrow = key(semantic_dedup_kmeans(emb, score="arrow"))
     assert fold == arrow
+
+
+def test_cusum_flags_mean_shift_not_noise(spark):
+    """Hand-built series: 30 points at ~10 (tiny noise), then 10 points
+    at 25 — a decisive upward mean shift. CUSUM must stay quiet through
+    the stable prefix and flag during the shifted suffix; a pure-noise
+    series of the same length must produce no flags at all. Also pins the
+    reflection identity: s_pos is always >= 0."""
+    import datetime as dt
+
+    from ltss_spark.operators.timeseries import cusum_changepoints
+
+    t0 = dt.datetime(2024, 1, 1)
+    shifted = [
+        (i, 1, t0 + dt.timedelta(minutes=i),
+         10.0 + (0.1 if i % 2 else -0.1) + (15.0 if i >= 30 else 0.0))
+        for i in range(40)
+    ]
+    quiet = [
+        (100 + i, 2, t0 + dt.timedelta(minutes=i),
+         10.0 + (0.1 if i % 2 else -0.1))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        shifted + quiet, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = cusum_changepoints(df).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+        assert r["s_pos"] >= 0 and r["s_neg"] >= 0
+    flags_shifted = [r["event_id"] for r in by_user[1] if r["is_change"]]
+    assert flags_shifted, "mean shift must be detected"
+    assert min(flags_shifted) >= 30, "no flag before the shift point"
+    assert not any(r["is_change"] for r in by_user[2]), "noise must not flag"
