@@ -594,6 +594,50 @@ def main():
             results["r7_scaling"][str(factor)] = row
             print(json.dumps({factor: row}))
 
+    # round-8 operators (VERDICT r7 follow-through): each new op probed
+    # 1x-8x on replicated fixtures.
+    # - perplexity_buckets: bigram-LM scoring is linear in token volume;
+    #   the global rank is distributed_row_number (two-pass above its
+    #   threshold) — expect ~linear seconds, never a reducer blowup.
+    # - semantic_dedup_kmeans: same C ∝ N rule as semantic_dedup — with
+    #   constant cluster size the per-vector work is constant; Lloyd
+    #   passes shuffle only (centroid, dim, val) scalars.
+    # - cusum_changepoints: one window shuffle per series; series count
+    #   grows with the replica tag, so expect ~linear.
+    if want("r8"):
+        from ltss_spark.operators.similarity import semantic_dedup_kmeans
+        from ltss_spark.operators.text import perplexity_buckets
+        from ltss_spark.operators.timeseries import cusum_changepoints
+
+        results["r8_scaling"] = {}
+        perplexity_buckets(warm).count()  # warm
+        for factor in (1, 2, 4, 8):
+            docs = replicated_docs(spark, sf_dir, factor, base)
+            embsh = replicated_embeddings_shifted(spark, sf_dir, factor, base)
+            n = embsh.count()
+            c = max(8, n // 125)
+            row = {"n_docs": docs.count(), "n_vecs": n, "n_centroids": c}
+            row["ppl_rows"], row["ppl_sec"] = timed(
+                lambda: perplexity_buckets(docs).count()
+            )
+            row["semkm_rows"], row["semkm_sec"] = timed(
+                lambda: semantic_dedup_kmeans(embsh, n_centroids=c).count()
+            )
+            states = replicated_states(spark, sf_dir, factor, base)
+            ev = states.select(
+                F.monotonically_increasing_id().alias("event_id"),
+                F.col("entity_id").alias("user_id"),
+                F.col("time").alias("ts"),
+                F.coalesce(
+                    F.expr("try_cast(state AS DOUBLE)"), F.lit(1.0)
+                ).alias("value"),
+            )
+            row["cusum_rows"], row["cusum_sec"] = timed(
+                lambda: cusum_changepoints(ev).count()
+            )
+            results["r8_scaling"][str(factor)] = row
+            print(json.dumps({factor: row}))
+
     # partial runs merge into the existing probe file: one new operator
     # family should not require re-timing (or losing) the whole suite
     if "all" not in sections and os.path.exists(out_json):
