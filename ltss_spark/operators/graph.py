@@ -102,12 +102,13 @@ def _small_star(edges: DataFrame) -> DataFrame:
 SMALL_GRAPH_EDGES = 100_000
 
 
-def _driver_union_find(edges: DataFrame, stats: dict | None) -> DataFrame:
-    """Exact CC for a small edge set: collect (bounded by
-    SMALL_GRAPH_EDGES — driver-side metadata, not a data-plane collect),
-    union-find with path compression, map each set to its MINIMUM member
-    (the same deterministic representative the star loop converges to),
-    return as a DataFrame with the input id type."""
+def _driver_union_find_rows(rows, id_type, spark, stats: dict | None) -> DataFrame:
+    """Exact CC for a small edge set: the caller already collected the
+    rows (bounded by SMALL_GRAPH_EDGES — driver-side metadata, not a
+    data-plane collect); union-find with path compression maps each set
+    to its MINIMUM member (the same deterministic representative the
+    star loop converges to), returned as a DataFrame in the input id
+    type."""
     parent: dict = {}
 
     def find(x):
@@ -118,7 +119,6 @@ def _driver_union_find(edges: DataFrame, stats: dict | None) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    rows = edges.collect()
     for r in rows:
         a, b = r["a"], r["b"]
         for x in (a, b):
@@ -137,12 +137,11 @@ def _driver_union_find(edges: DataFrame, stats: dict | None) -> DataFrame:
         stats["path"] = "driver-union-find"
     from pyspark.sql import types as T
 
-    id_type = edges.schema["a"].dataType
     schema = T.StructType(
         [T.StructField("node", id_type), T.StructField("component", id_type)]
     )
     data = [(x, comp_min[find(x)]) for x in parent]
-    return edges.sparkSession.createDataFrame(data, schema)
+    return spark.createDataFrame(data, schema)
 
 
 def connected_components(
@@ -183,12 +182,18 @@ def connected_components(
     # One extra small job buys exactly-once evaluation of the candidate
     # generator.
     edges = edges.localCheckpoint()
-    # Adaptive path pick: the edge count is one scalar over the
-    # just-checkpointed blocks. Small graphs skip the star loop entirely
-    # (see SMALL_GRAPH_EDGES); pass small_graph_edges=0 to force the
-    # distributed loop (tests and scale probes do).
-    if small_graph_edges and edges.count() <= small_graph_edges:
-        return _driver_union_find(edges, stats)
+    # Adaptive path pick in ONE action: collect at most threshold+1 rows
+    # from the just-checkpointed blocks — if the limit did not bind, that
+    # IS the full edge set and the union-find runs on it directly (no
+    # separate count job); if it did bind, fall through to the star loop.
+    # Pass small_graph_edges=0 to force the distributed loop (tests and
+    # scale probes do).
+    if small_graph_edges:
+        probe = edges.limit(small_graph_edges + 1).collect()
+        if len(probe) <= small_graph_edges:
+            return _driver_union_find_rows(
+                probe, edges.schema["a"].dataType, edges.sparkSession, stats
+            )
     spark = edges.sparkSession
     conf = spark.conf
     prev_shuf = conf.get("spark.sql.shuffle.partitions", "200")
