@@ -87,6 +87,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_perplexity_buckets",
     "ltss_state_transitions",
     "ts_changepoint_cusum",
+    "stream_kafka_roundtrip",
     # --- materially changed in round 8 (must re-verify) ---
     "sink_optimize",
     "ext_dedup_cluster",

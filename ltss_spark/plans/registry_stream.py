@@ -822,3 +822,59 @@ def stream_kafka_decode_q(spark, sf_dir):
             F.when(~F.col("__reject"), F.col("user_id")).otherwise(F.lit(0))
         ).alias("decoded_user_sum"),
     )
+
+
+@register(
+    "stream_kafka_roundtrip",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_msgs,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE)
+             AS value_sum
+    FROM events
+    GROUP BY user_id
+    """,
+    survey="sink_append scan_stream A1 A9 (Kafka ENCODE->DECODE round "
+    "trip: the sink-side wire contract — key = series id so per-series "
+    "order survives the bus, value = JSON payload decodable by "
+    "parse_kafka_events; jar-free, the format('kafka') writer itself is "
+    "capability-gated in streaming/ingest.py:events_sink_kafka)",
+)
+def stream_kafka_roundtrip_q(spark, sf_dir):
+    """Sink-side Kafka contract (mirror of stream_kafka_decode): events
+    -> encode_kafka_events (key = user_id bytes, value = JSON binary) ->
+    the synthesized broker columns format('kafka') would add
+    (partition/offset/timestamp) -> parse_kafka_events -> per-user
+    aggregate hash-checked against the PLAIN events table. A hash match
+    proves the encode produced decodable, lossless payloads AND that the
+    key routing preserved every row — the exactly-the-table-back
+    round-trip guarantee a deployment relies on when the bus sits
+    between ingest and sink. Both halves are pure projections (no
+    shuffle until the final agg)."""
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.streaming.ingest import (
+        encode_kafka_events,
+        parse_kafka_events,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    wire = encode_kafka_events(e).select(
+        "topic",
+        "key",
+        "value",
+        # broker-assigned columns, synthesized deterministically the way
+        # stream_kafka_decode does: partition from the key hash span,
+        # offset monotone per partition stand-in (event_id is unique)
+        (F.crc32(F.col("key")) % 8).cast("int").alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+    )
+    decoded = parse_kafka_events(wire).filter(~F.col("__reject"))
+    return decoded.groupBy("user_id").agg(
+        F.count("*").alias("n_msgs"),
+        F.sum("event_id").alias("id_sum"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("value_sum"),
+    )

@@ -528,3 +528,55 @@ def events_stream_kafka(
     return parse_kafka_events(raw).filter(~F.col("__reject")).drop(
         "__reject", "raw_value", "topic", "partition", "offset", "kafka_ts"
     )
+
+
+def encode_kafka_events(events: DataFrame, topic: str = "ltss.events") -> DataFrame:
+    """The sink-side half of the Kafka path (A9 for a bus sink): event
+    rows become the exact frame ``writeStream.format("kafka")`` consumes
+    — ``key`` binary (the partition key; user_id here, entity_id in the
+    states form, so one series always lands in one Kafka partition and
+    per-series ordering survives the bus) and ``value`` binary JSON
+    carrying every event column. Pure projection: fully parallel, no
+    shuffle, and the payload is by construction decodable by
+    :func:`parse_kafka_events` — the round-trip contract the registered
+    entry value-hashes without the connector jar."""
+    return events.select(
+        F.lit(topic).alias("topic"),
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
+        )
+        .cast("binary")
+        .alias("value"),
+    )
+
+
+def events_sink_kafka(
+    events: DataFrame,
+    bootstrap_servers: str,
+    topic: str = "ltss.events",
+    checkpoint: str | None = None,
+):
+    """Kafka variant of the event SINK (the bus-out mirror of
+    :func:`events_stream_kafka`): encode to the wire shape, then
+    ``writeStream.format("kafka")``. Gated on :func:`kafka_available`
+    like the source — absent the connector this raises an actionable
+    error instead of Spark's ClassNotFoundException. At-least-once like
+    every Kafka sink; consumers dedup on the (topic, key, event_id)
+    payload id exactly as parse_kafka_events' offset provenance intends."""
+    spark = events.sparkSession
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "Kafka connector not on the classpath; launch with "
+            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:"
+            f"{spark.version} (capability probe: kafka_available())"
+        )
+    writer = (
+        encode_kafka_events(events, topic)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -252,3 +252,43 @@ def test_round7_operators_empty(spark):
         distributed_row_number(e, [F.col("score").desc(), F.col("id")]).count()
         == 0
     )
+
+
+def test_round8_operators_empty(spark):
+    from ltss_spark.operators.similarity import semantic_dedup_kmeans
+    from ltss_spark.operators.text import perplexity_buckets
+    from ltss_spark.operators.timeseries import cusum_changepoints
+    from ltss_spark.streaming.ingest import (
+        encode_kafka_events,
+        parse_kafka_events,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    pb = perplexity_buckets(docs)
+    assert pb.count() == 0
+    assert pb.columns == ["doc_id", "ppl", "bucket", "keep"]
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    sk = semantic_dedup_kmeans(emb)
+    assert sk.count() == 0
+    assert sk.columns == ["vec_id", "centroid_id", "is_dup", "dup_of"]
+
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, value double"
+    )
+    cc = cusum_changepoints(ev)
+    assert cc.count() == 0
+    assert cc.columns == ["event_id", "user_id", "x", "s_pos", "s_neg", "is_change"]
+
+    events = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    wire = encode_kafka_events(events).select(
+        "topic", "key", "value",
+        F.lit(0).alias("partition"),
+        F.lit(0).cast("long").alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+    )
+    assert parse_kafka_events(wire).count() == 0
