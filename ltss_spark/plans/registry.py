@@ -91,6 +91,8 @@ _DRIVER_PRIORITY: list[str] = [
     # --- materially changed in round 8 (must re-verify) ---
     "sink_optimize",
     "ext_dedup_cluster",
+    "ext_dedup_minhash",
+    "ext_dedup_pipeline",
     # --- staleness drain: every entry whose latest driver row is r1/r2 ---
     "ddl_migrate",
     "ext_fingerprint",
@@ -130,6 +132,11 @@ _DRIVER_PRIORITY: list[str] = [
 _CHANGED_ENTRIES: set[str] = {
     "sink_optimize",
     "ext_dedup_cluster",
+    # minhash_lsh_pairs gained the banded-signature checkpoint (r8) —
+    # value-identical, but the executed plan changed, so the driver
+    # re-confirms its other consumers too
+    "ext_dedup_minhash",
+    "ext_dedup_pipeline",
 }
 
 # Entries with an existing green driver row; least-recently-verified first
@@ -143,7 +150,6 @@ _DRIVER_SECOND: list[str] = [
     "ddl_upgrade",
     "ext_contamination",
     "ext_dedup_incremental",
-    "ext_dedup_pipeline",
     "ext_hash_split",
     "ext_pii_redact",
     "ext_sim_search_ivf",
@@ -182,7 +188,6 @@ _DRIVER_SECOND: list[str] = [
     "ext_dedup_cluster_embed",
     "ext_dedup_embed",
     "ext_dedup_exact",
-    "ext_dedup_minhash",
     "ext_dedup_ngram",
     "ext_dedup_simhash",
     "ext_dedup_span_remove",
