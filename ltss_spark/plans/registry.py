@@ -93,6 +93,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_dedup_cluster",
     "ext_dedup_minhash",
     "ext_dedup_pipeline",
+    "win_ntile",
     # --- staleness drain: every entry whose latest driver row is r1/r2 ---
     "ddl_migrate",
     "ext_fingerprint",
@@ -137,6 +138,9 @@ _CHANGED_ENTRIES: set[str] = {
     # re-confirms its other consumers too
     "ext_dedup_minhash",
     "ext_dedup_pipeline",
+    # win_ntile's global single-partition window was replaced by the
+    # distributed rank + exact NTILE arithmetic (r8)
+    "win_ntile",
 }
 
 # Entries with an existing green driver row; least-recently-verified first
@@ -225,7 +229,6 @@ _DRIVER_SECOND: list[str] = [
     "udaf",
     "udf_scalar",
     "udtf",
-    "win_ntile",
     "win_time_range",
     # --- latest driver row: round 6 ---
     "agg_theta_overlap",

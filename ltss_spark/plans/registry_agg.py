@@ -1071,16 +1071,36 @@ def agg_mode(spark, sf_dir):
 def win_ntile(spark, sf_dir):
     """Quartile assignment over a global order — NTILE's equal-size
     buckets (vs width_bucket's equal-width). The unique c_custkey
-    tie-break makes bucket boundaries deterministic. Scale note: a global
-    NTILE is a single-partition window (like any global rank); at 100 TB
-    the same analysis runs per-group (partitionBy) or via
-    approx percentiles — registered here in the global form the SQL-sensor
-    dashboards use on bounded result sets."""
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    return _t(spark, sf_dir, "customer").select(
+    tie-break makes bucket boundaries deterministic.
+
+    r8: the single-partition global window is GONE (the last ledger entry
+    of that shape): the global rank comes from distributed_row_number
+    (range-partitioned two-pass above its threshold) and NTILE's exact
+    bucket arithmetic is reproduced from the broadcast total — with
+    n = q*k + r, the first r buckets take q+1 rows: bucket(rn) =
+    (rn-1) div (q+1) + 1 up to the cutoff r*(q+1), else
+    r + (rn - cutoff - 1) div q + 1. Bit-equal to the oracle's ntile(4)
+    (hash-checked) and scale-safe at any n."""
+    from ltss_spark.operators.rank import distributed_row_number
+
+    k = 4
+    ranked = distributed_row_number(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        out_col="__rn",
+    )
+    n_row = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    q = F.floor(F.col("__n") / k)
+    r = F.col("__n") % k
+    cutoff = r * (q + 1)
+    rn = F.col("__rn")
+    bucket = F.when(
+        rn <= cutoff, F.floor((rn - 1) / (q + 1)) + 1
+    ).otherwise(r + F.floor((rn - cutoff - 1) / q) + 1)
+    return ranked.crossJoin(F.broadcast(n_row)).select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).cast("int").alias("balance_quartile"),
+        bucket.cast("int").alias("balance_quartile"),
     )
 
 
