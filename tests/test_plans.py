@@ -306,6 +306,16 @@ def test_registry_wide_plan_audit(spark):
         # broadcast anchor assignment (8 rows); the pair stage itself is
         # an equi-join on centroid_id, audited below
         "ext_dedup_semantic",
+        # r8: same broadcast-codebook assignment shape (stride seeds +
+        # Lloyd refinement are each a broadcast cross of the KB-scale
+        # codebook onto the corpus scan)
+        "ext_dedup_semantic_kmeans",
+        # r8: the 1-ROW corpus-count aggregate broadcast onto the ranked
+        # frame (CCNet bucket arithmetic needs N) — bounded by construction
+        "ext_perplexity_buckets",
+        # r8: same 1-row total broadcast for the exact NTILE arithmetic
+        # over the distributed rank
+        "win_ntile",
     }
     # streaming/sink entries run real side-effecting queries — covered by
     # their own tests
