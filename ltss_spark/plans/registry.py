@@ -88,6 +88,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ltss_state_transitions",
     "ts_changepoint_cusum",
     "stream_kafka_roundtrip",
+    "stream_changepoint",
     # --- materially changed in round 8 (must re-verify) ---
     "sink_optimize",
     "ext_dedup_cluster",

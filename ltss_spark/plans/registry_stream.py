@@ -878,3 +878,140 @@ def stream_kafka_roundtrip_q(spark, sf_dir):
         .cast("double")
         .alias("value_sum"),
     )
+
+
+@register(
+    "stream_changepoint",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    sums AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CAST(round(x, 6) AS DECIMAL(38,6))) AS sx,
+             SUM(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS sxx
+      FROM base GROUP BY user_id
+    ),
+    stats AS (
+      SELECT user_id,
+             round(CAST(sx AS DOUBLE) / n, 6) AS mu,
+             round(sqrt(greatest(
+               CAST(sxx AS DOUBLE) / n
+               - round(CAST(sx AS DOUBLE) / n, 6) * round(CAST(sx AS DOUBLE) / n, 6),
+               0.0)), 6) AS sigma
+      FROM sums
+    ),
+    cum AS (
+      SELECT b.event_id, b.user_id, b.ts, b.x, s.sigma,
+             SUM(CAST(round((b.x - s.mu - 0.5 * s.sigma) * 1e6, 0) AS BIGINT))
+               OVER w AS cpos,
+             SUM(CAST(round(-(b.x - s.mu + 0.5 * s.sigma) * 1e6, 0) AS BIGINT))
+               OVER w AS cneg
+      FROM base b JOIN stats s USING (user_id)
+      WINDOW w AS (PARTITION BY b.user_id ORDER BY b.ts, b.event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    ref AS (
+      SELECT event_id, user_id, x, sigma,
+             cpos - least(MIN(cpos) OVER w2, 0) AS sp,
+             cneg - least(MIN(cneg) OVER w2, 0) AS sn
+      FROM cum
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, x,
+           round(sp / 1e6, 6) AS s_pos,
+           round(sn / 1e6, 6) AS s_neg,
+           (sp > CAST(round(4.0 * sigma * 1e6, 0) AS BIGINT)
+            OR sn > CAST(round(4.0 * sigma * 1e6, 0) AS BIGINT)) AS is_change
+    FROM ref
+    """,
+    survey="stream_stateful stream_ingest win_cumulative (CUSUM as a "
+    "stateful STREAM: applyInPandasWithState carries the reflected walk "
+    "in two longs per series across three real time-ordered "
+    "micro-batches; emissions hash-equal the batch operator — the "
+    "monitoring half of ts_changepoint_cusum, online)",
+)
+def stream_changepoint_q(spark, sf_dir):
+    """Online CUSUM (streaming/stateful.streaming_cusum): control limits
+    are trained batch-side with exactly the batch operator's rounding
+    (bounded driver collect — one row per series, the SPC reference-
+    period posture), then the event stream folds through
+    applyInPandasWithState in THREE real micro-batches (the source is
+    split into time-tercile files with increasing mtimes, so batches
+    arrive in event-time order per key and the carried two-long state is
+    genuinely exercised across batch boundaries). The emitted per-event
+    walk values hash-match the batch CUSUM oracle — the stream IS the
+    batch computation, incrementalized."""
+    import glob as g
+    import os
+    import shutil
+
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.streaming.stateful import streaming_cusum
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # train limits with the batch operator's exact arithmetic
+    d6 = lambda c: F.round(c, 6).cast("decimal(38,6)")  # noqa: E731
+    x = F.col("value").cast("double")
+    sums = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d6(x)).alias("sx"),
+        F.sum(d6(x * x)).alias("sxx"),
+    )
+    mu = F.round(F.col("sx").cast("double") / F.col("n"), 6)
+    stats = sums.select(
+        "user_id",
+        mu.alias("mu"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.col("sxx").cast("double") / F.col("n") - mu * mu,
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("sigma"),
+    ).collect()  # bounded: one row per series
+    limits = {
+        r["user_id"]: (
+            r["mu"],
+            r["sigma"],
+            int(round(4.0 * r["sigma"] * 1e6)),
+        )
+        for r in stats
+    }
+    # three time-tercile files, mtime-ordered -> three real micro-batches
+    base = scratch_dir("ltss_stream_cusum")
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    bounds = e.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) / 3
+    cuts = [lo + span, lo + span + span]
+    now = 1_700_000_000
+    parts = [
+        e.filter(F.col("ts") < cuts[0]),
+        e.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        e.filter(F.col("ts") >= cuts[1]),
+    ]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(f"{src}/__tmp")
+        shutil.move(
+            g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/b{i}.parquet"
+        )
+        shutil.rmtree(f"{src}/__tmp")
+        os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
+    raw = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return streaming_cusum(raw, limits)

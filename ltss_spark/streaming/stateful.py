@@ -193,3 +193,90 @@ def streaming_running_totals_tws(spark: SparkSession, source_dir: str) -> DataFr
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+_CUSUM_OUT = (
+    "event_id bigint, user_id bigint, x double, "
+    "s_pos double, s_neg double, is_change boolean"
+)
+_CUSUM_STATE = "sp bigint, sn bigint"
+
+
+def _make_cusum_fn(limits: dict):
+    """Build the per-key CUSUM fold over broadcast control limits.
+
+    ``limits``: {user_id: (mu, sigma, thr_micro)} — trained offline (the
+    SPC posture: control limits come from a reference period, the monitor
+    just folds). State per key is TWO LONGs (the reflected walk values in
+    micro-units) — O(#series) total, the bounded-state discipline.
+
+    Within a batch the rows sort by (ts, event_id) and the recursion runs
+    via the same reflection identity as the batch operator: with the
+    carried state s0 as the walk's starting level, s_i = c_i - min(0,
+    prefix-min(c)) where c = s0 + cumsum(y). Vectorized numpy — no
+    per-row Python loop."""
+    import numpy as np
+
+    def fold(key, pdfs, state):
+        user = key[0]
+        mu, sigma, thr = limits.get(user, (0.0, 0.0, 0))
+        sp0, sn0 = state.get if state.exists else (0, 0)
+        outs = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+            x = pdf["value"].to_numpy(dtype="float64")
+
+            # HALF-AWAY-FROM-ZERO to match Spark/DuckDB round(x, 0) —
+            # np.rint would round half-to-even and flip exact .5 ties
+            def r0(v):
+                return np.where(
+                    v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)
+                ).astype("int64")
+
+            yp = r0((x - mu - 0.5 * sigma) * 1e6)
+            yn = r0(-(x - mu + 0.5 * sigma) * 1e6)
+            cp = sp0 + np.cumsum(yp)
+            cn = sn0 + np.cumsum(yn)
+            sp = cp - np.minimum(np.minimum.accumulate(cp), 0)
+            sn = cn - np.minimum(np.minimum.accumulate(cn), 0)
+            sp0, sn0 = int(sp[-1]), int(sn[-1])
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_id": pdf["event_id"],
+                        "user_id": user,
+                        "x": x,
+                        "s_pos": np.round(sp / 1e6, 6),
+                        "s_neg": np.round(sn / 1e6, 6),
+                        "is_change": (sp > thr) | (sn > thr),
+                    }
+                )
+            )
+        state.update((sp0, sn0))
+        for o in outs:
+            yield o
+
+    return fold
+
+
+def streaming_cusum(raw: DataFrame, limits: dict) -> DataFrame:
+    """Per-event CUSUM monitoring as a STREAM: the batch operator's
+    reflected-walk arithmetic (operators/timeseries.cusum_changepoints)
+    carried across micro-batches in two longs of state per series.
+    ``raw`` is a STREAMING frame with (event_id, user_id, ts, value); the
+    caller supplies trained control limits (the SPC posture — limits come
+    from a reference period, the monitor folds). With micro-batches
+    arriving in event-time order per key (the registered entry splits the
+    source into time-ordered files), the emitted rows are bit-equal to
+    the batch computation — exactly what the entry's oracle checks."""
+    raw = raw.filter(F.col("value").isNotNull())
+    updates = raw.groupBy("user_id").applyInPandasWithState(
+        _make_cusum_fn(limits),
+        outputStructType=_CUSUM_OUT,
+        stateStructType=_CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(updates, "append", "stream_cusum")
