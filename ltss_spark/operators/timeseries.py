@@ -971,3 +971,53 @@ def cusum_changepoints(
         F.round(F.col("sn") / 1e6, 6).alias("s_neg"),
         ((F.col("sp") > thr) | (F.col("sn") > thr)).alias("is_change"),
     )
+
+
+def m4_downsample(
+    events: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    tie_col: str = "event_id",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014 "M4: A Visualization-
+    Oriented Time Series Data Aggregation") — the OTHER canonical
+    dashboard downsampler beside LTTB (ts_lttb): per (series, pixel
+    bucket) keep min, max, first, last of the value. M4 is what Grafana/
+    TimescaleDB-style tooling renders with: those four points per pixel
+    column reproduce the line chart's visible extremes EXACTLY at the
+    target resolution, with error bounded by one pixel.
+
+    vs LTTB: M4 is ONE hash aggregation (min/max + argmin/argmax by
+    (time, tie) — map-side partial, a single shuffle on (key, bucket),
+    no window sort, embarrassingly scalable), while LTTB is a per-series
+    sequential sweep with better perceptual weighting. Dashboards at
+    100 TB want M4 for the first zoomed-out render and LTTB for small
+    result sets.
+
+    NULL values are excluded (they draw nothing); buckets with no
+    numeric sample emit no row."""
+    v = F.col(value_col)
+    base = events.filter(v.isNotNull())
+    order = F.struct(F.col(time_col), F.col(tie_col))
+    w = F.window(time_col, bucket)
+    return (
+        base.groupBy(w.alias("w"), key_col)
+        .agg(
+            F.min(v).alias("v_min"),
+            F.max(v).alias("v_max"),
+            F.min_by(v, order).alias("v_first"),
+            F.max_by(v, order).alias("v_last"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            key_col,
+            "v_min",
+            "v_max",
+            "v_first",
+            "v_last",
+            "n_samples",
+        )
+    )

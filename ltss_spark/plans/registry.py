@@ -89,6 +89,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ts_changepoint_cusum",
     "stream_kafka_roundtrip",
     "stream_changepoint",
+    "ts_m4",
+    "ext_dedup_minhash_verified",
     # --- materially changed in round 8 (must re-verify) ---
     "sink_optimize",
     "ext_dedup_cluster",

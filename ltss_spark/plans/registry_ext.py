@@ -2280,3 +2280,46 @@ def ext_perplexity_buckets(spark, sf_dir):
     from ltss_spark.operators.text import perplexity_buckets
 
     return perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ext_dedup_minhash_verified",
+    f"""
+    WITH {_minhash_banded_ctes(12, 4)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(COALESCE(i.i, 0) * 1.0
+                 / (sa.sz + sb.sz - COALESCE(i.i, 0)), 6) AS jaccard,
+           round(COALESCE(i.i, 0) * 1.0
+                 / (sa.sz + sb.sz - COALESCE(i.i, 0)), 6) >= 0.5 AS verified
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    """,
+    survey="ext_dedup_near join_inner agg_basic (LSH + VERIFY: exact "
+    "shingle-Jaccard over candidate pairs only — the false-positive "
+    "filter every production MinHash dedup runs; intersection is an "
+    "equi-join on (pair, shingle), never all-pairs)",
+)
+def ext_dedup_minhash_verified(spark, sf_dir):
+    """Full production LSH pipeline (operators/dedup.
+    minhash_verified_pairs): banded candidates -> exact per-pair
+    shingle-set Jaccard -> verified flag at 0.5. The oracle recomputes
+    candidates, every intersection, and each Jaccard exactly."""
+    from ltss_spark.operators.dedup import minhash_verified_pairs
+
+    return minhash_verified_pairs(_t(spark, sf_dir, "documents"))

@@ -2583,3 +2583,40 @@ def ts_changepoint_cusum_q(spark, sf_dir):
     from ltss_spark.operators.timeseries import cusum_changepoints
 
     return cusum_changepoints(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "ts_m4",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT date_trunc('hour', ts) AS bucket_start, user_id, v,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts ASC, event_id ASC) AS rf,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM base
+    )
+    SELECT bucket_start, user_id,
+           MIN(v) AS v_min, MAX(v) AS v_max,
+           MAX(CASE WHEN rf = 1 THEN v END) AS v_first,
+           MAX(CASE WHEN rl = 1 THEN v END) AS v_last,
+           CAST(COUNT(*) AS BIGINT) AS n_samples
+    FROM ranked GROUP BY 1, 2
+    """,
+    survey="agg_minmax_by B4 fn_date (M4 visualization downsampling: "
+    "min/max/first/last per pixel bucket — one hash agg, the scalable "
+    "dashboard renderer beside ts_lttb's per-series sweep)",
+)
+def ts_m4_q(spark, sf_dir):
+    """M4 per (user, hour) over the event value series (operators/
+    timeseries.m4_downsample): min/max by value, first/last by
+    (ts, event_id) — all five aggregates in ONE map-side-partial hash
+    aggregation, a single shuffle on the (key, bucket) pair. The oracle
+    replays first/last with asc/desc row_numbers."""
+    from ltss_spark.operators.timeseries import m4_downsample
+
+    return m4_downsample(_t(spark, sf_dir, "events"))
