@@ -605,9 +605,13 @@ def main():
     # - cusum_changepoints: one window shuffle per series; series count
     #   grows with the replica tag, so expect ~linear.
     if want("r8"):
+        from ltss_spark.operators.dedup import minhash_verified_pairs
         from ltss_spark.operators.similarity import semantic_dedup_kmeans
         from ltss_spark.operators.text import perplexity_buckets
-        from ltss_spark.operators.timeseries import cusum_changepoints
+        from ltss_spark.operators.timeseries import (
+            cusum_changepoints,
+            m4_downsample,
+        )
 
         results["r8_scaling"] = {}
         perplexity_buckets(warm).count()  # warm
@@ -634,6 +638,12 @@ def main():
             )
             row["cusum_rows"], row["cusum_sec"] = timed(
                 lambda: cusum_changepoints(ev).count()
+            )
+            row["m4_rows"], row["m4_sec"] = timed(
+                lambda: m4_downsample(ev).count()
+            )
+            row["mhv_rows"], row["mhv_sec"] = timed(
+                lambda: minhash_verified_pairs(docs).count()
             )
             results["r8_scaling"][str(factor)] = row
             print(json.dumps({factor: row}))

@@ -1952,3 +1952,65 @@ def test_cusum_flags_mean_shift_not_noise(spark):
     assert flags_shifted, "mean shift must be detected"
     assert min(flags_shifted) >= 30, "no flag before the shift point"
     assert not any(r["is_change"] for r in by_user[2]), "noise must not flag"
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _SERIES = st.lists(
+        st.floats(
+            min_value=-1000, max_value=1000, allow_nan=False, width=32
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @given(xs=_SERIES)
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_cusum_reflection_identity_matches_recursion(spark, xs):
+        """The operator's prefix-sum-minus-prefix-min form must equal the
+        textbook recursion s_i = max(0, s_{i-1} + y_i) computed directly
+        in Python with the same micro-unit rounding — for ANY series."""
+        import datetime as dt
+        import math
+
+        from ltss_spark.operators.timeseries import cusum_changepoints
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, 7, t0 + dt.timedelta(seconds=i), float(x))
+            for i, x in enumerate(xs)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+        got = {
+            r["event_id"]: (r["s_pos"], r["s_neg"])
+            for r in cusum_changepoints(df).collect()
+        }
+
+        # reference: same stats rounding, then the plain recursion
+        n = len(xs)
+        sx = sum(round(x, 6) for x in xs)
+        sxx = sum(round(x * x, 6) for x in xs)
+        mu = round(sx / n, 6)
+        sigma = round(math.sqrt(max(sxx / n - mu * mu, 0.0)), 6)
+
+        def r0(v):
+            return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+        sp = sn = 0
+        for i, x in enumerate(xs):
+            sp = max(0, sp + r0((x - mu - 0.5 * sigma) * 1e6))
+            sn = max(0, sn + r0(-(x - mu + 0.5 * sigma) * 1e6))
+            assert got[i] == (round(sp / 1e6, 6), round(sn / 1e6, 6)), (
+                f"row {i}: {got[i]} != {(sp, sn)}"
+            )
+
+except ImportError:
+    pass
