@@ -91,6 +91,7 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_changepoint",
     "ts_m4",
     "ext_dedup_minhash_verified",
+    "ext_pagerank",
     # --- materially changed in round 8 (must re-verify) ---
     "sink_optimize",
     "ext_dedup_cluster",

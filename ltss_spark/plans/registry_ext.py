@@ -2323,3 +2323,72 @@ def ext_dedup_minhash_verified(spark, sf_dir):
     from ltss_spark.operators.dedup import minhash_verified_pairs
 
     return minhash_verified_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power iteration mirroring operators/graph.pagerank over
+    the MinHash candidate graph: each round, contributions round to 9
+    and sum as exact DECIMAL(38,9) (order-free), the blended rank rounds
+    to 9 — bit-equal to the Spark loop at any partitioning."""
+    its = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        its.append(f"""
+    r{k} AS (
+      SELECT n.node,
+             round((1 - {damping}) / (SELECT n FROM nn)
+                   + {damping} * COALESCE(CAST(s.s AS DOUBLE), 0.0), 9)
+               AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.v AS node,
+               SUM(CAST(round(r.rank / d.deg, 9) AS DECIMAL(38,9))) AS s
+        FROM sym e
+        JOIN {prev} r ON r.node = e.u
+        JOIN deg d ON d.u = e.u
+        GROUP BY e.v
+      ) s ON s.node = n.node
+    )""")
+        prev = f"r{k}"
+    return f"""
+    WITH {_minhash_banded_ctes(12, 4)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM cand
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM cand
+    ),
+    deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+    nodes AS (SELECT u AS node FROM deg),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+      SELECT node, round(1.0 / (SELECT n FROM nn), 9) AS rank FROM nodes
+    ),{",".join(its)}
+    SELECT node, rank FROM {prev}
+    """
+
+
+@register(
+    "ext_pagerank",
+    _pagerank_oracle(5, 0.85),
+    survey="ext_dedup_near join_inner agg_basic fn_math (PageRank power "
+    "iteration over the near-dup graph — document-authority scoring, the "
+    "best-connected-copy survivor rule; ONE shuffle per round, "
+    "constant-size iterated plan via checkpoints, bit-equal to the "
+    "oracle's unrolled iterations through exact micro-decimal sums)",
+)
+def ext_pagerank(spark, sf_dir):
+    """PageRank over the MinHash candidate graph (operators/graph.
+    pagerank, 5 fixed rounds, damping 0.85): within a duplicate cluster
+    the top-rank member is the best-connected canonical copy. Iterative
+    float aggregation made hash-checkable: per-edge contributions round
+    to 9 and accumulate as exact DECIMAL, so engine aggregation order
+    cannot leak into the result — the oracle replays all 5 unrolled
+    iterations and the value hash must agree on every node's rank."""
+    from ltss_spark.operators.graph import pagerank
+
+    return pagerank(minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=5, num_hashes=12, bands=4))

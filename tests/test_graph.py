@@ -154,3 +154,21 @@ def test_cc_adaptive_empty_and_schema(spark):
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["node", "component"]
     assert out.schema["node"].dataType.simpleString() == "string"
+
+
+def test_pagerank_hub_and_mass(spark):
+    """Star graph: the hub must hold the top rank by a clear margin;
+    total mass stays ~1 (no dangling leakage — symmetrization gives
+    every node an out-edge); a disconnected pair splits its own mass
+    evenly by symmetry."""
+    from ltss_spark.operators.graph import pagerank
+
+    edges = [(0, i) for i in range(1, 9)] + [(100, 101)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    ranks = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    hub = ranks[0]
+    assert all(hub > ranks[i] * 3 for i in range(1, 9))
+    assert abs(ranks[100] - ranks[101]) < 1e-9  # symmetric pair
+    leaves = [ranks[i] for i in range(1, 9)]
+    assert max(leaves) - min(leaves) < 1e-9  # identical by symmetry
