@@ -606,6 +606,7 @@ def main():
     #   grows with the replica tag, so expect ~linear.
     if want("r8"):
         from ltss_spark.operators.dedup import minhash_verified_pairs
+        from ltss_spark.operators.graph import pagerank
         from ltss_spark.operators.similarity import semantic_dedup_kmeans
         from ltss_spark.operators.text import perplexity_buckets
         from ltss_spark.operators.timeseries import (
@@ -644,6 +645,9 @@ def main():
             )
             row["mhv_rows"], row["mhv_sec"] = timed(
                 lambda: minhash_verified_pairs(docs).count()
+            )
+            row["pr_rows"], row["pr_sec"] = timed(
+                lambda: pagerank(minhash_lsh_pairs(docs)).count()
             )
             results["r8_scaling"][str(factor)] = row
             print(json.dumps({factor: row}))
