@@ -23,6 +23,17 @@ value hashes, so every entry follows the determinism rules:
 
 Per-row IEEE arithmetic (x*y, x-y, x/y) is bit-deterministic across engines
 and is NOT rounded.
+
+Fine print on round(double, n) itself (r8 finding, via the CUSUM
+property test): Spark rounds the double's SHORTEST DECIMAL REPR
+(BigDecimal.valueOf = Double.toString) HALF_UP, so a double sitting just
+below a tie whose repr IS the tie string (e.g. 0.333333/2 -> repr
+'0.1666665') rounds UP in Spark while an exact-binary HALF_UP would
+round down. On the fixtures' 2-decimal value domain the engines agree
+(hash-green at all three SFs); operators that must be robust to
+adversarial doubles use MICRO-UNIT LONG scaling (round(x*1e6, 0) —
+integer ties are binary-exact, both engines round away from zero), the
+ts_ewma/cusum form.
 """
 
 from __future__ import annotations

@@ -1994,21 +1994,51 @@ try:
             for r in cusum_changepoints(df).collect()
         }
 
-        # reference: same stats rounding, then the plain recursion
-        n = len(xs)
-        sx = sum(round(x, 6) for x in xs)
-        sxx = sum(round(x * x, 6) for x in xs)
-        mu = round(sx / n, 6)
-        sigma = round(math.sqrt(max(sxx / n - mu * mu, 0.0)), 6)
+        # reference: same stats rounding, then the plain recursion.
+        # Rounding must emulate SPARK's semantics exactly: round(double)
+        # goes through BigDecimal.valueOf = Double.toString, i.e. it
+        # rounds the SHORTEST DECIMAL REPR of the double HALF_UP — not
+        # the exact binary value, and not Python round()'s half-to-even.
+        # Hypothesis found both wrong references: xs=[0.0, 0.328125]
+        # (mu an exact tie at the 6th decimal — half-to-even flips) and
+        # xs=[0.0, float32(1/3)] (0.333333/2 is the double just BELOW
+        # 0.1666665 whose repr IS '0.1666665' — exact-binary rounding
+        # flips). Decimal(repr(v)) reproduces Double.toString.
+        # Cross-engine tie behavior on the realistic fixture domain is
+        # the oracle harness's job (hash-green at sf0.001/0.01/0.1);
+        # THIS test pins the reflection identity against the textbook
+        # recursion under Spark's own rounding.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def r6(v):
+            return float(
+                Decimal(repr(float(v))).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
+            )
 
         def r0(v):
-            return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+            return int(
+                Decimal(repr(float(v))).quantize(Decimal("1"), ROUND_HALF_UP)
+            )
+
+        def d6(v):
+            return Decimal(repr(float(v))).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+
+        # decimal-exact sums, like the operator's DECIMAL(38,6) aggregates
+        n = len(xs)
+        sx = float(sum((d6(x) for x in xs), Decimal(0)))
+        sxx = float(sum((d6(x * x) for x in xs), Decimal(0)))
+        mu = r6(sx / n)
+        sigma = r6(math.sqrt(max(sxx / n - mu * mu, 0.0)))
 
         sp = sn = 0
         for i, x in enumerate(xs):
             sp = max(0, sp + r0((x - mu - 0.5 * sigma) * 1e6))
             sn = max(0, sn + r0(-(x - mu + 0.5 * sigma) * 1e6))
-            assert got[i] == (round(sp / 1e6, 6), round(sn / 1e6, 6)), (
+            assert got[i] == (r6(sp / 1e6), r6(sn / 1e6)), (
                 f"row {i}: {got[i]} != {(sp, sn)}"
             )
 
