@@ -103,6 +103,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ts_m4",
     "ext_dedup_minhash_verified",
     "ext_pagerank",
+    "agg_median_exact",
     # --- materially changed in round 8 (must re-verify) ---
     "sink_optimize",
     "ext_dedup_cluster",

@@ -1341,3 +1341,46 @@ def agg_theta_overlap(spark, sf_dir):
         FROM a, b
         """
     )
+
+
+@register(
+    "agg_median_exact",
+    """
+    SELECT round(median(CAST(value AS DOUBLE)), 6) AS median_value,
+           CAST(COUNT(value) AS BIGINT) AS n
+    FROM events WHERE value IS NOT NULL
+    """,
+    survey="udaf agg_percentile sort (EXACT global median without a "
+    "single-reducer sort: distributed rank -> the one or two middle "
+    "rows -> their mean; the scale path for the udaf ledger entry's "
+    "exact-median form — approx stays agg_approx)",
+)
+def agg_median_exact(spark, sf_dir):
+    """Exact median of a 100 TB column, distributed: global rank via
+    distributed_row_number (range-partitioned two-pass above its
+    threshold — no full sort through one reducer), then ONLY the middle
+    row(s) survive the rank filter and a 2-row aggregate averages them.
+    Odd n picks the single middle twice (same row — mean is itself);
+    even n averages the two middles, exactly DuckDB median()'s
+    interpolation at q=0.5. The 2-decimal value domain makes (a+b)/2
+    exactly representable, so the expression-form difference vs
+    quantile interpolation cannot surface; rounded to 6 regardless."""
+    from ltss_spark.operators.rank import distributed_row_number
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("value").cast("double").alias("v"), "event_id")
+    )
+    ranked = distributed_row_number(
+        e, [F.col("v").asc(), F.col("event_id").asc()], out_col="__rn"
+    )
+    n_row = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    mid = ranked.crossJoin(F.broadcast(n_row)).filter(
+        (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+        | (F.col("__rn") == F.floor(F.col("__n") / 2) + 1)
+    )
+    return mid.agg(
+        F.round(F.avg("v"), 6).alias("median_value"),
+        F.max("__n").alias("n"),
+    )
