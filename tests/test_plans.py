@@ -316,6 +316,9 @@ def test_registry_wide_plan_audit(spark):
         # r8: same 1-row total broadcast for the exact NTILE arithmetic
         # over the distributed rank
         "win_ntile",
+        # r8: the 1-row count broadcast that selects the middle rank(s)
+        # for the exact distributed median — bounded by construction
+        "agg_median_exact",
     }
     # streaming/sink entries run real side-effecting queries — covered by
     # their own tests
