@@ -414,21 +414,34 @@ def stride_codebook(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     dim: int | None = None,
+    seed_hash: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic seed codebook: the ``n_centroids`` vectors with the
-    smallest xxhash64(id) — a TakeOrdered top-k (map-side partial, no full
-    sort shuffle), valid for string/UUID/sparse ids where modular
+    smallest ``seed_hash``(id) — a TakeOrdered top-k (map-side partial, no
+    full sort shuffle), valid for string/UUID/sparse ids where modular
     arithmetic on the id would under-sample or fail to resolve. Columns
     (centroid_id, cent_vec, cent_nrm). When ``dim`` is given, wrong-length
     vectors are excluded too — a malformed vector must not become a coarse
-    centroid (it would NULL out every assignment cosine against it)."""
+    centroid (it would NULL out every assignment cosine against it).
+
+    ``seed_hash``: 'xxhash64' (default — the cheap 8-byte hash, fine for
+    production) or 'md5' (the registry's cross-engine hash: DuckDB's
+    md5() produces the identical lowercase hex string, so an oracle can
+    replay the exact seed sample — the rule the registry docstring pins:
+    only md5 is bit-identical everywhere)."""
     keep = F.col("cent_vec").isNotNull()
     if dim is not None:
         keep = keep & (F.size("cent_vec") == dim)
+    if seed_hash == "xxhash64":
+        h = F.xxhash64(F.col("cid").cast("string"))
+    elif seed_hash == "md5":
+        h = F.md5(F.col("cid").cast("string"))
+    else:
+        raise ValueError(f"seed_hash must be xxhash64|md5, got {seed_hash!r}")
     sampled = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cent_vec"))
         .filter(keep)
-        .withColumn("__h", F.xxhash64(F.col("cid").cast("string")))
+        .withColumn("__h", h)
         .orderBy("__h", "cid")
         .limit(n_centroids)
     )
@@ -446,6 +459,7 @@ def kmeans_refine_codebook(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 1,
+    exact: bool = False,
 ) -> DataFrame:
     """Lloyd iterations over the coarse codebook, all DataFrame ops: assign
     every vector to its nearest centroid (broadcast codebook, argmax
@@ -453,7 +467,16 @@ def kmeans_refine_codebook(
     members (posexplode -> (centroid, dim) hash agg -> array rebuild).
     Work per iter: one narrow assignment pass + one |V| x dim shuffle of
     scalar triples — no vector ever crosses the wire twice. Empty clusters
-    keep their previous centroid (standard k-means practice)."""
+    keep their previous centroid (standard k-means practice).
+
+    ``exact=True`` switches the per-dimension mean from fp ``avg`` (whose
+    value depends on executor summation order) to the repo's micro-unit
+    LONG discipline: each member contribution rounds to integer
+    micro-units, sums exactly (order-free), and the mean is ONE double
+    division ``sum_micro / (n * 1e6)`` — per-row IEEE, bit-identical in
+    any engine at any partitioning. Quantization error ≤ 5e-7 per
+    coordinate per pass, irrelevant to clustering and the price of a
+    hash-checkable Lloyd (the ext_pagerank pattern applied to k-means)."""
     for _ in range(iters):
         assigned = (
             corpus.select(
@@ -475,9 +498,20 @@ def kmeans_refine_codebook(
         dims = assigned.select(
             "centroid_id", F.posexplode(F.col("vec")).alias("pos", "val")
         )
+        if exact:
+            mean_expr = (
+                F.sum(
+                    F.round(F.col("val").cast("double") * F.lit(1e6), 0).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1e6))
+            ).alias("m")
+        else:
+            mean_expr = F.avg(F.col("val").cast("double")).alias("m")
         means = (
             dims.groupBy("centroid_id", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .agg(mean_expr)
             .groupBy("centroid_id")
             .agg(
                 F.transform(
@@ -1323,6 +1357,8 @@ def semantic_dedup_kmeans(
     vec_col: str = "embedding",
     iters: int = 2,
     score: str = "fold",
+    exact: bool = False,
+    seed_hash: str = "xxhash64",
 ) -> DataFrame:
     """SemDeDup with a TRAINED coarse quantizer — the production path the
     paper actually runs (Abbas et al. 2023 cluster with k-means over the
@@ -1335,9 +1371,13 @@ def semantic_dedup_kmeans(
     vs ``semantic_dedup``'s smallest-id anchors: trained centroids track
     the DATA's density, so clusters are tighter and near-dup pairs
     co-cluster more reliably (recall invariant pinned in
-    tests/test_operators.py); anchors are kept for the value-hash oracle,
-    where float iteration order would make DuckDB chase Lloyd updates.
-    Registered rows-only for exactly that reason (VERDICT r7 item 5).
+    tests/test_operators.py).
+
+    ``exact=True`` + ``seed_hash='md5'`` is the hash-checkable form
+    (VERDICT r8 item 1): micro-unit exact Lloyd means + an md5-ordered
+    seed sample DuckDB can replay, so a SQL oracle can unroll the full
+    iteration (the ext_pagerank discipline applied to k-means). The
+    defaults keep the cheap production arithmetic.
 
     Scale shape: identical to semantic_dedup — codebook work is
     |V| x C per Lloyd pass with only scalar (centroid, dim, val) triples
@@ -1345,10 +1385,14 @@ def semantic_dedup_kmeans(
     no window shuffle), and the pair stage is the cluster-key equi-join.
     """
     codebook = stride_codebook(
-        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        seed_hash=seed_hash,
     )
     refined = kmeans_refine_codebook(
-        corpus, codebook, id_col=id_col, vec_col=vec_col, iters=iters
+        corpus, codebook, id_col=id_col, vec_col=vec_col, iters=iters, exact=exact
     )
     assigned = (
         corpus.select(
