@@ -309,11 +309,18 @@ def pagerank(
     iteration converges geometrically at rate ``damping``; 5 rounds ≈
     0.44 residual bound, the ranking order stabilizes much earlier).
 
-    Determinism (the repo's rule for iterated float aggregation): each
-    contribution rounds to 9 decimals and accumulates as exact
-    DECIMAL(38,9) — order-insensitive; the new rank rounds to 9 after
-    the damping blend. Bit-equal to the DuckDB oracle's unrolled
-    iterations at any partitioning.
+    Determinism (the repo's rule for iterated float aggregation, in its
+    strongest form): the ENTIRE iteration runs in nano-unit BIGINT
+    arithmetic — rank mass 10^9 units, per-edge contribution
+    ``rank_n div deg`` (integer truncation), damping blend
+    ``(s * round(damping*1e6)) div 1e6`` — so there is no floating-point
+    rounding anywhere in the loop, hence no repr-tie hazard (the r8
+    fine print: Spark's round(double, n) rounds the shortest decimal
+    repr HALF_UP, which can disagree cross-engine on adversarial
+    doubles; rank/deg quotients are exactly such doubles). The single
+    double appears at the very end: rank = CAST(rank_n AS DOUBLE)/1e9,
+    per-row IEEE and bit-identical everywhere. Truncation under-counts
+    each node by < 1e-9 per round, so total mass is 1 - O((N+E)/1e9).
     """
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
@@ -329,21 +336,20 @@ def pagerank(
     n = nodes.count()  # bounded scalar: drives the uniform init and base term
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    base = (1.0 - damping) / n
+    damp_ppm = round(damping * 10**6)  # damping as an exact rational /1e6
+    base_n = (10**9 * (10**6 - damp_ppm) // 10**6) // n
     ranks = nodes.select(
-        "node", F.round(F.lit(1.0) / F.lit(float(n)), 9).alias("rank")
+        "node", F.lit(10**9 // n).cast("long").alias("rank_n")
     )
     for _ in range(iters):
         contrib = (
             sym.join(
-                ranks.select(F.col("node").alias("u"), "rank"), "u"
+                ranks.select(F.col("node").alias("u"), "rank_n"), "u"
             )
             .join(deg, "u")
             .select(
                 F.col("v").alias("node"),
-                F.round(F.col("rank") / F.col("deg"), 9)
-                .cast("decimal(38,9)")
-                .alias("c"),
+                F.expr("rank_n div deg").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
@@ -353,13 +359,13 @@ def pagerank(
             .join(contrib, "node", "left")
             .select(
                 "node",
-                F.round(
-                    F.lit(base)
-                    + F.lit(damping)
-                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
-                    9,
-                ).alias("rank"),
+                F.expr(
+                    f"CAST({base_n} + (coalesce(s, CAST(0 AS BIGINT))"
+                    f" * {damp_ppm}) div {10**6} AS BIGINT)"
+                ).alias("rank_n"),
             )
             .localCheckpoint(eager=False)
         )
-    return ranks
+    return ranks.select(
+        "node", (F.col("rank_n").cast("double") / F.lit(1e9)).alias("rank")
+    )

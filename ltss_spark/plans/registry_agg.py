@@ -1380,7 +1380,10 @@ def agg_median_exact(spark, sf_dir):
         (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
         | (F.col("__rn") == F.floor(F.col("__n") / 2) + 1)
     )
+    # coalesce: on an empty/all-null column the mid frame is empty, so
+    # max(__n) is NULL while the oracle's COUNT is 0 (ADVICE r8) — the
+    # count itself is still the broadcast scalar, not a recount
     return mid.agg(
         F.round(F.avg("v"), 6).alias("median_value"),
-        F.max("__n").alias("n"),
+        F.coalesce(F.max("__n"), F.lit(0).cast("long")).alias("n"),
     )

@@ -2426,21 +2426,24 @@ def ext_dedup_minhash_verified(spark, sf_dir):
 
 def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     """Unrolled power iteration mirroring operators/graph.pagerank over
-    the MinHash candidate graph: each round, contributions round to 9
-    and sum as exact DECIMAL(38,9) (order-free), the blended rank rounds
-    to 9 — bit-equal to the Spark loop at any partitioning."""
+    the MinHash candidate graph: the whole loop is nano-unit BIGINT
+    arithmetic (contribution = rank_n // deg, blend = (s*damp_ppm) //
+    1e6) — no float rounding anywhere, so no repr-tie hazard (ADVICE
+    r8); the one double is the final CAST/1e9, per-row IEEE and
+    bit-equal to the Spark loop at any partitioning."""
+    damp_ppm = round(damping * 10**6)
+    base_mass = 10**9 * (10**6 - damp_ppm) // 10**6
     its = []
     prev = "r0"
     for k in range(1, iters + 1):
         its.append(f"""
     r{k} AS (
       SELECT n.node,
-             round((1 - {damping}) / (SELECT n FROM nn)
-                   + {damping} * COALESCE(CAST(s.s AS DOUBLE), 0.0), 9)
-               AS rank
+             CAST({base_mass} // (SELECT n FROM nn)
+                  + (COALESCE(s.s, 0) * {damp_ppm}) // 1000000
+                  AS BIGINT) AS rank_n
       FROM nodes n LEFT JOIN (
-        SELECT e.v AS node,
-               SUM(CAST(round(r.rank / d.deg, 9) AS DECIMAL(38,9))) AS s
+        SELECT e.v AS node, SUM(r.rank_n // d.deg) AS s
         FROM sym e
         JOIN {prev} r ON r.node = e.u
         JOIN deg d ON d.u = e.u
@@ -2465,9 +2468,11 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     nodes AS (SELECT u AS node FROM deg),
     nn AS (SELECT COUNT(*) AS n FROM nodes),
     r0 AS (
-      SELECT node, round(1.0 / (SELECT n FROM nn), 9) AS rank FROM nodes
+      SELECT node,
+             CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS rank_n
+      FROM nodes
     ),{",".join(its)}
-    SELECT node, rank FROM {prev}
+    SELECT node, CAST(rank_n AS DOUBLE) / 1e9 AS rank FROM {prev}
     """
 
 
@@ -2478,16 +2483,19 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     "iteration over the near-dup graph — document-authority scoring, the "
     "best-connected-copy survivor rule; ONE shuffle per round, "
     "constant-size iterated plan via checkpoints, bit-equal to the "
-    "oracle's unrolled iterations through exact micro-decimal sums)",
+    "oracle's unrolled iterations through pure nano-unit BIGINT "
+    "arithmetic)",
 )
 def ext_pagerank(spark, sf_dir):
     """PageRank over the MinHash candidate graph (operators/graph.
     pagerank, 5 fixed rounds, damping 0.85): within a duplicate cluster
     the top-rank member is the best-connected canonical copy. Iterative
-    float aggregation made hash-checkable: per-edge contributions round
-    to 9 and accumulate as exact DECIMAL, so engine aggregation order
-    cannot leak into the result — the oracle replays all 5 unrolled
-    iterations and the value hash must agree on every node's rank."""
+    aggregation made hash-checkable in the strongest form (ADVICE r8):
+    the loop is all-integer nano-units — contribution rank_n div deg,
+    blend (s*850000) div 1e6 — no float round() anywhere, so neither
+    engine aggregation order nor repr-tie rounding can leak into the
+    result; the oracle replays all 5 unrolled iterations and the value
+    hash must agree on every node's rank."""
     from ltss_spark.operators.graph import pagerank
 
     return pagerank(minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=5, num_hashes=12, bands=4))

@@ -292,3 +292,23 @@ def test_round8_operators_empty(spark):
         F.current_timestamp().alias("timestamp"),
     )
     assert parse_kafka_events(wire).count() == 0
+
+
+def test_agg_median_exact_empty_matches_oracle_semantics(spark, tmp_path):
+    """agg_median_exact on an empty events table must return exactly what
+    the DuckDB oracle returns — (median_value NULL, n 0), NOT n NULL: the
+    oracle's CAST(COUNT(value) AS BIGINT) is 0 over zero rows while a max
+    over an empty frame is NULL (ADVICE r8)."""
+    import ltss_spark.plans.registry_agg  # noqa: F401 — registers the entry
+    from ltss_spark.plans.registry import REGISTRY
+
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    q = next(q for q in REGISTRY if q.name == "agg_median_exact")
+    rows = q.build(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0]["median_value"] is None
+    assert rows[0]["n"] == 0
