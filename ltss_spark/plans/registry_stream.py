@@ -940,8 +940,10 @@ def stream_changepoint_q(spark, sf_dir):
     period posture), then the event stream folds through
     applyInPandasWithState in THREE real micro-batches (the source is
     split into time-tercile files with increasing mtimes, so batches
-    arrive in event-time order per key and the carried two-long state is
-    genuinely exercised across batch boundaries). The emitted per-event
+    arrive in event-time order per key and the carried per-series state
+    is genuinely exercised across batch boundaries — the fold's
+    high-water-mark guard verifies that ordering instead of assuming
+    it). The emitted per-event
     walk values hash-match the batch CUSUM oracle — the stream IS the
     batch computation, incrementalized."""
     import glob as g

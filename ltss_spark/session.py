@@ -29,6 +29,12 @@ def get_spark(
       cluster this should be ~2-3x total cores (set via spark-submit).
     - Arrow enabled for the few Pandas-UDF operators (multimodal stubs).
     """
+    # State API v2 runtime (protobuf) must be on PYTHONPATH BEFORE the JVM
+    # launches — local-mode Python workers inherit the JVM's env, which is
+    # captured at launch (streaming/stateful.enable_state_api_v2_runtime)
+    from ltss_spark.streaming.stateful import enable_state_api_v2_runtime
+
+    enable_state_api_v2_runtime()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus

@@ -89,17 +89,106 @@ def streaming_user_totals(spark: SparkSession, source_dir: str) -> DataFrame:
     return w_latest
 
 
-def tws_available() -> bool:
-    """Capability probe for Spark 4's State API v2: the Python worker side
-    imports google.protobuf at query start — absent in this container, so
-    callers must check before building the query (the failure otherwise
-    surfaces as an opaque 'driver worker crashed' stream error)."""
+#: known vendored pure-Python protobuf locations on hosts without the pip
+#: package — the Google Cloud SDK ships one (its own public distribution of
+#: protobuf, BSD-licensed). Probed newest-capable-first.
+_PROTOBUF_FALLBACK_DIRS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",  # protobuf 6.x
+    "/usr/lib/google-cloud-sdk/lib/third_party/cloudsdk",  # protobuf 4.x
+)
+
+
+def enable_state_api_v2_runtime() -> bool:
+    """Make ``google.protobuf`` importable for Spark 4's State API v2
+    (``transformWithStateInPandas`` speaks protobuf between the Python
+    worker and the JVM state server).
+
+    Order of attempts:
+    1. the real package (a normal cluster image) — nothing to do;
+    2. a vendored pure-Python copy already ON THIS HOST (the Google Cloud
+       SDK ships protobuf; this container has 6.32). The directory goes on
+       ``sys.path`` AND ``$PYTHONPATH`` (Python workers are separate
+       processes — they inherit the env, not our sys.path), and
+       ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` is set: pyspark's
+       gencode is 6.33 and protobuf's validator refuses a 6.32 runtime,
+       but the wire format is stable across a minor version — protobuf's
+       own documented escape hatch for exactly this skew.
+
+    MUST run before the JVM starts (ltss_spark.session.get_spark calls it
+    first): local-mode Python workers inherit the JVM's environment,
+    which is captured at JVM launch. Returns availability; mutates
+    nothing when the real package exists or no fallback is found."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
         return True
     except ImportError:
-        return False
+        pass
+    import importlib
+    import os as _os
+    import sys as _sys
+
+    for d in _PROTOBUF_FALLBACK_DIRS:
+        if not _os.path.isfile(
+            _os.path.join(d, "google", "protobuf", "descriptor.py")
+        ):
+            continue
+        if d not in _sys.path:
+            _sys.path.append(d)
+        prev = _os.environ.get("PYTHONPATH", "")
+        if d not in prev.split(_os.pathsep):
+            _os.environ["PYTHONPATH"] = (
+                f"{prev}{_os.pathsep}{d}" if prev else d
+            )
+        _os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+        importlib.invalidate_caches()
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            return True
+        except ImportError:
+            continue
+    return False
+
+
+def tws_available() -> bool:
+    """Capability probe for Spark 4's State API v2: the Python worker side
+    imports google.protobuf at query start — callers must check before
+    building the query (the failure otherwise surfaces as an opaque
+    'driver worker crashed' stream error). Tries the host-level fallback
+    runtime first (enable_state_api_v2_runtime), so on this container the
+    TWS path is genuinely runnable, not dark."""
+    return enable_state_api_v2_runtime()
+
+
+def _require_worker_visible_protobuf(spark: SparkSession) -> None:
+    """A fallback protobuf on the DRIVER's sys.path is not enough: Python
+    workers are separate processes launched with the JVM's environment,
+    captured at JVM start. If the runtime came from a fallback dir, the
+    dir must be in the JVM's own $PYTHONPATH (i.e. the env was exported
+    BEFORE the JVM launched — get_spark's contract); otherwise the query
+    would die mid-stream with an opaque worker crash. Fail actionably
+    instead."""
+    import os as _os
+
+    import google.protobuf as _pb
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.dirname(_pb.__file__)))
+    if root not in _PROTOBUF_FALLBACK_DIRS:
+        return  # real pip package: visible to workers via site-packages
+    jvm_pp = (
+        spark._jvm.java.lang.System.getenv("PYTHONPATH") or ""  # noqa: SLF001
+    )
+    if root not in jvm_pp.split(_os.pathsep):
+        raise RuntimeError(
+            "State API v2 runtime is a host-level fallback protobuf "
+            f"({root}) but this JVM started before it was exported to "
+            "$PYTHONPATH, so Python WORKERS cannot import it. Build the "
+            "session through ltss_spark.session.get_spark in a fresh "
+            "process (it exports the runtime before the JVM launches)."
+        )
 
 
 def streaming_running_totals_tws(spark: SparkSession, source_dir: str) -> DataFrame:
@@ -124,11 +213,13 @@ def streaming_running_totals_tws(spark: SparkSession, source_dir: str) -> DataFr
         raise RuntimeError(
             "transformWithStateInPandas needs the google.protobuf package "
             "(the State API v2 Python bridge speaks protobuf to the JVM "
-            "state server); it is not installed in this environment. The "
-            "operator is fully wired — run it on a cluster image with "
+            "state server); neither the pip package nor a host-level "
+            "fallback runtime (enable_state_api_v2_runtime) was found. "
+            "The operator is fully wired — run it on a cluster image with "
             "protobuf to get State API v2 semantics; applyInPandasWithState "
             "(streaming_user_totals) covers the stateful surface here."
         )
+    _require_worker_visible_protobuf(spark)
     from decimal import Decimal
 
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
@@ -199,7 +290,7 @@ _CUSUM_OUT = (
     "event_id bigint, user_id bigint, x double, "
     "s_pos double, s_neg double, is_change boolean"
 )
-_CUSUM_STATE = "sp bigint, sn bigint"
+_CUSUM_STATE = "sp bigint, sn bigint, last_ns bigint, last_eid bigint"
 
 
 def _make_cusum_fn(limits: dict):
@@ -207,25 +298,52 @@ def _make_cusum_fn(limits: dict):
 
     ``limits``: {user_id: (mu, sigma, thr_micro)} — trained offline (the
     SPC posture: control limits come from a reference period, the monitor
-    just folds). State per key is TWO LONGs (the reflected walk values in
-    micro-units) — O(#series) total, the bounded-state discipline.
+    just folds). State per key is FOUR LONGs: the reflected walk values
+    in micro-units plus the last-folded (ts-nanos, event_id) — O(#series)
+    total, the bounded-state discipline.
 
     Within a batch the rows sort by (ts, event_id) and the recursion runs
     via the same reflection identity as the batch operator: with the
     carried state s0 as the walk's starting level, s_i = c_i - min(0,
     prefix-min(c)) where c = s0 + cumsum(y). Vectorized numpy — no
-    per-row Python loop."""
+    per-row Python loop.
+
+    ORDER GUARD (ADVICE r8): a CUSUM walk is a recursion over event-time
+    order, so a micro-batch whose first row is at-or-before the
+    last-folded (ts, event_id) would silently produce a wrong walk if
+    folded. The state carries that high-water mark and the fold FAILS
+    LOUDLY on regression — wrong monitoring values must never be emitted
+    silently. Production deployments that cannot guarantee per-key
+    ordered arrival (the registered entry's time-ordered file split
+    does) should sort upstream by watermark + event-time timers."""
     import numpy as np
+
+    _SENTINEL = -(1 << 62)  # below any real (ts-nanos, event_id)
 
     def fold(key, pdfs, state):
         user = key[0]
         mu, sigma, thr = limits.get(user, (0.0, 0.0, 0))
-        sp0, sn0 = state.get if state.exists else (0, 0)
+        sp0, sn0, last_ns, last_eid = (
+            state.get if state.exists else (0, 0, _SENTINEL, _SENTINEL)
+        )
         outs = []
         for pdf in pdfs:
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+            first_ns = int(pdf["ts"].astype("int64").iloc[0])
+            first_eid = int(pdf["event_id"].iloc[0])
+            if (first_ns, first_eid) <= (last_ns, last_eid):
+                raise ValueError(
+                    f"streaming_cusum: out-of-order batch for key {user}: "
+                    f"first row (ts_ns={first_ns}, event_id={first_eid}) is "
+                    f"at-or-before the last folded row (ts_ns={last_ns}, "
+                    f"event_id={last_eid}); folding it would corrupt the "
+                    "walk. Deliver per-key batches in event-time order "
+                    "(sort upstream by watermark) or rebuild state."
+                )
+            last_ns = int(pdf["ts"].astype("int64").iloc[-1])
+            last_eid = int(pdf["event_id"].iloc[-1])
             x = pdf["value"].to_numpy(dtype="float64")
 
             # HALF-AWAY-FROM-ZERO to match Spark/DuckDB round(x, 0) —
@@ -254,7 +372,7 @@ def _make_cusum_fn(limits: dict):
                     }
                 )
             )
-        state.update((sp0, sn0))
+        state.update((sp0, sn0, last_ns, last_eid))
         for o in outs:
             yield o
 
@@ -264,13 +382,16 @@ def _make_cusum_fn(limits: dict):
 def streaming_cusum(raw: DataFrame, limits: dict) -> DataFrame:
     """Per-event CUSUM monitoring as a STREAM: the batch operator's
     reflected-walk arithmetic (operators/timeseries.cusum_changepoints)
-    carried across micro-batches in two longs of state per series.
+    carried across micro-batches in four longs of state per series (walk
+    values + the last-folded (ts, event_id) high-water mark).
     ``raw`` is a STREAMING frame with (event_id, user_id, ts, value); the
     caller supplies trained control limits (the SPC posture — limits come
     from a reference period, the monitor folds). With micro-batches
     arriving in event-time order per key (the registered entry splits the
     source into time-ordered files), the emitted rows are bit-equal to
-    the batch computation — exactly what the entry's oracle checks."""
+    the batch computation — exactly what the entry's oracle checks. A
+    batch arriving BEHIND the per-key high-water mark fails the query
+    loudly instead of silently folding a wrong walk (ADVICE r8)."""
     raw = raw.filter(F.col("value").isNotNull())
     updates = raw.groupBy("user_id").applyInPandasWithState(
         _make_cusum_fn(limits),

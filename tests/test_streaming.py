@@ -645,7 +645,15 @@ def test_tws_gated_or_matches_batch_prefix(spark):
         with pytest.raises(RuntimeError, match="protobuf"):
             streaming_running_totals_tws(spark, SF_SMOKE)
         return
-    out = streaming_running_totals_tws(spark, SF_SMOKE)
+    try:
+        out = streaming_running_totals_tws(spark, SF_SMOKE)
+    except RuntimeError as e:
+        # fallback runtime importable on the driver but this JVM predates
+        # the $PYTHONPATH export (a session built outside get_spark, or an
+        # env mutated mid-process): the guard must fail actionably rather
+        # than let the stream die with an opaque worker crash
+        assert "fresh process" in str(e)
+        pytest.skip("JVM predates the fallback protobuf export")
     from ltss_spark.sources.batch import load_table
     from pyspark.sql import Window
 
@@ -901,3 +909,60 @@ def test_kafka_parse_contract_and_capability_gate(spark):
         _pytest.skip("connector present; gate not exercisable")
     with _pytest.raises(RuntimeError, match="--packages"):
         events_stream_kafka(spark, "localhost:9092", "t")
+
+
+def test_cusum_fold_rejects_out_of_order_batch():
+    """The streaming CUSUM fold is a recursion over event-time order; a
+    micro-batch landing at-or-before the per-key high-water mark must
+    FAIL LOUDLY instead of silently producing a wrong walk (ADVICE r8).
+    Exercised directly on the fold function with a fake state handle —
+    no streaming query needed."""
+    import pandas as pd
+    import pytest
+
+    from ltss_spark.streaming.stateful import _make_cusum_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists = True
+            self._v = tuple(v)
+
+    fold = _make_cusum_fn({7: (0.0, 1.0, 4_000_000)})
+    state = FakeState()
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "event_id": [r[1] for r in rows],
+                "user_id": 7,
+                "ts": pd.to_datetime([r[0] for r in rows]),
+                "value": [r[2] for r in rows],
+            }
+        )
+
+    # ordered batches fold fine and advance the high-water mark
+    out1 = list(fold((7,), iter([batch([("2024-01-01 00:00", 1, 1.0)])]), state))
+    assert len(out1) == 1 and state.exists
+    assert state._v[2:] == (
+        pd.Timestamp("2024-01-01 00:00").value,
+        1,
+    )
+    list(fold((7,), iter([batch([("2024-01-01 00:02", 3, 1.0)])]), state))
+
+    # a batch at-or-before the mark must raise, not fold
+    with pytest.raises(ValueError, match="out-of-order"):
+        list(fold((7,), iter([batch([("2024-01-01 00:01", 2, 1.0)])]), state))
+    # equal (ts, event_id) is a replay — also rejected
+    with pytest.raises(ValueError, match="out-of-order"):
+        list(fold((7,), iter([batch([("2024-01-01 00:02", 3, 1.0)])]), state))
+    # strictly-later same-ts event is fine (tie broken by event_id)
+    out = list(fold((7,), iter([batch([("2024-01-01 00:02", 4, 1.0)])]), state))
+    assert len(out) == 1
