@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, Window
 
 from ltss_spark.functions.numeric import davg
 from ltss_spark.operators.dedup import normalize_text
+from ltss_spark.operators.skew import hot_key_guarded_join
 
 #: tiny English stopword list for quality scoring (public/ubiquitous)
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
@@ -135,6 +136,8 @@ def tfidf_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    min_hot_rows: int = 2_000_000,
+    skew_decision: dict | None = None,
 ) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF — the classic
     keyword/feature extraction pass of a corpus pipeline.
@@ -151,6 +154,14 @@ def tfidf_topk(
     Scores are rounded to 6 decimals BEFORE ranking so the rank order is
     engine-independent (ln is transcendental; libm vs StrictMath may
     differ in the last ulp), with the token string as the tie-break.
+
+    Skew guard (VERDICT r8 item 5): the score join's key is the token —
+    Zipf-distributed, so at corpus scale the hottest token's rows exceed
+    any single reduce task. The join routes through
+    :func:`~ltss_spark.operators.skew.hot_key_guarded_join`: the
+    already-computed df aggregate doubles as the heavy-hitter pre-flight
+    (one 1-row agg, no extra scan), and above the threshold the join
+    salts automatically — value-identical either way.
     """
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
@@ -167,7 +178,15 @@ def tfidf_topk(
     df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.countDistinct(id_col).alias("n_docs"))
     scored = (
-        tf.join(df_counts, "token")
+        hot_key_guarded_join(
+            tf,
+            df_counts,
+            ["token"],
+            salt_src=F.col(id_col),
+            count_col="df",
+            min_hot_rows=min_hot_rows,
+            decision=skew_decision,
+        )
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,
@@ -194,6 +213,8 @@ def unigram_logprob(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    min_hot_rows: int = 2_000_000,
+    skew_decision: dict | None = None,
 ) -> DataFrame:
     """Per-document average token log-probability under the CORPUS unigram
     language model — the cheap perplexity-style quality signal every
@@ -205,8 +226,11 @@ def unigram_logprob(
     sum of per-token logprobs / token count. The corpus total joins as a
     broadcast 1-row aggregate. Shuffle volume: |token occurrences| once
     for the count, once for the scoring join — both linear, and the count
-    join key (token) is Zipf-skewed, which AQE's skew split handles (or
-    route through salted_join for pathological vocabularies).
+    join key (token) is Zipf-skewed: the scoring join routes through
+    :func:`~ltss_spark.operators.skew.hot_key_guarded_join` (VERDICT r8
+    item 5) — the per-token count frame doubles as the heavy-hitter
+    pre-flight and the join salts automatically above the threshold,
+    value-identical either way (below it, AQE's skew split still applies).
 
     Determinism: ln() is transcendental, so each PER-TOKEN logprob is
     rounded to 6 decimals first, then summed exactly (DECIMAL), then the
@@ -222,7 +246,15 @@ def unigram_logprob(
     total = counts.agg(F.sum("c").alias("t"))
     lp = F.round(F.log(F.col("c") / F.col("t")), 6)
     scored = (
-        toks.join(counts, "token")
+        hot_key_guarded_join(
+            toks,
+            counts,
+            ["token"],
+            salt_src=F.col(id_col),
+            count_col="c",
+            min_hot_rows=min_hot_rows,
+            decision=skew_decision,
+        )
         .crossJoin(F.broadcast(total))
         .select(F.col(id_col), lp.alias("lp"))
     )
@@ -377,6 +409,8 @@ def bigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 0.5,
+    min_hot_rows: int = 2_000_000,
+    skew_decision: dict | None = None,
 ) -> DataFrame:
     """Per-document average bigram log-probability and perplexity under
     an add-``alpha`` smoothed CORPUS bigram LM — the CCNet-style
@@ -389,10 +423,16 @@ def bigram_logprob(
     zip_with adjacent-token structs -> explode to bigram occurrences
     (checkpointed once: the frame feeds the two count aggregates AND the
     scoring join) -> hash-agg bigram and prefix counts -> join
-    occurrences back to both counts (keys Zipf-skewed; AQE skew split
-    applies) -> per-doc exact-decimal sum. V joins as a broadcast 1-row
-    aggregate. Documents with fewer than two tokens have no bigrams and
-    drop out — score presence itself is a length-floor signal.
+    occurrences back to both counts -> per-doc exact-decimal sum. V
+    joins as a broadcast 1-row aggregate. The PREFIX join (single-token
+    key, the more Zipf-skewed of the two) routes through
+    :func:`~ltss_spark.operators.skew.hot_key_guarded_join` (VERDICT r8
+    item 5): the prefix-count frame doubles as the heavy-hitter
+    pre-flight and the join salts automatically above the threshold —
+    value-identical either way; the bigram-key join's skew is quadratic-
+    ally milder and stays with AQE. Documents with fewer than two tokens
+    have no bigrams and drop out — score presence itself is a
+    length-floor signal.
 
     Determinism: ln() is transcendental, so each per-bigram logprob is
     rounded to 6 BEFORE the exact DECIMAL sum (order-insensitive across
@@ -418,8 +458,15 @@ def bigram_logprob(
         6,
     )
     scored = (
-        bg.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
+        hot_key_guarded_join(
+            bg.join(c2, ["w1", "w2"]),
+            c1,
+            ["w1"],
+            salt_src=F.col(id_col),
+            count_col="c1",
+            min_hot_rows=min_hot_rows,
+            decision=skew_decision,
+        )
         .crossJoin(F.broadcast(v))
         .select(F.col(id_col), lp.alias("lp"))
     )

@@ -2044,3 +2044,62 @@ try:
 
 except ImportError:
     pass
+
+
+def test_token_join_skew_guard_salts_and_matches(spark):
+    """VERDICT r8 item 5: on a Zipf corpus whose hottest token crosses the
+    thresholds, the token joins must take the SALTED path automatically —
+    and the salted result must hash-match the unsalted one (salted_join's
+    value-identity invariant, here end-to-end through the operators)."""
+    from ltss_spark.operators.text import (
+        bigram_logprob,
+        tfidf_topk,
+        unigram_logprob,
+    )
+
+    # "the" appears in every doc (the Zipf head); tail tokens are unique
+    docs = spark.createDataFrame(
+        [(i, f"the quick tok{i} the lazy tok{i + 100}") for i in range(40)],
+        "doc_id long, text string",
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for op, kw in (
+        (unigram_logprob, {}),
+        (tfidf_topk, {}),
+        (bigram_logprob, {}),
+    ):
+        dec = {}
+        salted = op(docs, min_hot_rows=2, skew_decision=dec, **kw)
+        assert dec["salted"] is True, (op.__name__, dec)
+        assert dec["max_key_rows"] >= 8 * dec["mean_key_rows"]
+        # the salt key must actually reach the executed join
+        assert "__salt" in salted._jdf.queryExecution().optimizedPlan().toString(), (
+            op.__name__
+        )
+        dec_plain = {}
+        plain = op(docs, skew_decision=dec_plain, **kw)  # default 2M floor
+        assert dec_plain["salted"] is False
+        assert "__salt" not in plain._jdf.queryExecution().optimizedPlan().toString()
+        assert rows(salted) == rows(plain), op.__name__
+
+
+def test_hot_key_guarded_join_below_thresholds_stays_plain(spark):
+    """A uniform key distribution (or a hot key below min_hot_rows) must
+    NOT pay the salted path's small-side replication."""
+    from ltss_spark.operators.skew import hot_key_guarded_join
+
+    big = spark.createDataFrame(
+        [(i, f"k{i % 4}") for i in range(40)], "id long, k string"
+    )
+    counts = big.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    dec = {}
+    out = hot_key_guarded_join(
+        big, counts, ["k"], salt_src=F.col("id"), count_col="c",
+        min_hot_rows=2, decision=dec,
+    )
+    # 4 uniform keys: max == mean, skew factor 1 < 8 -> plain join
+    assert dec["salted"] is False
+    assert out.count() == 40
