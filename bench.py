@@ -29,6 +29,24 @@ REGRESSION_FACTOR = 1.5
 REGRESSION_SLACK_S = 0.4  # absolute floor: min-of-2 jitter on local[32]
 RETRY_RUNS = 2  # extra runs a flagged query gets to prove the flag wrong
 
+#: window gate (VERDICT r8 item 3): the r8 A/B proved identical code
+#: swings ±30% between quiet and contended host windows, so per-query
+#: "bests" are only meaningful quiet-to-quiet. A run whose PRE-Spark
+#: 1-min load average exceeds this is tagged quiet=false: it is recorded
+#: (the driver's contract), but it never becomes a baseline best, and
+#: its own numbers are not hard-gated (a contended window can neither
+#: establish nor refute a regression).
+QUIET_LOAD_MAX = 4.0
+
+
+def host_load() -> float:
+    """1-min load average, sampled BEFORE Spark spins up its 32 threads
+    (afterwards our own executors dominate the number)."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg
+        return -1.0
+
 
 def _time_query(qmap, name: str, spark, sf_dir: str, runs: int) -> float:
     best = float("inf")
@@ -71,11 +89,19 @@ HEADLINE = [
     # correctness — q9 (6-table join tree + agg), q18 (large IN-subquery)
     "sql_q9",
     "sql_q18",
+    # round 9 (VERDICT r8 item 8): the iterative and window-recursion
+    # shapes the set didn't represent — pagerank (5 checkpointed join+agg
+    # rounds over the near-dup graph), cusum (per-series window
+    # recursion via the reflection identity)
+    "ext_pagerank",
+    "ts_changepoint_cusum",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_avg = host_load()  # BEFORE the Spark JVM starts
+    quiet = 0.0 <= load_avg <= QUIET_LOAD_MAX
     import ltss_spark.plans as plans
     from ltss_spark.session import get_spark
 
@@ -123,6 +149,8 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "load_avg": load_avg,
+            "quiet": quiet,
         }
 
     # a regression must be REPRODUCIBLE: re-run only the flagged queries up
@@ -147,7 +175,15 @@ def main() -> None:
                 f" (> {REGRESSION_FACTOR}x + {REGRESSION_SLACK_S}s slack)",
                 file=sys.stderr,
             )
-        if os.environ.get("LTSS_BENCH_STRICT", "1") != "0":
+        if not quiet:
+            # contended window: numbers can't refute (or prove) a plan
+            # regression — warn, record (quiet=false), never hard-fail
+            print(
+                f"window contended (load_avg={load_avg} > {QUIET_LOAD_MAX}): "
+                "flags above are advisory only",
+                file=sys.stderr,
+            )
+        elif os.environ.get("LTSS_BENCH_STRICT", "1") != "0":
             sys.exit(1)
 
 
@@ -172,6 +208,14 @@ def load_history(sf) -> list[dict]:
 
 
 RECENT_RUNS = 5  # regression baseline window
+
+
+def quiet_history(sf) -> list[dict]:
+    """Baseline-eligible runs: quiet-window only (quiet-to-quiet compare,
+    VERDICT r8 item 3). Records predating the load tag are grandfathered
+    as quiet — they were the only baselines we had, and the RECENT_RUNS
+    window ages them out as tagged quiet runs accumulate."""
+    return [r for r in load_history(sf) if r.get("quiet", True)]
 
 #: noise pass: a query this far above its recent-history best gets one
 #: extra min-of-2 (the host swings ~±30% window-to-window; a real plan
@@ -207,7 +251,7 @@ def apply_noise_retries(timings: dict[str, float], sf, retime) -> list[str]:
 
 def queries_needing_noise_retry(timings: dict[str, float], sf) -> list[str]:
     hist_best: dict[str, float] = {}
-    for rec in load_history(sf)[-RECENT_RUNS:]:
+    for rec in quiet_history(sf)[-RECENT_RUNS:]:
         for name, sec in rec.get("queries", {}).items():
             if name not in hist_best or sec < hist_best[name]:
                 hist_best[name] = sec
@@ -219,12 +263,14 @@ def queries_needing_noise_retry(timings: dict[str, float], sf) -> list[str]:
 
 
 def check_regressions(result: dict) -> dict[str, tuple[float, float]]:
-    """Compare against the best of the LAST ``RECENT_RUNS`` same-sf runs,
-    not the all-time best: a single historically lucky outlier (or a number
-    from a since-rewritten implementation) must not gate every future run
-    forever — the guard is for regressions against CURRENT behavior."""
+    """Compare against the best of the LAST ``RECENT_RUNS`` same-sf QUIET
+    runs, not the all-time best: a single historically lucky outlier (or a
+    number from a since-rewritten implementation) must not gate every
+    future run forever — the guard is for regressions against CURRENT
+    behavior, measured quiet-to-quiet (contended runs are recorded but
+    never become baselines, and are never hard-gated themselves)."""
     best: dict[str, float] = {}
-    for rec in load_history(result["sf"])[-RECENT_RUNS:]:
+    for rec in quiet_history(result["sf"])[-RECENT_RUNS:]:
         for name, sec in rec.get("queries", {}).items():
             if name not in best or sec < best[name]:
                 best[name] = sec

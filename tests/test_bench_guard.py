@@ -88,3 +88,42 @@ def test_noise_retries_iterate_until_inside_band(tmp_path, monkeypatch):
     log = bench.apply_noise_retries(timings, 0.1, lambda name: 2.0)
     assert timings == {"q1": 2.0}
     assert log == ["q1"] * bench.MAX_NOISE_PASSES
+
+
+def _quiet_run(queries, sf=0.1, load_avg=1.0, quiet=True):
+    r = _run(queries, sf)
+    r["load_avg"] = load_avg
+    r["quiet"] = quiet
+    return r
+
+
+def test_contended_run_never_updates_bests(tmp_path, monkeypatch):
+    """Quiet-to-quiet comparison (VERDICT r8 item 3): a contended-window
+    run is recorded in history but must never become the baseline best —
+    neither for the regression gate nor for noise-retry selection."""
+    hist = tmp_path / "hist.jsonl"
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(hist))
+
+    bench.append_history(_quiet_run({"q1": 2.0}))
+    # a lucky contended run measuring 0.5s lands in history...
+    bench.append_history(_quiet_run({"q1": 0.5}, load_avg=19.3, quiet=False))
+
+    # ...but the quiet baseline stays 2.0: 2.4s is inside 2.0*1.5+0.4
+    assert bench.check_regressions(_quiet_run({"q1": 2.4})) == {}
+    # and noise retries key off the quiet best too (2.0*1.2+0.1 = 2.5)
+    assert bench.queries_needing_noise_retry({"q1": 2.45}, 0.1) == []
+    # sanity: had the 0.5s contended run counted, both would have flagged
+    assert bench.quiet_history(0.1) == [
+        r for r in bench.load_history(0.1) if r.get("quiet", True)
+    ]
+    assert len(bench.quiet_history(0.1)) == 1
+
+
+def test_pre_load_tag_history_grandfathered_as_quiet(tmp_path, monkeypatch):
+    """Records written before the load tag existed carry no quiet field;
+    they must stay baseline-eligible or the guard would start from zero."""
+    hist = tmp_path / "hist.jsonl"
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(hist))
+    bench.append_history(_run({"q1": 1.0}))  # legacy record, no tag
+    got = bench.check_regressions(_quiet_run({"q1": 9.0}))
+    assert got == {"q1": (9.0, 1.0)}
