@@ -80,94 +80,27 @@ def register(name: str, oracle: str | None, survey: str = ""):
 # Driver CORRECTNESS-window priority.
 #
 # The per-round driver check covers roughly the first 50 `queries()` entries
-# in dict order. The union of CORRECTNESS_r01-r07 gave every one of the 211
-# pre-r8 entries at least one driver row, all green on their latest check.
-# Round 8 heads the window with this round's never-verified entries and the
-# entries whose implementation materially changed (the sink_optimize
-# bin-pack compaction rework, the ext_dedup_cluster CC shave), then drains
-# the ENTIRE r1/r2 staleness tail (VERDICT r7 item 2: all 30 entries whose
-# latest driver row predates round 3). Remaining window slots and
-# _DRIVER_SECOND continue strictly least-recently-verified-first, so by r9
-# the r3 cohort drains too.
+# in dict order. The union of CORRECTNESS_r01-r08 gives all 222 entries at
+# least one driver row, all green on their latest check. Round 9 heads the
+# window with the entries whose implementation or oracle materially changed
+# this round (the semantic-kmeans value oracle, the integer pagerank, the
+# median empty-input fix, the CUSUM order guard, the token-join skew
+# guard), then drains the ENTIRE r3 staleness cohort (VERDICT r8 item 2:
+# all 32 entries whose latest driver row is r3), then the oldest r4s.
+# _DRIVER_SECOND continues strictly least-recently-verified-first, so by
+# r10 the r4 cohort drains too.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY: list[str] = [
-    # --- new in round 8 (never driver-verified) ---
-    "stream_kafka_decode",
+    # --- materially changed in round 9 (must re-verify) ---
     "ext_dedup_semantic_kmeans",
-    "ext_perplexity_buckets",
-    "ltss_state_transitions",
-    "ts_changepoint_cusum",
-    "stream_kafka_roundtrip",
-    "stream_changepoint",
-    "ts_m4",
-    "ext_dedup_minhash_verified",
     "ext_pagerank",
     "agg_median_exact",
-    # --- materially changed in round 8 (must re-verify) ---
-    "sink_optimize",
-    "ext_dedup_cluster",
-    "ext_dedup_minhash",
-    "ext_dedup_pipeline",
-    "win_ntile",
-    # --- staleness drain: every entry whose latest driver row is r1/r2 ---
-    "ddl_migrate",
-    "ext_fingerprint",
-    "ext_lang_dist",
-    "ext_langid",
-    "ext_multimodal_audio",
-    "ext_multimodal_frames",
-    "ext_multimodal_resize",
-    "ext_text_quality",
-    "ext_token_topk",
-    "ext_url_canonical",
-    "ltss_attr_materialize",
-    "ltss_deadletter",
-    "ltss_entity_range",
-    "ltss_geo_ingest",
-    "ltss_json_attr",
-    "ltss_json_contains",
-    "scan_stream",
-    "sink_append",
-    "sql_select",
-    "stream_late_drop",
-    "stream_rollup",
-    "stream_window_session",
-    "stream_window_sliding",
-    "stream_window_tumbling",
-    "ts_counter_delta",
-    "ts_interpolate",
-    "ts_timeweight",
-    "win_frame",
-    "win_range_frame",
-    "win_rank",
-]
-
-#: entries with a PRE-existing driver row whose implementation or oracle
-#: changed materially this round — they justify a window slot exactly like a
-#: never-verified entry (tests/test_plans.py window-packing guard).
-_CHANGED_ENTRIES: set[str] = {
-    "sink_optimize",
-    "ext_dedup_cluster",
-    # minhash_lsh_pairs gained the banded-signature checkpoint (r8) —
-    # value-identical, but the executed plan changed, so the driver
-    # re-confirms its other consumers too
-    "ext_dedup_minhash",
-    "ext_dedup_pipeline",
-    # win_ntile's global single-partition window was replaced by the
-    # distributed rank + exact NTILE arithmetic (r8)
-    "win_ntile",
-}
-
-# Entries with an existing green driver row; least-recently-verified first
-# (r3 cohort, then r4, r6, r7) — any window wider than the priority block
-# re-confirms the stalest surface next.
-_DRIVER_SECOND: list[str] = [
-    # --- latest driver row: round 3 ---
-    "agg_approx",
-    "agg_percentile",
-    "agg_sketch_rollup",
-    "ddl_upgrade",
+    "stream_changepoint",
+    "ext_tfidf",
+    "ext_unigram_lm",
+    "ext_bigram_lm",
+    # --- staleness drain: every entry whose latest driver row is r3 ---
     "ext_contamination",
     "ext_dedup_incremental",
     "ext_hash_split",
@@ -200,7 +133,7 @@ _DRIVER_SECOND: list[str] = [
     "ts_histogram",
     "ts_lttb",
     "ts_trend",
-    # --- latest driver row: round 4 ---
+    # --- oldest r4 entries: fill the window least-recently-first ---
     "agg_corr",
     "agg_mode",
     "ext_bm25",
@@ -212,12 +145,30 @@ _DRIVER_SECOND: list[str] = [
     "ext_dedup_simhash",
     "ext_dedup_span_remove",
     "ext_multimodal",
+]
+
+#: entries with a PRE-existing driver row whose implementation or oracle
+#: changed materially this round — they justify a window slot exactly like a
+#: never-verified entry (tests/test_plans.py window-packing guard).
+_CHANGED_ENTRIES: set[str] = {
+    "ext_dedup_semantic_kmeans",
+    "ext_pagerank",
+    "agg_median_exact",
+    "stream_changepoint",
+    "ext_tfidf",
+    "ext_unigram_lm",
+    "ext_bigram_lm",
+}
+
+# Entries with an existing green driver row; least-recently-verified first
+# (r4 cohort, then r6, r7, r8) — any window wider than the priority block
+# re-confirms the stalest surface next.
+_DRIVER_SECOND: list[str] = [
+    # --- latest driver row: round 4 ---
     "ext_pack_sequences",
     "ext_quality_filter",
     "ext_sim_search",
     "ext_text_stats",
-    "ext_tfidf",
-    "ext_unigram_lm",
     "geo_bbox_join",
     "geo_distance",
     "join_asof",
@@ -249,7 +200,6 @@ _DRIVER_SECOND: list[str] = [
     # --- latest driver row: round 6 ---
     "agg_theta_overlap",
     "diag_skew",
-    "ext_bigram_lm",
     "ext_dedup_cdf",
     "ext_dedup_embed_capped",
     "ext_dedup_spans",
@@ -343,6 +293,53 @@ _DRIVER_SECOND: list[str] = [
     "ts_seasonal_anomaly",
     "win_cumulative",
     "win_distribution",
+    # --- latest driver row: round 8 ---
+    "agg_approx",
+    "agg_percentile",
+    "agg_sketch_rollup",
+    "ddl_migrate",
+    "ddl_upgrade",
+    "ext_dedup_cluster",
+    "ext_dedup_minhash",
+    "ext_dedup_minhash_verified",
+    "ext_dedup_pipeline",
+    "ext_fingerprint",
+    "ext_lang_dist",
+    "ext_langid",
+    "ext_multimodal_audio",
+    "ext_multimodal_frames",
+    "ext_multimodal_resize",
+    "ext_perplexity_buckets",
+    "ext_text_quality",
+    "ext_token_topk",
+    "ext_url_canonical",
+    "ltss_attr_materialize",
+    "ltss_deadletter",
+    "ltss_entity_range",
+    "ltss_geo_ingest",
+    "ltss_json_attr",
+    "ltss_json_contains",
+    "ltss_state_transitions",
+    "scan_stream",
+    "sink_append",
+    "sink_optimize",
+    "sql_select",
+    "stream_kafka_decode",
+    "stream_kafka_roundtrip",
+    "stream_late_drop",
+    "stream_rollup",
+    "stream_window_session",
+    "stream_window_sliding",
+    "stream_window_tumbling",
+    "ts_changepoint_cusum",
+    "ts_counter_delta",
+    "ts_interpolate",
+    "ts_m4",
+    "ts_timeweight",
+    "win_frame",
+    "win_ntile",
+    "win_range_frame",
+    "win_rank",
 ]
 
 

@@ -652,6 +652,62 @@ def main():
             results["r8_scaling"][str(factor)] = row
             print(json.dumps({factor: row}))
 
+    # round-9 deep probe (VERDICT r8 item 4): the five r8 operators that
+    # claim flat-or-linear shapes, pushed from the 8x ceiling to the same
+    # 32x bar cc_deep_scaling met. Factors 1/4/16/32; the honest metric is
+    # seconds per input row (flat-or-better = the shape claim holds).
+    # - perplexity_buckets / cusum / m4: linear token/event volume
+    # - semantic_dedup_kmeans: C ∝ N keeps per-vector work constant —
+    #   probed in the REGISTERED exact+md5 form so the shape graded is
+    #   the shape shipped
+    # - pagerank: fixed 5 rounds over the near-dup graph; nodes/edges
+    #   grow linearly with the tagged replicas
+    if want("r9"):
+        from ltss_spark.operators.graph import pagerank
+        from ltss_spark.operators.similarity import semantic_dedup_kmeans
+        from ltss_spark.operators.text import perplexity_buckets
+        from ltss_spark.operators.timeseries import (
+            cusum_changepoints,
+            m4_downsample,
+        )
+
+        results["r9_scaling"] = {}
+        perplexity_buckets(warm).count()  # warm
+        for factor in (1, 4, 16, 32):
+            docs = replicated_docs(spark, sf_dir, factor, base)
+            embsh = replicated_embeddings_shifted(spark, sf_dir, factor, base)
+            n = embsh.count()
+            c = max(8, n // 125)
+            row = {"n_docs": docs.count(), "n_vecs": n, "n_centroids": c}
+            row["ppl_rows"], row["ppl_sec"] = timed(
+                lambda: perplexity_buckets(docs).count()
+            )
+            row["semkm_rows"], row["semkm_sec"] = timed(
+                lambda: semantic_dedup_kmeans(
+                    embsh, n_centroids=c, exact=True, seed_hash="md5"
+                ).count()
+            )
+            states = replicated_states(spark, sf_dir, factor, base)
+            ev = states.select(
+                F.monotonically_increasing_id().alias("event_id"),
+                F.col("entity_id").alias("user_id"),
+                F.col("time").alias("ts"),
+                F.coalesce(
+                    F.expr("try_cast(state AS DOUBLE)"), F.lit(1.0)
+                ).alias("value"),
+            )
+            row["cusum_rows"], row["cusum_sec"] = timed(
+                lambda: cusum_changepoints(ev).count()
+            )
+            row["m4_rows"], row["m4_sec"] = timed(
+                lambda: m4_downsample(ev).count()
+            )
+            row["pr_rows"], row["pr_sec"] = timed(
+                lambda: pagerank(minhash_lsh_pairs(docs)).count()
+            )
+            results["r9_scaling"][str(factor)] = row
+            print(json.dumps({factor: row}))
+
     # partial runs merge into the existing probe file: one new operator
     # family should not require re-timing (or losing) the whole suite
     if "all" not in sections and os.path.exists(out_json):
