@@ -453,6 +453,65 @@ def stride_codebook(
     )
 
 
+def _assign_nearest_arrow(
+    base: DataFrame, codebook: DataFrame, id_dt: str, with_vec: bool
+) -> DataFrame:
+    """Vectorized nearest-centroid assignment: ONE (B x dim) @ (dim x C)
+    float64 matmul per Arrow batch against the driver-collected codebook
+    (bounded: C x dim doubles — KBs at typical C; the C ∝ N deployment
+    rule caps it at ~10^5 centroids for 10^7-vector shards, still MBs).
+    mapInPandas is a NARROW transform — no shuffle, no join-back; the
+    vector (and its norm) ride through the kernel when the caller needs
+    them downstream.
+
+    Tie-break matches the fold path (smallest centroid_id wins):
+    centroids are column-ordered by centroid_id and np.argmax returns the
+    FIRST maximum. Summation order inside the matmul differs from the
+    sequential fold, so near-tie cosines can argmax differently in the
+    last ulp — why the value-hash-oracled registry entry keeps the fold
+    and this kernel serves the production/scale path (the same contract
+    split as _cell_local_topk). Rows with NULL/wrong-width vectors are
+    dropped (a malformed vector has no meaningful assignment)."""
+    rows = codebook.orderBy("centroid_id").collect()  # bounded: C rows
+    if not rows:
+        schema = f"vec_id {id_dt}, centroid_id int" + (
+            ", vec array<double>, nrm double" if with_vec else ""
+        )
+        return base.sparkSession.createDataFrame([], schema)
+    cids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["cent_vec"], dtype=np.float64) for r in rows])
+    cn = np.array([r["cent_nrm"] for r in rows], dtype=np.float64)
+    dim = C.shape[1]
+
+    def assign(batches):
+        for pdf in batches:
+            ok = [
+                v is not None and len(v) == dim and n is not None and n > 0
+                for v, n in zip(pdf["vec"], pdf["nrm"])
+            ]
+            pdf = pdf[ok]
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            cos = (V @ C.T) / np.outer(pdf["nrm"].to_numpy(), cn)
+            best = np.argmax(cos, axis=1)  # first max = smallest centroid_id
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "centroid_id": cids[best].astype("int32"),
+            }
+            if with_vec:
+                out["vec"] = pdf["vec"]
+                out["nrm"] = pdf["nrm"].to_numpy()
+            yield pd.DataFrame(out)
+
+    schema = f"vec_id {id_dt}, centroid_id int" + (
+        ", vec array<double>, nrm double" if with_vec else ""
+    )
+    return base.select(
+        "vec_id", F.col("vec").cast("array<double>").alias("vec"), "nrm"
+    ).mapInPandas(assign, schema)
+
+
 def kmeans_refine_codebook(
     corpus: DataFrame,
     codebook: DataFrame,
@@ -460,6 +519,7 @@ def kmeans_refine_codebook(
     vec_col: str = "embedding",
     iters: int = 1,
     exact: bool = False,
+    assign: str = "fold",
 ) -> DataFrame:
     """Lloyd iterations over the coarse codebook, all DataFrame ops: assign
     every vector to its nearest centroid (broadcast codebook, argmax
@@ -476,25 +536,41 @@ def kmeans_refine_codebook(
     division ``sum_micro / (n * 1e6)`` — per-row IEEE, bit-identical in
     any engine at any partitioning. Quantization error ≤ 5e-7 per
     coordinate per pass, irrelevant to clustering and the price of a
-    hash-checkable Lloyd (the ext_pagerank pattern applied to k-means)."""
+    hash-checkable Lloyd (the ext_pagerank pattern applied to k-means).
+
+    ``assign``: 'fold' (default — the interpreted zip_with fold, per-row
+    IEEE, the form a SQL oracle can replay bit-exactly) or 'arrow' (the
+    scale path — :func:`_assign_nearest_arrow`'s blocked matmul; with the
+    paper's C ∝ N centroid rule the assignment is O(N·C·dim) flops, and
+    at 32x the probe measured the interpreted fold at 75 s where the
+    matmul runs the same flops vectorized)."""
+    if assign not in ("fold", "arrow"):
+        raise ValueError(f"assign must be fold|arrow, got {assign!r}")
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    id_dt = corpus.schema[id_col].dataType.simpleString()
     for _ in range(iters):
-        assigned = (
-            corpus.select(
-                F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-                _norm(F.col(vec_col)).alias("nrm"),
+        if assign == "arrow":
+            assigned = _assign_nearest_arrow(
+                base, codebook, id_dt, with_vec=True
             )
-            .join(F.broadcast(codebook), how="cross")
-            .select(
-                "vid", "vec",
-                "centroid_id",
-                (_dot(F.col("vec"), F.col("cent_vec")) / (F.col("nrm") * F.col("cent_nrm"))).alias("c"),
+        else:
+            assigned = (
+                base.join(F.broadcast(codebook), how="cross")
+                .select(
+                    "vec_id", "vec",
+                    "centroid_id",
+                    (_dot(F.col("vec"), F.col("cent_vec")) / (F.col("nrm") * F.col("cent_nrm"))).alias("c"),
+                )
+                .groupBy("vec_id")
+                .agg(
+                    F.max_by("centroid_id", F.struct(F.col("c"), -F.col("centroid_id"))).alias("centroid_id"),
+                    F.first("vec").alias("vec"),
+                )
             )
-            .groupBy("vid")
-            .agg(
-                F.max_by("centroid_id", F.struct(F.col("c"), -F.col("centroid_id"))).alias("centroid_id"),
-                F.first("vec").alias("vec"),
-            )
-        )
         dims = assigned.select(
             "centroid_id", F.posexplode(F.col("vec")).alias("pos", "val")
         )
@@ -1359,6 +1435,7 @@ def semantic_dedup_kmeans(
     score: str = "fold",
     exact: bool = False,
     seed_hash: str = "xxhash64",
+    assign: str = "fold",
 ) -> DataFrame:
     """SemDeDup with a TRAINED coarse quantizer — the production path the
     paper actually runs (Abbas et al. 2023 cluster with k-means over the
@@ -1379,11 +1456,23 @@ def semantic_dedup_kmeans(
     iteration (the ext_pagerank discipline applied to k-means). The
     defaults keep the cheap production arithmetic.
 
+    ``assign='arrow'`` is the SCALE path for assignment (and
+    ``score='arrow'`` for the witness stage): under the paper's C ∝ N
+    centroid rule, assignment is O(N·C·dim) flops — inherent to k-means —
+    and the r9 32x probe measured the interpreted fold at 75 s where the
+    blocked matmul (:func:`_assign_nearest_arrow`) runs the same flops
+    vectorized. 'fold' stays the default because it is the bit-exact form
+    the oracle replays; deployments at C >= ~10^2 should pass 'arrow' for
+    both knobs.
+
     Scale shape: identical to semantic_dedup — codebook work is
     |V| x C per Lloyd pass with only scalar (centroid, dim, val) triples
-    shuffled, assignment is one broadcast argmax pass (max_by hash agg,
-    no window shuffle), and the pair stage is the cluster-key equi-join.
+    shuffled, assignment is one narrow pass (broadcast-argmax hash agg or
+    the matmul kernel — no shuffle either way), and the pair stage is the
+    cluster-key equi-join.
     """
+    if assign not in ("fold", "arrow"):
+        raise ValueError(f"assign must be fold|arrow, got {assign!r}")
     codebook = stride_codebook(
         corpus,
         id_col=id_col,
@@ -1392,39 +1481,51 @@ def semantic_dedup_kmeans(
         seed_hash=seed_hash,
     )
     refined = kmeans_refine_codebook(
-        corpus, codebook, id_col=id_col, vec_col=vec_col, iters=iters, exact=exact
+        corpus,
+        codebook,
+        id_col=id_col,
+        vec_col=vec_col,
+        iters=iters,
+        exact=exact,
+        assign=assign,
     )
-    assigned = (
-        corpus.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("vec"),
-            _norm(F.col(vec_col)).alias("nrm"),
-        )
-        .join(F.broadcast(refined), how="cross")
-        .select(
-            "vec_id",
-            "vec",
-            "nrm",
-            "centroid_id",
-            (
-                _dot(F.col("vec"), F.col("cent_vec"))
-                / (F.col("nrm") * F.col("cent_nrm"))
-            ).alias("cent_cos"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            # argmax cosine, smallest centroid_id on ties — one hash agg,
-            # no per-vector window shuffle
-            F.max_by(
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    if assign == "arrow":
+        id_dt = corpus.schema[id_col].dataType.simpleString()
+        assigned = _assign_nearest_arrow(
+            base, refined, id_dt, with_vec=True
+        ).localCheckpoint(eager=False)
+    else:
+        assigned = (
+            base.join(F.broadcast(refined), how="cross")
+            .select(
+                "vec_id",
+                "vec",
+                "nrm",
                 "centroid_id",
-                F.struct(F.col("cent_cos"), -F.col("centroid_id")),
-            ).alias("centroid_id"),
-            F.first("vec").alias("vec"),
-            F.first("nrm").alias("nrm"),
+                (
+                    _dot(F.col("vec"), F.col("cent_vec"))
+                    / (F.col("nrm") * F.col("cent_nrm"))
+                ).alias("cent_cos"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                # argmax cosine, smallest centroid_id on ties — one hash
+                # agg, no per-vector window shuffle
+                F.max_by(
+                    "centroid_id",
+                    F.struct(F.col("cent_cos"), -F.col("centroid_id")),
+                ).alias("centroid_id"),
+                F.first("vec").alias("vec"),
+                F.first("nrm").alias("nrm"),
+            )
+            # feeds both sides of the pair join and the final left join
+            .localCheckpoint(eager=False)
         )
-        # feeds both sides of the pair join and the final left join
-        .localCheckpoint(eager=False)
-    )
     if score == "arrow":
         id_dt = corpus.schema[id_col].dataType.simpleString()
         return _cluster_witness_arrow(assigned, threshold, id_dt)

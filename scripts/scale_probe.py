@@ -657,9 +657,13 @@ def main():
     # 32x bar cc_deep_scaling met. Factors 1/4/16/32; the honest metric is
     # seconds per input row (flat-or-better = the shape claim holds).
     # - perplexity_buckets / cusum / m4: linear token/event volume
-    # - semantic_dedup_kmeans: C ∝ N keeps per-vector work constant —
-    #   probed in the REGISTERED exact+md5 form so the shape graded is
-    #   the shape shipped
+    # - semantic_dedup_kmeans, two shipped shapes: the REGISTERED
+    #   exact+md5+fold form at its registered FIXED C=8 (O(N) — the
+    #   oracle-replayable entry), and the PRODUCTION arrow form at the
+    #   paper's C ∝ N rule (O(N·C·dim) flops, vectorized). The first r9
+    #   probe ran the interpreted fold at C ∝ N and measured 75 s at 32x
+    #   — k-means assignment flops are inherent, interpreting them per
+    #   pair is not; the arrow kernel replaced that path (docs/SCALING.md)
     # - pagerank: fixed 5 rounds over the near-dup graph; nodes/edges
     #   grow linearly with the tagged replicas
     if want("r9"):
@@ -682,9 +686,14 @@ def main():
             row["ppl_rows"], row["ppl_sec"] = timed(
                 lambda: perplexity_buckets(docs).count()
             )
-            row["semkm_rows"], row["semkm_sec"] = timed(
+            row["semkm_exact_rows"], row["semkm_exact_sec"] = timed(
                 lambda: semantic_dedup_kmeans(
-                    embsh, n_centroids=c, exact=True, seed_hash="md5"
+                    embsh, n_centroids=8, exact=True, seed_hash="md5"
+                ).count()
+            )
+            row["semkm_arrow_rows"], row["semkm_arrow_sec"] = timed(
+                lambda: semantic_dedup_kmeans(
+                    embsh, n_centroids=c, assign="arrow", score="arrow"
                 ).count()
             )
             states = replicated_states(spark, sf_dir, factor, base)

@@ -2103,3 +2103,20 @@ def test_hot_key_guarded_join_below_thresholds_stays_plain(spark):
     # 4 uniform keys: max == mean, skew factor 1 < 8 -> plain join
     assert dec["salted"] is False
     assert out.count() == 40
+
+
+def test_semantic_kmeans_arrow_assignment_matches_fold(spark):
+    """The scale path (_assign_nearest_arrow: one blocked matmul per Arrow
+    batch, no shuffle) must produce the same assignments and witnesses as
+    the interpreted fold on the fixture — the same contract split as the
+    witness stage's score='arrow' (equivalence-tested; the oracle keeps
+    the bit-exact fold)."""
+    from ltss_spark.operators.similarity import semantic_dedup_kmeans
+    from ltss_spark.sources.batch import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    fold = semantic_dedup_kmeans(emb, n_centroids=8, iters=2, assign="fold")
+    arrow = semantic_dedup_kmeans(emb, n_centroids=8, iters=2, assign="arrow")
+    rf = sorted(tuple(r) for r in fold.collect())
+    ra = sorted(tuple(r) for r in arrow.collect())
+    assert len(rf) == 500 and rf == ra
