@@ -172,3 +172,22 @@ def test_pagerank_hub_and_mass(spark):
     assert abs(ranks[100] - ranks[101]) < 1e-9  # symmetric pair
     leaves = [ranks[i] for i in range(1, 9)]
     assert max(leaves) - min(leaves) < 1e-9  # identical by symmetry
+
+
+def test_pagerank_driver_path_bit_equal_to_distributed(spark):
+    """The adaptive small-graph path must replay the distributed integer
+    recurrence BIT-identically (it is the same nano-unit arithmetic in
+    Python), and the adaptive switch must report which path ran."""
+    from ltss_spark.operators.graph import pagerank
+
+    edges = [(0, i) for i in range(1, 9)] + [(100, 101), (5, 6), (6, 7)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    s_drv, s_dist = {}, {}
+    drv = {r["node"]: r["rank"] for r in pagerank(df, stats=s_drv).collect()}
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, small_graph_edges=0, stats=s_dist).collect()
+    }
+    assert s_drv["path"] == "driver-integer-loop"
+    assert s_dist["path"] == "distributed"
+    assert drv == dist  # exact equality: same integers, same final /1e9
