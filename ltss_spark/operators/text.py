@@ -186,6 +186,8 @@ def tfidf_topk(
             count_col="df",
             min_hot_rows=min_hot_rows,
             decision=skew_decision,
+            cache_key_frame=docs,
+            cache_tag="tfidf.df",
         )
         .crossJoin(F.broadcast(n_docs))
         .select(
@@ -254,6 +256,8 @@ def unigram_logprob(
             count_col="c",
             min_hot_rows=min_hot_rows,
             decision=skew_decision,
+            cache_key_frame=docs,
+            cache_tag="unigram.c",
         )
         .crossJoin(F.broadcast(total))
         .select(F.col(id_col), lp.alias("lp"))
@@ -466,6 +470,8 @@ def bigram_logprob(
             count_col="c1",
             min_hot_rows=min_hot_rows,
             decision=skew_decision,
+            cache_key_frame=docs,
+            cache_tag="bigram.c1",
         )
         .crossJoin(F.broadcast(v))
         .select(F.col(id_col), lp.alias("lp"))
