@@ -717,6 +717,63 @@ def main():
             results["r9_scaling"][str(factor)] = row
             print(json.dumps({factor: row}))
 
+    # round-9 skew-guard probe: a corpus-global hot token (20 copies
+    # appended to every doc ≈ 28% of all occurrences) drives the token
+    # join's hottest key past hot_key_guarded_join's DEFAULT thresholds
+    # as the corpus grows — at 4x the hot key is ~400k rows (< the 2M
+    # floor: plain join, salting would be pure overhead), at 32x it is
+    # ~3.2M (auto-salted). The probe records which path fired, that both
+    # paths produce identical results (count + micro-unit checksum), and
+    # the wall time of each — the guard's whole contract, measured at
+    # the size where it matters.
+    if want("r9skew"):
+        from ltss_spark.operators.text import unigram_logprob
+
+        results["r9_skew_guard"] = {}
+        for factor in (4, 16, 32):
+            docs = replicated_docs(spark, sf_dir, factor, base)
+            hot = docs.select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(" hot" * 20)).alias("text"),
+            )
+
+            def checksum(df):
+                r = df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("n_tokens").alias("toks"),
+                    F.sum(
+                        F.round(F.col("avg_logprob") * 1e6, 0).cast("long")
+                    ).alias("chk"),
+                ).collect()[0]
+                return (r["n"], r["toks"], r["chk"])
+
+            dec_auto, dec_plain = {}, {}
+            cs_auto, t_auto = timed(
+                lambda: checksum(
+                    unigram_logprob(hot, skew_decision=dec_auto)
+                )
+            )
+            cs_plain, t_plain = timed(
+                lambda: checksum(
+                    unigram_logprob(
+                        hot,
+                        min_hot_rows=1 << 62,  # force the plain join
+                        skew_decision=dec_plain,
+                    )
+                )
+            )
+            assert cs_auto == cs_plain, (factor, cs_auto, cs_plain)
+            row = {
+                "n_docs": hot.count(),
+                "hot_rows": dec_auto["max_key_rows"],
+                "auto_salted": dec_auto["salted"],
+                "auto_sec": t_auto,
+                "plain_sec": t_plain,
+                "results_identical": True,
+            }
+            results["r9_skew_guard"][str(factor)] = row
+            print(json.dumps({factor: row}))
+
     # partial runs merge into the existing probe file: one new operator
     # family should not require re-timing (or losing) the whole suite
     if "all" not in sections and os.path.exists(out_json):
