@@ -966,3 +966,23 @@ def test_cusum_fold_rejects_out_of_order_batch():
     # strictly-later same-ts event is fine (tie broken by event_id)
     out = list(fold((7,), iter([batch([("2024-01-01 00:02", 4, 1.0)])]), state))
     assert len(out) == 1
+
+
+def test_protobuf_fallback_idempotent_and_bounded():
+    """enable_state_api_v2_runtime must not stack duplicate $PYTHONPATH
+    entries across calls, and must report unavailable (without mutating
+    the env) when no fallback dir exists."""
+    import os
+
+    from ltss_spark.streaming import stateful
+
+    first = stateful.enable_state_api_v2_runtime()
+    pp_after_first = os.environ.get("PYTHONPATH", "")
+    second = stateful.enable_state_api_v2_runtime()
+    assert first == second
+    assert os.environ.get("PYTHONPATH", "") == pp_after_first
+    if first:
+        # each fallback dir appears at most once
+        parts = pp_after_first.split(os.pathsep)
+        for d in stateful._PROTOBUF_FALLBACK_DIRS:
+            assert parts.count(d) <= 1
