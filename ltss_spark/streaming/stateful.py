@@ -286,6 +286,109 @@ def streaming_running_totals_tws(spark: SparkSession, source_dir: str) -> DataFr
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def streaming_gap_close_tws(
+    spark: SparkSession,
+    src_path: str,
+    gap_ms: int,
+    schema: str = "event_id long, user_id long, ts timestamp, value double",
+) -> DataFrame:
+    """Per-series SILENCE detection with State API v2 EVENT-TIME TIMERS —
+    the reference's own domain need (a sensor that stops reporting): when
+    no event for a series arrives within ``gap_ms`` of its last one (in
+    event time, proven by the watermark), emit one
+    (user_id, last_ms, closed_at_ms) row.
+
+    This is the timer half of ``transformWithStateInPandas`` (the state
+    half is :func:`streaming_running_totals_tws`): ``handleInputRows``
+    advances a per-key last-seen ValueState and registers a timer at
+    last+gap; ``handleExpiredTimer`` emits ONLY when the expiry still
+    equals last+gap — a newer event processed before the timer fired
+    (input is processed before timers within a batch) makes the old
+    timer stale, and stale timers are filtered by that equality instead
+    of bookkeeping deleteTimer calls.
+
+    Emission contract (what the pytest pins): every emitted close is a
+    TRUE gap (no event for the key inside (last, last+gap]), and every
+    key whose FINAL event satisfies last+gap <= max event time across
+    the stream is deterministically closed (the availableNow
+    finalization batch advances the watermark to the stream max, firing
+    those timers). Interior gaps additionally close when the watermark
+    happens to cross them before the key's next event arrives — correct
+    but batch-layout-dependent, hence pinned as a subset property.
+
+    ``src_path`` is a directory of parquet files read with
+    maxFilesPerTrigger=1 (each file = one micro-batch) and a 0-second
+    watermark on ts."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs the google.protobuf package; "
+            "see streaming_running_totals_tws for the capability contract."
+        )
+    _require_worker_visible_protobuf(spark)
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class GapClose(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._last = handle.getValueState("last", "last_ms long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            mx = None
+            for pdf in rows:
+                if len(pdf):
+                    m = int(pdf["ts"].astype("int64").max() // 1_000_000)
+                    mx = m if mx is None else max(mx, m)
+            if mx is None:
+                return iter([])
+            prev = self._last.get()
+            last = mx if prev is None else max(mx, int(prev[0]))
+            self._last.update((last,))
+            self._h.registerTimer(last + gap_ms)
+            return iter([])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            exp = expiredTimerInfo.getExpiryTimeInMs()
+            cur = self._last.get()
+            # stale-timer filter: a newer event re-registered at a later
+            # expiry; only the timer matching the live state may close
+            if cur is not None and int(cur[0]) + gap_ms == exp:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "last_ms": [int(cur[0])],
+                        "closed_at_ms": [exp],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+        .withWatermark("ts", "0 seconds")
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        closes = raw.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=GapClose(),
+            outputStructType="user_id bigint, last_ms bigint, closed_at_ms bigint",
+            outputMode="append",
+            timeMode="eventTime",
+        )
+        return run_to_memory(closes, "append", "stream_gap_close")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 _CUSUM_OUT = (
     "event_id bigint, user_id bigint, x double, "
     "s_pos double, s_neg double, is_change boolean"

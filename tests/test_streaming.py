@@ -986,3 +986,117 @@ def test_protobuf_fallback_idempotent_and_bounded():
         parts = pp_after_first.split(os.pathsep)
         for d in stateful._PROTOBUF_FALLBACK_DIRS:
             assert parts.count(d) <= 1
+
+
+def test_tws_gap_close_timers_fire_on_true_gaps(spark):
+    """State API v2 EVENT-TIME TIMERS, end-to-end: streaming_gap_close_tws
+    must (a) with a gap larger than any interior gap, emit EXACTLY one
+    close per user whose final event is >= gap before the stream max —
+    the deterministic finalization-batch contract — and (b) with a small
+    gap, emit only TRUE gaps (no event inside (last, last+gap]) and at
+    least the qualifying final closes."""
+    import glob as g
+    import os
+    import shutil
+
+    import pytest
+
+    from ltss_spark.sources.batch import load_table
+    from ltss_spark.streaming.stateful import (
+        streaming_gap_close_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("protobuf runtime unavailable")
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("user_id") < 5)
+        .select("event_id", "user_id", "ts", "value")
+    )
+    base = f"{tempfile.gettempdir()}/tws_gap_{uuid.uuid4().hex}"
+    src = f"{base}/src"
+    os.makedirs(src)
+    mid = ev.agg(F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    now = 1_700_000_000
+    parts = [ev.filter(F.col("ts") < F.lit(mid)), ev.filter(F.col("ts") >= F.lit(mid))]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(f"{src}/__tmp")
+        shutil.move(g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/b{i}.parquet")
+        shutil.rmtree(f"{src}/__tmp")
+        os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
+
+    rows = ev.select(
+        "user_id", (F.unix_micros("ts") / 1000).cast("long").alias("ms")
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["ms"])
+    for v in by_user.values():
+        v.sort()
+    global_max = max(v[-1] for v in by_user.values())
+    max_interior = max(
+        (b - a for v in by_user.values() for a, b in zip(v, v[1:])),
+        default=0,
+    )
+
+    # (a) hand-crafted scenario, fully deterministic: user C goes silent
+    # after batch 1 (its timer fires in the finalization batch once the
+    # watermark reaches the stream max); users A and B keep reporting, so
+    # their batch-1 timers are STALE by the time they expire (input is
+    # processed before timers) and must be filtered, not emitted.
+    import datetime as _dt
+
+    def _t(sec):
+        return _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=sec)
+
+    synth_base = f"{tempfile.gettempdir()}/tws_gap_synth_{uuid.uuid4().hex}"
+    ssrc = f"{synth_base}/src"
+    os.makedirs(ssrc)
+    b1 = spark.createDataFrame(
+        [(1, 100, _t(0), 1.0), (2, 200, _t(0), 1.0), (3, 300, _t(0), 1.0),
+         (4, 100, _t(10), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    b2 = spark.createDataFrame(
+        [(5, 100, _t(100), 1.0), (6, 200, _t(95), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    for i, part in enumerate([b1, b2]):
+        part.coalesce(1).write.parquet(f"{ssrc}/__tmp")
+        shutil.move(g.glob(f"{ssrc}/__tmp/part-*.parquet")[0], f"{ssrc}/b{i}.parquet")
+        shutil.rmtree(f"{ssrc}/__tmp")
+        os.utime(f"{ssrc}/b{i}.parquet", (now + 600 * i, now + 600 * i))
+    epoch_ms = int(_t(0).replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+    try:
+        out = {
+            (r["user_id"], r["last_ms"], r["closed_at_ms"])
+            for r in streaming_gap_close_tws(spark, ssrc, 30_000).collect()
+        }
+    except RuntimeError as e:  # stale-JVM fallback guard (see tws test)
+        assert "fresh process" in str(e)
+        pytest.skip("JVM predates the fallback protobuf export")
+    # only the silent series closes: last=0s, +30s gap <= 100s stream max;
+    # A (last 100s) and B (last 95s) never reach watermark and their
+    # stale batch-1 timers are suppressed
+    assert out == {(300, epoch_ms, epoch_ms + 30_000)}
+
+    # (b) small gap on real fixture data: every close is a TRUE gap;
+    # finals are included
+    small_gap = max(1, max_interior // 4)
+    out2 = {
+        (r["user_id"], r["last_ms"], r["closed_at_ms"])
+        for r in streaming_gap_close_tws(spark, src, small_gap).collect()
+    }
+    for u, last, closed in out2:
+        assert closed == last + small_gap
+        assert last in by_user[u]
+        nxt = [m for m in by_user[u] if last < m <= last + small_gap]
+        assert not nxt, f"close emitted despite event inside the gap: {u}"
+    finals = {
+        (u, v[-1], v[-1] + small_gap)
+        for u, v in by_user.items()
+        if v[-1] + small_gap <= global_max
+    }
+    assert finals <= out2
