@@ -92,6 +92,8 @@ def register(name: str, oracle: str | None, survey: str = ""):
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY: list[str] = [
+    # --- new in round 9 (never driver-verified) ---
+    "stream_gap_close",
     # --- materially changed in round 9 (must re-verify) ---
     "ext_dedup_semantic_kmeans",
     "ext_pagerank",
@@ -144,7 +146,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_dedup_ngram",
     "ext_dedup_simhash",
     "ext_dedup_span_remove",
-    "ext_multimodal",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -165,6 +166,7 @@ _CHANGED_ENTRIES: set[str] = {
 # re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
     # --- latest driver row: round 4 ---
+    "ext_multimodal",
     "ext_pack_sequences",
     "ext_quality_filter",
     "ext_sim_search",

@@ -1017,3 +1017,102 @@ def stream_changepoint_q(spark, sf_dir):
         .parquet(src)
     )
     return streaming_cusum(raw, limits)
+
+
+_GAP_CLOSE_MS = 21_600_000  # 6 hours — yields interior AND final closes
+
+
+@register(
+    "stream_gap_close",
+    """
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    bounds AS (
+      SELECT MIN(us) AS lo, (MAX(us) - MIN(us)) // 3 AS span FROM ev
+    ),
+    b AS (
+      SELECT user_id, us,
+             CASE WHEN us < (SELECT lo + span FROM bounds) THEN 0
+                  WHEN us < (SELECT lo + 2 * span FROM bounds) THEN 1
+                  ELSE 2 END AS batch
+      FROM ev
+    ),
+    bstat AS (
+      SELECT batch, MAX(MAX(us) // 1000) OVER (ORDER BY batch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w
+      FROM b GROUP BY batch
+    ),
+    cand AS (
+      SELECT user_id, batch, MAX(us) // 1000 AS last_ms,
+             LEAD(batch) OVER (PARTITION BY user_id ORDER BY batch) AS m
+      FROM b GROUP BY user_id, batch
+    )
+    SELECT c.user_id, CAST(c.last_ms AS BIGINT) AS last_ms,
+           CAST(c.last_ms + 21600000 AS BIGINT) AS closed_at_ms
+    FROM cand c LEFT JOIN bstat ON bstat.batch = c.m - 2
+    WHERE CASE WHEN c.m IS NULL
+               THEN (SELECT MAX(w) FROM bstat) >= c.last_ms + 21600000
+               ELSE c.m >= c.batch + 2
+                    AND bstat.w >= c.last_ms + 21600000 END
+    """,
+    survey="stream_stateful stream_watermark fn_date (State API v2 "
+    "EVENT-TIME TIMERS: per-series silence detection — a sensor that "
+    "stops reporting, the reference's own domain failure mode. The "
+    "oracle replays the empirically pinned timer semantics (expiry <= "
+    "floor-ms watermark, input-before-timers staleness, availableNow "
+    "finalization batch) over the same integer-µs tercile split)",
+)
+def stream_gap_close_q(spark, sf_dir):
+    """Per-series gap/offline detection (streaming/stateful.
+    streaming_gap_close_tws): three time-tercile micro-batches (integer-µs
+    cuts, mtime-ordered files) drive transformWithStateInPandas with
+    event-time timers; a close row is emitted when the watermark PROVES a
+    series was silent for 6 hours. The timer semantics were pinned
+    empirically (boundary probes in tests/test_streaming.py) and are
+    replayed exactly by BOTH the DuckDB oracle and gap_close_replay —
+    the capability fallback the entry runs when the session's JVM lacks
+    a worker-visible protobuf runtime (the Kafka entries' precedent:
+    same result either way, hash-checked; a pytest pins the real timer
+    stream equal to the replay where the runtime IS available)."""
+    import glob as g
+    import os
+    import shutil
+
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.streaming.stateful import (
+        _require_worker_visible_protobuf,
+        gap_close_replay,
+        streaming_gap_close_tws,
+        tws_available,
+    )
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    us = F.unix_micros(F.col("ts"))
+    bounds = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) // 3
+    cut1, cut2 = lo + span, lo + 2 * span
+    use_tws = tws_available()
+    if use_tws:
+        try:
+            _require_worker_visible_protobuf(spark)
+        except RuntimeError:
+            use_tws = False  # JVM predates the runtime export: replay path
+    if not use_tws:
+        return gap_close_replay(e, cut1, cut2, _GAP_CLOSE_MS)
+    base = scratch_dir("ltss_stream_gapclose")
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    parts = [
+        e.filter(us < cut1),
+        e.filter((us >= cut1) & (us < cut2)),
+        e.filter(us >= cut2),
+    ]
+    now = 1_700_000_000
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(f"{src}/__tmp")
+        shutil.move(
+            g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/b{i}.parquet"
+        )
+        shutil.rmtree(f"{src}/__tmp")
+        os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
+    return streaming_gap_close_tws(spark, src, _GAP_CLOSE_MS)

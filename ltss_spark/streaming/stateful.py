@@ -389,6 +389,92 @@ def streaming_gap_close_tws(
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def gap_close_replay(
+    events: DataFrame, cut1_us: int, cut2_us: int, gap_ms: int
+) -> DataFrame:
+    """Batch replay of :func:`streaming_gap_close_tws`'s EXACT timer
+    semantics for a 3-batch time-split stream — the empirically pinned
+    rules (tests/test_streaming.py boundary probes):
+
+    - one timer per (key, batch) at ``floor(max_us/1000) + gap_ms`` (the
+      fold registers on the batch's cumulative per-key max);
+    - the watermark before batch j is ``floor(global max_us through
+      batch j-1 / 1000)`` (0-second delay, ms FLOOR — probed);
+    - a timer fires in the first batch j with ``expiry <= watermark``
+      (``<=`` — probed with an exact-equality case), where input is
+      processed BEFORE timers, so it emits only if the key has no event
+      in batches (b, j]; the availableNow finalization batch runs with
+      the stream-max watermark and fires the final timers.
+
+    Collapsed per candidate (u, b) with next-batch-of-u = m: emit iff
+    m is NULL and global watermark >= expiry, else iff m >= b+2 and
+    W(m-2) >= expiry. Pure DataFrame ops — this is what the registry
+    oracle checks and what the driver runs when the State API v2 runtime
+    is not worker-visible in its JVM (capability-gated, the Kafka-entry
+    precedent); with the runtime available the REAL timer stream runs
+    and a pytest pins stream == replay."""
+    us = F.unix_micros(F.col("ts"))
+    b = events.select(
+        "user_id",
+        us.alias("us"),
+        F.when(us < F.lit(cut1_us), F.lit(0))
+        .when(us < F.lit(cut2_us), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("batch"),
+    )
+    from pyspark.sql import Window as W
+
+    # ms floors via integer DIV (double division could round a near-integer
+    # quotient UP across the floor at 1e15-scale micros)
+    bstat = (
+        b.groupBy("batch")
+        .agg(F.max("us").alias("__mx"))
+        .select("batch", F.expr("__mx div 1000").alias("bmax_ms"))
+        .select(
+            "batch",
+            F.max("bmax_ms")
+            .over(W.orderBy("batch").rowsBetween(W.unboundedPreceding, 0))
+            .alias("w"),
+        )
+    )
+    cand = (
+        b.groupBy("user_id", "batch")
+        .agg(F.max("us").alias("__mx"))
+        .select("user_id", "batch", F.expr("__mx div 1000").alias("last_ms"))
+        .select(
+            "user_id",
+            "batch",
+            "last_ms",
+            F.lead("batch")
+            .over(W.partitionBy("user_id").orderBy("batch"))
+            .alias("m"),
+        )
+    )
+    wmax = bstat.agg(F.max("w").alias("wmax"))
+    fired = (
+        cand.crossJoin(F.broadcast(wmax))
+        .join(
+            F.broadcast(bstat.select(F.col("batch").alias("__wb"), "w")),
+            F.col("__wb") == F.col("m") - 2,
+            "left",
+        )
+        .filter(
+            F.when(
+                F.col("m").isNull(),
+                F.col("wmax") >= F.col("last_ms") + F.lit(gap_ms),
+            ).otherwise(
+                (F.col("m") >= F.col("batch") + 2)
+                & (F.col("w") >= F.col("last_ms") + F.lit(gap_ms))
+            )
+        )
+    )
+    return fired.select(
+        "user_id",
+        "last_ms",
+        (F.col("last_ms") + F.lit(gap_ms)).alias("closed_at_ms"),
+    )
+
+
 _CUSUM_OUT = (
     "event_id bigint, user_id bigint, x double, "
     "s_pos double, s_neg double, is_change boolean"

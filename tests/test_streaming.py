@@ -1100,3 +1100,44 @@ def test_tws_gap_close_timers_fire_on_true_gaps(spark):
         if v[-1] + small_gap <= global_max
     }
     assert finals <= out2
+
+
+def test_gap_close_stream_equals_replay(spark):
+    """The registered stream_gap_close entry's two paths must agree
+    exactly: the REAL State API v2 timer stream (where the protobuf
+    runtime is worker-visible) and gap_close_replay (the batch replay of
+    the pinned timer semantics that the oracle also encodes, and that the
+    entry falls back to in a JVM without the runtime)."""
+    import pytest
+
+    import ltss_spark.plans as plans
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.streaming.stateful import (
+        _require_worker_visible_protobuf,
+        gap_close_replay,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("protobuf runtime unavailable")
+    try:
+        _require_worker_visible_protobuf(spark)
+    except RuntimeError:
+        pytest.skip("JVM predates the fallback protobuf export")
+
+    streamed = {
+        tuple(r)
+        for r in plans.queries()["stream_gap_close"](spark, SF_SMOKE).collect()
+    }
+    e = _t(spark, SF_SMOKE, "events").select("event_id", "user_id", "ts", "value")
+    us = F.unix_micros(F.col("ts"))
+    b = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).collect()[0]
+    span = (b["hi"] - b["lo"]) // 3
+    replay = {
+        tuple(r)
+        for r in gap_close_replay(
+            e, b["lo"] + span, b["lo"] + 2 * span, 21_600_000
+        ).collect()
+    }
+    assert streamed, "fixture must close at least one series"
+    assert streamed == replay
