@@ -101,7 +101,19 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_avg = host_load()  # BEFORE the Spark JVM starts
-    quiet = 0.0 <= load_avg <= QUIET_LOAD_MAX
+    # unknown load (-1.0: platform without getloadavg) counts as QUIET
+    # (ADVICE r9): treating it as contended would permanently degrade the
+    # strict gate to advisory and no run could ever become a baseline
+    # best — the same grandfathering rationale as pre-gate history rows.
+    # The warning keeps the blind spot visible.
+    if load_avg < 0.0:
+        print(
+            "bench: host load unmeasurable on this platform — "
+            "treating the window as quiet (gate runs without load "
+            "evidence)",
+            file=sys.stderr,
+        )
+    quiet = load_avg <= QUIET_LOAD_MAX
     import ltss_spark.plans as plans
     from ltss_spark.session import get_spark
 

@@ -470,9 +470,25 @@ def _assign_nearest_arrow(
     sequential fold, so near-tie cosines can argmax differently in the
     last ulp — why the value-hash-oracled registry entry keeps the fold
     and this kernel serves the production/scale path (the same contract
-    split as _cell_local_topk). Rows with NULL/wrong-width vectors are
-    dropped (a malformed vector has no meaningful assignment)."""
-    rows = codebook.orderBy("centroid_id").collect()  # bounded: C rows
+    split as _cell_local_topk).
+
+    Degenerate inputs (ADVICE r9): rows with NULL/wrong-width/zero-norm
+    vectors are DROPPED (a malformed vector has no meaningful
+    assignment), so assign='arrow' can return FEWER rows than |corpus| —
+    a deliberate, documented divergence from the fold path, which carries
+    such rows through with whatever NULL-ignoring max_by yields.
+    Zero-/non-finite-norm CENTROIDS are excluded from the collected
+    codebook (they would turn a whole cosine column into NaN/inf), and
+    any residual non-finite cosine is forced to -inf so np.argmax can
+    never select a garbage column (argmax returns the first NaN
+    otherwise)."""
+    rows = [
+        r
+        for r in codebook.orderBy("centroid_id").collect()  # bounded: C rows
+        if r["cent_nrm"] is not None
+        and np.isfinite(r["cent_nrm"])
+        and r["cent_nrm"] > 0
+    ]
     if not rows:
         schema = f"vec_id {id_dt}, centroid_id int" + (
             ", vec array<double>, nrm double" if with_vec else ""
@@ -486,7 +502,11 @@ def _assign_nearest_arrow(
     def assign(batches):
         for pdf in batches:
             ok = [
-                v is not None and len(v) == dim and n is not None and n > 0
+                v is not None
+                and len(v) == dim
+                and n is not None
+                and np.isfinite(n)
+                and n > 0
                 for v, n in zip(pdf["vec"], pdf["nrm"])
             ]
             pdf = pdf[ok]
@@ -494,6 +514,7 @@ def _assign_nearest_arrow(
                 continue
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
             cos = (V @ C.T) / np.outer(pdf["nrm"].to_numpy(), cn)
+            cos[~np.isfinite(cos)] = -np.inf  # non-finite coords, never win
             best = np.argmax(cos, axis=1)  # first max = smallest centroid_id
             out = {
                 "vec_id": pdf["vec_id"].to_numpy(),
@@ -531,9 +552,12 @@ def kmeans_refine_codebook(
 
     ``exact=True`` switches the per-dimension mean from fp ``avg`` (whose
     value depends on executor summation order) to the repo's micro-unit
-    LONG discipline: each member contribution rounds to integer
-    micro-units, sums exactly (order-free), and the mean is ONE double
-    division ``sum_micro / (n * 1e6)`` — per-row IEEE, bit-identical in
+    LONG discipline: each member contribution quantizes to integer
+    micro-units via TIE-FREE ``floor(x*1e6 + 0.5)`` (pure IEEE ops on the
+    binary double — bit-identical in any engine, immune to the
+    Spark-vs-DuckDB round() repr-tie hazard, ADVICE r9), sums exactly
+    (order-free), and the mean is ONE double division
+    ``sum_micro / (n * 1e6)`` — per-row IEEE, bit-identical in
     any engine at any partitioning. Quantization error ≤ 5e-7 per
     coordinate per pass, irrelevant to clustering and the price of a
     hash-checkable Lloyd (the ext_pagerank pattern applied to k-means).
@@ -575,10 +599,15 @@ def kmeans_refine_codebook(
             "centroid_id", F.posexplode(F.col("vec")).alias("pos", "val")
         )
         if exact:
+            # TIE-FREE integer quantization (ADVICE r9): floor(x*1e6 + 0.5)
+            # is pure IEEE multiply/add/floor on the binary double —
+            # bit-identical in Spark and DuckDB — where round(x*1e6, 0)
+            # diverges on repr-ties (Spark HALF_UPs the shortest decimal
+            # repr, DuckDB rounds the binary value half-away-from-zero)
             mean_expr = (
                 F.sum(
-                    F.round(F.col("val").cast("double") * F.lit(1e6), 0).cast(
-                        "long"
+                    F.floor(
+                        F.col("val").cast("double") * F.lit(1e6) + F.lit(0.5)
                     )
                 ).cast("double")
                 / (F.count(F.lit(1)) * F.lit(1e6))
@@ -1463,7 +1492,10 @@ def semantic_dedup_kmeans(
     blocked matmul (:func:`_assign_nearest_arrow`) runs the same flops
     vectorized. 'fold' stays the default because it is the bit-exact form
     the oracle replays; deployments at C >= ~10^2 should pass 'arrow' for
-    both knobs.
+    both knobs. Contract difference (ADVICE r9): 'arrow' DROPS rows whose
+    vector is NULL/wrong-width/zero-norm (no meaningful assignment), so
+    its output can have fewer rows than |corpus|; 'fold' carries them
+    through with a NULL-ignoring max_by.
 
     Scale shape: identical to semantic_dedup — codebook work is
     |V| x C per Lloyd pass with only scalar (centroid, dim, val) triples

@@ -208,10 +208,23 @@ def hot_key_guarded_join(
     uniquely per BUILD (measured: two identical builds differ), which
     would defeat the cache. Callers pass the stable upstream frame (the
     raw docs scan, checkpoint-free) plus a tag naming which aggregate of
-    it this is; the key hashes those instead."""
+    it this is; the key hashes those instead. The tag MUST fold in every
+    caller parameter that changes ``counts`` (e.g. which text column was
+    tokenized — ADVICE r9): the key otherwise collides and a second call
+    with different params reuses stale stats (results stay identical
+    either way — salting is value-preserving — but the path choice and
+    the reported ``decision`` numbers would be wrong). Entries from
+    finished applications are evicted on each call, bounding the cache
+    to the live application."""
     key_frame = cache_key_frame if cache_key_frame is not None else counts
+    app_id = counts.sparkSession.sparkContext.applicationId
+    # evict stats from FINISHED applications (ADVICE r9): the cache is
+    # keyed by appId, so entries from a previous session can never hit
+    # again — dropping them bounds the dict at one application's worth
+    for k in [k for k in _PREFLIGHT_CACHE if k[0] != app_id]:
+        del _PREFLIGHT_CACHE[k]
     cache_key = (
-        counts.sparkSession.sparkContext.applicationId,
+        app_id,
         key_frame.semanticHash(),
         cache_tag,
         count_col,

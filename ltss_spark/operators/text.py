@@ -187,7 +187,9 @@ def tfidf_topk(
             min_hot_rows=min_hot_rows,
             decision=skew_decision,
             cache_key_frame=docs,
-            cache_tag="tfidf.df",
+            # fold the params that shape df_counts into the tag (ADVICE
+            # r9): same docs frame + different text/id column must miss
+            cache_tag=f"tfidf.df:{text_col}:{id_col}",
         )
         .crossJoin(F.broadcast(n_docs))
         .select(
@@ -257,7 +259,8 @@ def unigram_logprob(
             min_hot_rows=min_hot_rows,
             decision=skew_decision,
             cache_key_frame=docs,
-            cache_tag="unigram.c",
+            # params shaping `counts` belong in the tag (ADVICE r9)
+            cache_tag=f"unigram.c:{text_col}:{id_col}",
         )
         .crossJoin(F.broadcast(total))
         .select(F.col(id_col), lp.alias("lp"))
@@ -471,7 +474,8 @@ def bigram_logprob(
             min_hot_rows=min_hot_rows,
             decision=skew_decision,
             cache_key_frame=docs,
-            cache_tag="bigram.c1",
+            # params shaping `c1` belong in the tag (ADVICE r9)
+            cache_tag=f"bigram.c1:{text_col}:{id_col}",
         )
         .crossJoin(F.broadcast(v))
         .select(F.col(id_col), lp.alias("lp"))

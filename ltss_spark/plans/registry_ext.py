@@ -756,10 +756,13 @@ def _semantic_kmeans_oracle(
     semantic_dedup_kmeans(exact=True, seed_hash='md5'): the md5-ordered
     seed sample is replayed exactly (md5 is the one cross-engine hash),
     and each Lloyd pass recomputes centroids through the micro-unit LONG
-    discipline — round(val*1e6) summed as exact integers, ONE double
-    division per (centroid, dim) — so engine aggregation order cannot
-    leak into the centroids (the ext_pagerank pattern applied to
-    k-means). Assignment cosines are per-row IEEE folds, bit-equal in
+    discipline — TIE-FREE floor(val*1e6 + 0.5) quantization (ADVICE r9:
+    pure IEEE ops on the binary double, bit-identical in both engines,
+    where round() HALF_UPs Spark's shortest-repr and can flip a
+    repr-tie-adjacent coordinate) summed as exact integers, ONE double
+    division per (centroid, dim) — so neither engine aggregation order
+    nor rounding-rule skew can leak into the centroids (the ext_pagerank
+    pattern applied to k-means). Assignment cosines are per-row IEEE folds, bit-equal in
     both engines; the witness stage is ext_dedup_semantic's."""
     its = []
     prev = "c0"
@@ -778,7 +781,7 @@ def _semantic_kmeans_oracle(
     ),
     m{k} AS (
       SELECT centroid_id, pos,
-             CAST(SUM(CAST(round(val * 1e6, 0) AS BIGINT)) AS DOUBLE)
+             CAST(SUM(CAST(FLOOR(val * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
                / (COUNT(*) * 1e6) AS m
       FROM (
         SELECT centroid_id, UNNEST(e) AS val,
