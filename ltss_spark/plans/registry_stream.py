@@ -1116,3 +1116,80 @@ def stream_gap_close_q(spark, sf_dir):
         shutil.rmtree(f"{src}/__tmp")
         os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
     return streaming_gap_close_tws(spark, src, _GAP_CLOSE_MS)
+
+
+@register(
+    "stream_tws_totals",
+    """
+    SELECT user_id, ts, event_id,
+           CAST(row_number() OVER w AS BIGINT) AS run_n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS run_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    survey="stream_stateful udaf (State API v2 VALUE-STATE half — "
+    "transformWithStateInPandas running totals with exact-decimal state, "
+    "VERDICT r9 item 2: three time-tercile micro-batches carry each key's "
+    "(count, DECIMAL-string sum) prefix across batches; every emitted "
+    "prefix is hash-checkable by construction because the state is exact "
+    "decimal, one IEEE rounding per emission)",
+)
+def stream_tws_totals_q(spark, sf_dir):
+    """Per-event running totals through State API v2 value state
+    (streaming/stateful.streaming_running_totals_tws_dir): the events
+    table split into three time-tercile parquet files (integer-µs cuts,
+    mtime-ordered — the stream_gap_close recipe) drives
+    transformWithStateInPandas with maxFilesPerTrigger=1, so the
+    RocksDB-backed ValueState genuinely carries each user's
+    (n, exact-decimal sum) across THREE real micro-batches. Global
+    time-split files mean every key's batches arrive in event-time order
+    — the documented prefix assumption. Capability-gated onto
+    running_totals_replay (a windowed exact-DECIMAL prefix sum — the
+    batch form of the identical arithmetic) when the session's JVM lacks
+    a worker-visible protobuf runtime (stream_gap_close's precedent:
+    same values either way, and tests/test_streaming.py pins
+    stream == replay where the runtime IS available)."""
+    import glob as g
+    import os
+    import shutil
+
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.streaming.stateful import (
+        _require_worker_visible_protobuf,
+        running_totals_replay,
+        streaming_running_totals_tws_dir,
+        tws_available,
+    )
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    use_tws = tws_available()
+    if use_tws:
+        try:
+            _require_worker_visible_protobuf(spark)
+        except RuntimeError:
+            use_tws = False  # JVM predates the runtime export: replay path
+    if not use_tws:
+        return running_totals_replay(e)
+    us = F.unix_micros(F.col("ts"))
+    bounds = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) // 3
+    cut1, cut2 = lo + span, lo + 2 * span
+    base = scratch_dir("ltss_stream_tws_totals")
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    parts = [
+        e.filter(us < cut1),
+        e.filter((us >= cut1) & (us < cut2)),
+        e.filter(us >= cut2),
+    ]
+    now = 1_700_000_000
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(f"{src}/__tmp")
+        shutil.move(
+            g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/b{i}.parquet"
+        )
+        shutil.rmtree(f"{src}/__tmp")
+        os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
+    return streaming_running_totals_tws_dir(spark, src)

@@ -98,6 +98,39 @@ _PROTOBUF_FALLBACK_DIRS = (
 )
 
 
+def _shim_dir_for(d: str) -> str | None:
+    """Build (or reuse) a shim directory exposing ONLY ``google/protobuf``
+    from the vendored tree ``d`` (ADVICE r9): the Cloud-SDK dirs vendor
+    many top-level modules (api_server, dev_appserver, a whole ``lib/``)
+    and ``google/`` siblings (appengine, auth, oauth2, pyglib) — putting
+    the raw dir on sys.path/$PYTHONPATH would leak all of them into every
+    Python child. The shim is ``<tmp>/ltss_pb_shim_<md5(d)>/google/
+    protobuf -> <d>/google/protobuf``: ``google`` stays a namespace
+    package holding exactly one portion, so nothing else resolves.
+    Returns None when the shim cannot be built (exotic tmp/filesystem) —
+    the caller skips the candidate rather than falling back to the leaky
+    whole-dir append."""
+    import hashlib
+    import os as _os
+    import tempfile
+
+    target = _os.path.join(d, "google", "protobuf")
+    shim = _os.path.join(
+        tempfile.gettempdir(),
+        f"ltss_pb_shim_{hashlib.md5(d.encode()).hexdigest()[:12]}",
+    )
+    link = _os.path.join(shim, "google", "protobuf")
+    try:
+        _os.makedirs(_os.path.join(shim, "google"), exist_ok=True)
+        if _os.path.islink(link) and _os.readlink(link) != target:
+            _os.unlink(link)  # stale shim from a different layout
+        if not _os.path.islink(link):
+            _os.symlink(target, link)
+        return shim
+    except OSError:
+        return None
+
+
 def enable_state_api_v2_runtime() -> bool:
     """Make ``google.protobuf`` importable for Spark 4's State API v2
     (``transformWithStateInPandas`` speaks protobuf between the Python
@@ -106,18 +139,29 @@ def enable_state_api_v2_runtime() -> bool:
     Order of attempts:
     1. the real package (a normal cluster image) — nothing to do;
     2. a vendored pure-Python copy already ON THIS HOST (the Google Cloud
-       SDK ships protobuf; this container has 6.32). The directory goes on
-       ``sys.path`` AND ``$PYTHONPATH`` (Python workers are separate
-       processes — they inherit the env, not our sys.path), and
+       SDK ships protobuf; this container has 6.32), exposed through a
+       protobuf-only SHIM dir (:func:`_shim_dir_for` — never the raw
+       vendored dir, which would leak its other vendored packages). The
+       shim goes on ``sys.path`` AND ``$PYTHONPATH`` (Python workers are
+       separate processes — they inherit the env, not our sys.path), and
        ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` is set: pyspark's
        gencode is 6.33 and protobuf's validator refuses a 6.32 runtime,
        but the wire format is stable across a minor version — protobuf's
        own documented escape hatch for exactly this skew.
 
+    PROCESS-GLOBAL side effects, by design (documented per ADVICE r9):
+    the version-check bypass env var and the $PYTHONPATH shim are seen by
+    every child process, not just Spark workers — the shim keeps the
+    blast radius to ``google.protobuf`` itself, and the bypass only
+    matters to a process that both imports protobuf and hits a gencode/
+    runtime minor-version skew. A candidate whose probe import fails is
+    rolled back completely (sys.path, $PYTHONPATH, the env var, and any
+    half-imported ``google`` modules) before the next is tried.
+
     MUST run before the JVM starts (ltss_spark.session.get_spark calls it
     first): local-mode Python workers inherit the JVM's environment,
     which is captured at JVM launch. Returns availability; mutates
-    nothing when the real package exists or no fallback is found."""
+    nothing when the real package exists or no fallback works."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -133,13 +177,19 @@ def enable_state_api_v2_runtime() -> bool:
             _os.path.join(d, "google", "protobuf", "descriptor.py")
         ):
             continue
-        if d not in _sys.path:
-            _sys.path.append(d)
-        prev = _os.environ.get("PYTHONPATH", "")
-        if d not in prev.split(_os.pathsep):
+        shim = _shim_dir_for(d)
+        if shim is None:
+            continue
+        added_sys = shim not in _sys.path
+        if added_sys:
+            _sys.path.append(shim)
+        prev_pp = _os.environ.get("PYTHONPATH")
+        added_pp = shim not in (prev_pp or "").split(_os.pathsep)
+        if added_pp:
             _os.environ["PYTHONPATH"] = (
-                f"{prev}{_os.pathsep}{d}" if prev else d
+                f"{prev_pp}{_os.pathsep}{shim}" if prev_pp else shim
             )
+        had_check = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK" in _os.environ
         _os.environ.setdefault(
             "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
         )
@@ -149,6 +199,26 @@ def enable_state_api_v2_runtime() -> bool:
 
             return True
         except ImportError:
+            # roll back EVERY mutation this candidate made (ADVICE r9): a
+            # failed probe must leave no trace on sys.path, the env, or
+            # the import system before the next candidate (or the caller)
+            if added_sys:
+                _sys.path.remove(shim)
+            if added_pp:
+                if prev_pp is None:
+                    _os.environ.pop("PYTHONPATH", None)
+                else:
+                    _os.environ["PYTHONPATH"] = prev_pp
+            if not had_check:
+                _os.environ.pop(
+                    "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None
+                )
+            for m in [
+                m
+                for m in _sys.modules
+                if m == "google" or m.startswith("google.")
+            ]:
+                del _sys.modules[m]
             continue
     return False
 
@@ -176,7 +246,15 @@ def _require_worker_visible_protobuf(spark: SparkSession) -> None:
     import google.protobuf as _pb
 
     root = _os.path.dirname(_os.path.dirname(_os.path.dirname(_pb.__file__)))
-    if root not in _PROTOBUF_FALLBACK_DIRS:
+    # the runtime is a host-level fallback iff it resolved through one of
+    # the known vendored dirs — either directly (legacy raw-dir append) or
+    # via a protobuf-only shim whose symlink realpaths into one
+    real_pkg = _os.path.realpath(_os.path.join(root, "google", "protobuf"))
+    is_fallback = root in _PROTOBUF_FALLBACK_DIRS or any(
+        real_pkg == _os.path.realpath(_os.path.join(d, "google", "protobuf"))
+        for d in _PROTOBUF_FALLBACK_DIRS
+    )
+    if not is_fallback:
         return  # real pip package: visible to workers via site-packages
     jvm_pp = (
         spark._jvm.java.lang.System.getenv("PYTHONPATH") or ""  # noqa: SLF001
@@ -191,24 +269,9 @@ def _require_worker_visible_protobuf(spark: SparkSession) -> None:
         )
 
 
-def streaming_running_totals_tws(spark: SparkSession, source_dir: str) -> DataFrame:
-    """Per-event running totals via ``transformWithStateInPandas`` — the
-    Spark 4 arbitrary-state API (SPARK-49564 "State API v2") that
-    supersedes applyInPandasWithState: typed state handles obtained in
-    ``init`` from a StatefulProcessorHandle, per-key Arrow batches in
-    ``handleInputRows``, RocksDB-backed state store.
-
-    Each input event emits one output row carrying the key's cumulative
-    (count, exact-decimal sum) AT that event — per-key prefix aggregation
-    with O(1) state per key. Rows are processed in (ts, event_id) order
-    within the batch, and the running sum lives in state as a DECIMAL
-    STRING (fp accumulation would be order-sensitive; exact decimal makes
-    every prefix deterministic — the same rule the batch registry applies
-    to double aggregates). Bounded-run caveat: prefix semantics across
-    micro-batches assume batches arrive in event-time order (true for the
-    single-file AvailableNow source here); a production deployment orders
-    by watermark + event-time timers before emitting.
-    """
+def _require_tws(spark: SparkSession) -> None:
+    """Shared capability gate for the State API v2 operators: protobuf
+    runtime present AND worker-visible in this JVM's environment."""
     if not tws_available():
         raise RuntimeError(
             "transformWithStateInPandas needs the google.protobuf package "
@@ -220,6 +283,15 @@ def streaming_running_totals_tws(spark: SparkSession, source_dir: str) -> DataFr
             "(streaming_user_totals) covers the stateful surface here."
         )
     _require_worker_visible_protobuf(spark)
+
+
+def _run_totals_stream(spark: SparkSession, raw: DataFrame) -> DataFrame:
+    """Run the RunningTotals StatefulProcessor over ``raw`` (a STREAMING
+    frame carrying user_id, ts, event_id, value) with a RocksDB state
+    store — the shared core of :func:`streaming_running_totals_tws`
+    (single-batch events source) and
+    :func:`streaming_running_totals_tws_dir` (multi-micro-batch file
+    source, the registered driver entry)."""
     from decimal import Decimal
 
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
@@ -242,8 +314,8 @@ def streaming_running_totals_tws(spark: SparkSession, source_dir: str) -> DataFr
             sums: list[float] = []
             for v in pdf["value"]:
                 n += 1
-                # str(float) is the shortest exact repr; <=2 decimals in
-                # the data makes this identical to CAST(v AS DECIMAL(38,2))
+                # str(float) is the shortest exact repr; <=6 decimals in
+                # the data makes this identical to CAST(v AS DECIMAL(38,6))
                 run_sum += Decimal(str(v))
                 ns.append(n)
                 # one IEEE rounding per emission == CAST(dec AS DOUBLE)
@@ -262,7 +334,6 @@ def streaming_running_totals_tws(spark: SparkSession, source_dir: str) -> DataFr
         def close(self) -> None:
             pass
 
-    raw = bounded_events_stream(spark, source_dir)
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
@@ -284,6 +355,84 @@ def streaming_running_totals_tws(spark: SparkSession, source_dir: str) -> DataFr
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def streaming_running_totals_tws(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Per-event running totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API (SPARK-49564 "State API v2") that
+    supersedes applyInPandasWithState: typed state handles obtained in
+    ``init`` from a StatefulProcessorHandle, per-key Arrow batches in
+    ``handleInputRows``, RocksDB-backed state store.
+
+    Each input event emits one output row carrying the key's cumulative
+    (count, exact-decimal sum) AT that event — per-key prefix aggregation
+    with O(1) state per key. Rows are processed in (ts, event_id) order
+    within the batch, and the running sum lives in state as a DECIMAL
+    STRING (fp accumulation would be order-sensitive; exact decimal makes
+    every prefix deterministic — the same rule the batch registry applies
+    to double aggregates). Bounded-run caveat: prefix semantics across
+    micro-batches assume batches arrive in event-time order (true for the
+    single-file AvailableNow source here, and for
+    :func:`streaming_running_totals_tws_dir`'s global time-split files);
+    a production deployment orders by watermark + event-time timers
+    before emitting.
+    """
+    _require_tws(spark)
+    return _run_totals_stream(spark, bounded_events_stream(spark, source_dir))
+
+
+def streaming_running_totals_tws_dir(
+    spark: SparkSession,
+    src_path: str,
+    schema: str = "event_id long, user_id long, ts timestamp, value double",
+) -> DataFrame:
+    """Multi-micro-batch form of :func:`streaming_running_totals_tws` for
+    the registered ``stream_tws_totals`` entry (VERDICT r9 item 2):
+    ``src_path`` is a directory of parquet files read with
+    maxFilesPerTrigger=1 — each file is one REAL micro-batch, so the
+    exact-decimal ValueState genuinely carries prefixes across batches
+    (the single-file form exercises the API but folds everything in one
+    batch). The caller must split files on GLOBAL event-time boundaries
+    (the gap_close tercile recipe): that guarantees every key's batches
+    arrive in event-time order, the documented prefix assumption."""
+    _require_tws(spark)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+    )
+    return _run_totals_stream(spark, raw)
+
+
+def running_totals_replay(events: DataFrame) -> DataFrame:
+    """Batch replay of the RunningTotals prefix semantics — what the
+    ``stream_tws_totals`` registry entry runs when the State API v2
+    runtime is not worker-visible in its JVM (capability-gated, the
+    stream_gap_close precedent), and what its DuckDB oracle replays.
+
+    Exactness contract: the stream accumulates ``Decimal(str(value))``
+    (shortest exact repr) and emits one IEEE rounding per prefix; for
+    values whose repr carries <=6 decimals (the fixtures' domain,
+    asserted against DECIMAL(38,6) here) that is bit-identical to a
+    windowed exact-DECIMAL prefix sum CAST to double — deterministic
+    under ANY partitioning, the property fp running sums lack."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("run_n"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("run_sum"),
+    )
 
 
 def streaming_gap_close_tws(
@@ -319,12 +468,7 @@ def streaming_gap_close_tws(
     ``src_path`` is a directory of parquet files read with
     maxFilesPerTrigger=1 (each file = one micro-batch) and a 0-second
     watermark on ts."""
-    if not tws_available():
-        raise RuntimeError(
-            "transformWithStateInPandas needs the google.protobuf package; "
-            "see streaming_running_totals_tws for the capability contract."
-        )
-    _require_worker_visible_protobuf(spark)
+    _require_tws(spark)
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     class GapClose(StatefulProcessor):

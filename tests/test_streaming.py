@@ -1141,3 +1141,37 @@ def test_gap_close_stream_equals_replay(spark):
     }
     assert streamed, "fixture must close at least one series"
     assert streamed == replay
+
+def test_tws_totals_stream_equals_replay(spark):
+    """The registered stream_tws_totals entry's two paths must agree
+    exactly: the REAL State API v2 value-state stream (three tercile
+    micro-batches, exact-decimal prefixes carried across batches) and
+    running_totals_replay (the windowed exact-DECIMAL batch form the
+    oracle also encodes, and that the entry falls back to in a JVM
+    without the runtime). Exact set equality — every prefix is one IEEE
+    rounding of an exact decimal, so no tolerance is needed."""
+    import pytest
+
+    import ltss_spark.plans as plans
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.streaming.stateful import (
+        _require_worker_visible_protobuf,
+        running_totals_replay,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("protobuf runtime unavailable")
+    try:
+        _require_worker_visible_protobuf(spark)
+    except RuntimeError:
+        pytest.skip("JVM predates the fallback protobuf export")
+
+    streamed = {
+        tuple(r)
+        for r in plans.queries()["stream_tws_totals"](spark, SF_SMOKE).collect()
+    }
+    e = _t(spark, SF_SMOKE, "events").select("event_id", "user_id", "ts", "value")
+    replay = {tuple(r) for r in running_totals_replay(e).collect()}
+    assert len(streamed) == e.count(), "one emission per input event"
+    assert streamed == replay
