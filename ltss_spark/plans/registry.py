@@ -80,92 +80,30 @@ def register(name: str, oracle: str | None, survey: str = ""):
 # Driver CORRECTNESS-window priority.
 #
 # The per-round driver check covers roughly the first 50 `queries()` entries
-# in dict order. The union of CORRECTNESS_r01-r08 gives all 222 entries at
-# least one driver row, all green on their latest check. Round 9 heads the
-# window with the entries whose implementation or oracle materially changed
-# this round (the semantic-kmeans value oracle, the integer pagerank, the
-# median empty-input fix, the CUSUM order guard, the token-join skew
-# guard), then drains the ENTIRE r3 staleness cohort (VERDICT r8 item 2:
-# all 32 entries whose latest driver row is r3), then the oldest r4s.
-# _DRIVER_SECOND continues strictly least-recently-verified-first, so by
-# r10 the r4 cohort drains too.
+# in dict order. The union of CORRECTNESS_r01-r09 gives all 223 pre-r10
+# entries at least one driver row, all green on their latest check. Round 10
+# heads the window with the one never-verified entry (stream_tws_totals, the
+# State API v2 value-state half — VERDICT r9 item 2), then the entries whose
+# implementation or oracle materially changed this round (the tie-free
+# floor-quantized Lloyd means and the skew-guard cache-key fix, both ADVICE
+# r9), then drains the ENTIRE r4 staleness cohort (VERDICT r9 item 1: all 33
+# entries whose latest driver row is r4), then the oldest r6 entries.
+# _DRIVER_SECOND continues strictly least-recently-verified-first, so by r11
+# the remaining r6 cohort drains too and no entry is ever older than two
+# rounds of plan churn.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY: list[str] = [
-    # --- new in round 9 (never driver-verified) ---
-    "stream_gap_close",
-    # --- materially changed in round 9 (must re-verify) ---
+    # --- new in round 10 (never driver-verified) ---
+    "stream_tws_totals",
+    # --- materially changed in round 10 (must re-verify): the tie-free
+    # floor-quantized Lloyd oracle (ADVICE r9) and the three skew-guarded
+    # token joins whose pre-flight cache key changed (ADVICE r9) ---
     "ext_dedup_semantic_kmeans",
-    "ext_pagerank",
-    "agg_median_exact",
-    "stream_changepoint",
     "ext_tfidf",
     "ext_unigram_lm",
     "ext_bigram_lm",
-    # --- staleness drain: every entry whose latest driver row is r3 ---
-    "ext_contamination",
-    "ext_dedup_incremental",
-    "ext_hash_split",
-    "ext_pii_redact",
-    "ext_sim_search_ivf",
-    "ext_sim_search_lsh",
-    "join_asof_fwd",
-    "join_asof_near",
-    "ltss_compress",
-    "ltss_geo_wkt",
-    "ltss_retention",
-    "ltss_state_periods",
-    "sink_bucketed",
-    "sink_compact",
-    "sink_zorder",
-    "sql_q10",
-    "sql_q13",
-    "sql_q14",
-    "sql_q15",
-    "sql_q16",
-    "sql_q17",
-    "sql_q18",
-    "sql_q2",
-    "sql_q21",
-    "sql_q22",
-    "sql_q4",
-    "stream_join",
-    "stream_watermark",
-    "ts_heartbeat",
-    "ts_histogram",
-    "ts_lttb",
-    "ts_trend",
-    # --- oldest r4 entries: fill the window least-recently-first ---
-    "agg_corr",
-    "agg_mode",
-    "ext_bm25",
-    "ext_chunk_docs",
-    "ext_dedup_cluster_embed",
-    "ext_dedup_embed",
-    "ext_dedup_exact",
-    "ext_dedup_ngram",
-    "ext_dedup_simhash",
-    "ext_dedup_span_remove",
-]
-
-#: entries with a PRE-existing driver row whose implementation or oracle
-#: changed materially this round — they justify a window slot exactly like a
-#: never-verified entry (tests/test_plans.py window-packing guard).
-_CHANGED_ENTRIES: set[str] = {
-    "ext_dedup_semantic_kmeans",
-    "ext_pagerank",
-    "agg_median_exact",
-    "stream_changepoint",
-    "ext_tfidf",
-    "ext_unigram_lm",
-    "ext_bigram_lm",
-}
-
-# Entries with an existing green driver row; least-recently-verified first
-# (r4 cohort, then r6, r7, r8) — any window wider than the priority block
-# re-confirms the stalest surface next.
-_DRIVER_SECOND: list[str] = [
-    # --- latest driver row: round 4 ---
+    # --- staleness drain (VERDICT r9 item 1): the ENTIRE r4 cohort ---
     "ext_multimodal",
     "ext_pack_sequences",
     "ext_quality_filter",
@@ -199,7 +137,7 @@ _DRIVER_SECOND: list[str] = [
     "udf_scalar",
     "udtf",
     "win_time_range",
-    # --- latest driver row: round 6 ---
+    # --- oldest r6 entries: fill the window least-recently-first ---
     "agg_theta_overlap",
     "diag_skew",
     "ext_dedup_cdf",
@@ -212,6 +150,23 @@ _DRIVER_SECOND: list[str] = [
     "ext_sample_group",
     "ext_shuffle_shard",
     "ext_sim_search_ivfpq",
+]
+
+#: entries with a PRE-existing driver row whose implementation or oracle
+#: changed materially this round — they justify a window slot exactly like a
+#: never-verified entry (tests/test_plans.py window-packing guard).
+_CHANGED_ENTRIES: set[str] = {
+    "ext_dedup_semantic_kmeans",
+    "ext_tfidf",
+    "ext_unigram_lm",
+    "ext_bigram_lm",
+}
+
+# Entries with an existing green driver row; least-recently-verified first
+# (remaining r6 cohort, then r7, r8, r9) — any window wider than the
+# priority block re-confirms the stalest surface next.
+_DRIVER_SECOND: list[str] = [
+    # --- latest driver row: round 6 ---
     "ext_sim_search_pq",
     "ext_token_topk_approx",
     "fn_date",
@@ -342,8 +297,54 @@ _DRIVER_SECOND: list[str] = [
     "win_ntile",
     "win_range_frame",
     "win_rank",
+    # --- latest driver row: round 9 ---
+    "agg_corr",
+    "agg_median_exact",
+    "agg_mode",
+    "ext_bm25",
+    "ext_chunk_docs",
+    "ext_contamination",
+    "ext_dedup_cluster_embed",
+    "ext_dedup_embed",
+    "ext_dedup_exact",
+    "ext_dedup_incremental",
+    "ext_dedup_ngram",
+    "ext_dedup_simhash",
+    "ext_dedup_span_remove",
+    "ext_hash_split",
+    "ext_pagerank",
+    "ext_pii_redact",
+    "ext_sim_search_ivf",
+    "ext_sim_search_lsh",
+    "join_asof_fwd",
+    "join_asof_near",
+    "ltss_compress",
+    "ltss_geo_wkt",
+    "ltss_retention",
+    "ltss_state_periods",
+    "sink_bucketed",
+    "sink_compact",
+    "sink_zorder",
+    "sql_q10",
+    "sql_q13",
+    "sql_q14",
+    "sql_q15",
+    "sql_q16",
+    "sql_q17",
+    "sql_q18",
+    "sql_q2",
+    "sql_q21",
+    "sql_q22",
+    "sql_q4",
+    "stream_changepoint",
+    "stream_gap_close",
+    "stream_join",
+    "stream_watermark",
+    "ts_heartbeat",
+    "ts_histogram",
+    "ts_lttb",
+    "ts_trend",
 ]
-
 
 
 def _ordered() -> list[Q]:
