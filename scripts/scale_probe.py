@@ -730,6 +730,10 @@ def main():
         from ltss_spark.operators.text import unigram_logprob
 
         results["r9_skew_guard"] = {}
+        # untimed warmup: the tokenize+agg pipeline's codegen/JIT must not
+        # land on the FIRST timed variant (measured: it inflated the 4x
+        # auto run ~1.6x vs plain purely by running first)
+        unigram_logprob(warm).count()
         for factor in (4, 16, 32):
             docs = replicated_docs(spark, sf_dir, factor, base)
             hot = docs.select(
@@ -747,7 +751,7 @@ def main():
                 ).collect()[0]
                 return (r["n"], r["toks"], r["chk"])
 
-            dec_auto, dec_plain = {}, {}
+            dec_auto, dec_plain, dec_forced = {}, {}, {}
             cs_auto, t_auto = timed(
                 lambda: checksum(
                     unigram_logprob(hot, skew_decision=dec_auto)
@@ -762,16 +766,76 @@ def main():
                     )
                 )
             )
-            assert cs_auto == cs_plain, (factor, cs_auto, cs_plain)
+            # force the SALTED path regardless of thresholds: the direct
+            # measurement of what salting costs/buys at this factor (the
+            # "does salting ever win on local[32]" receipt VERDICT r9
+            # item 3 asks for)
+            cs_forced, t_forced = timed(
+                lambda: checksum(
+                    unigram_logprob(
+                        hot,
+                        min_hot_rows=0,
+                        skew_decision=dec_forced,
+                    )
+                )
+            )
+            assert cs_auto == cs_plain == cs_forced, (
+                factor, cs_auto, cs_plain, cs_forced,
+            )
             row = {
                 "n_docs": hot.count(),
                 "hot_rows": dec_auto["max_key_rows"],
                 "auto_salted": dec_auto["salted"],
+                "forced_salted": dec_forced["salted"],
                 "auto_sec": t_auto,
                 "plain_sec": t_plain,
+                "forced_salted_sec": t_forced,
                 "results_identical": True,
+                # min-of-2 timing: run 2 hits the pre-flight stats cache,
+                # so auto_sec measures the guard at its steady-state cost
+                "timing": "min-of-2 (second run = pre-flight cache hit)",
             }
             results["r9_skew_guard"][str(factor)] = row
+            print(json.dumps({factor: row}))
+
+    # round-10 probe (VERDICT r9 item 5): ext_perplexity_buckets at 64x —
+    # the steepest curve in r9_scaling (2.41 s @1x -> 9.30 s @32x). Split
+    # the cost into its two stages to name the dominant one:
+    # - scoring (bigram_logprob: tokenize -> two hash aggs -> skew-guarded
+    #   join -> per-doc exact-decimal agg) — linear in token volume;
+    # - global rank (distributed_row_number) — ADAPTIVE: at 64x the scored
+    #   frame is only |docs| rows (320k), BELOW the 1M single-task
+    #   threshold, so the default path is the bounded single window (the
+    #   scale rule permits one reducer over a bounded set); the probe also
+    #   FORCES the two-pass range-partitioned path to show it works and
+    #   stays parallel at this size (the "multi-reducer at 64x" receipt —
+    #   what actually guards 100 TB is the threshold crossing, measured
+    #   here both ways).
+    if want("perp64"):
+        from ltss_spark.operators.rank import distributed_row_number
+        from ltss_spark.operators.text import bigram_logprob, perplexity_buckets
+
+        results["r10_perp64"] = {}
+        perplexity_buckets(warm).count()  # warm
+        for factor in (32, 64):
+            docs = replicated_docs(spark, sf_dir, factor, base)
+            row = {"n_docs": docs.count()}
+            row["full_rows"], row["full_sec"] = timed(
+                lambda: perplexity_buckets(docs).count()
+            )
+            scored = bigram_logprob(docs).select("doc_id", "ppl")
+            row["score_rows"], row["score_sec"] = timed(lambda: scored.count())
+            order = [F.col("ppl").asc(), F.col("doc_id").asc()]
+            base_scored = scored.localCheckpoint()  # isolate the rank stage
+            row["rank_default_rows"], row["rank_default_sec"] = timed(
+                lambda: distributed_row_number(base_scored, order).count()
+            )
+            row["rank_twopass_rows"], row["rank_twopass_sec"] = timed(
+                lambda: distributed_row_number(
+                    base_scored, order, single_task_threshold=0
+                ).count()
+            )
+            results["r10_perp64"][str(factor)] = row
             print(json.dumps({factor: row}))
 
     # partial runs merge into the existing probe file: one new operator
