@@ -1193,3 +1193,76 @@ def stream_tws_totals_q(spark, sf_dir):
         shutil.rmtree(f"{src}/__tmp")
         os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
     return streaming_running_totals_tws_dir(spark, src)
+
+
+@register(
+    "stream_distinct_state",
+    """
+    SELECT user_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    survey="stream_stateful agg_distinct (State API v2 MAP-STATE half — "
+    "per-key RocksDB map event_type->count, point-read/point-written per "
+    "micro-batch across three tercile batches; the third TWS primitive "
+    "after value state and event-time timers. Final cumulative state per "
+    "key hash-checked against the batch COUNT(DISTINCT))",
+)
+def stream_distinct_state_q(spark, sf_dir):
+    """Per-user distinct-event-type tracking through State API v2 MAP
+    state (streaming/stateful.streaming_distinct_types_tws): the events
+    table split into three time-tercile micro-batch files; each batch
+    point-updates the key's type->count map and emits the cumulative
+    (n_types, n_events), so the final row per key — what the oracle's
+    plain GROUP BY COUNT(DISTINCT) recomputes — proves the map carried
+    exact distinct state across batches. Capability-gated onto
+    distinct_types_replay (the batch aggregate) when the session's JVM
+    lacks a worker-visible protobuf runtime, the stream_tws_totals /
+    stream_gap_close precedent; a pytest pins stream == replay where
+    the runtime is available."""
+    import glob as g
+    import os
+    import shutil
+
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.streaming.stateful import (
+        _require_worker_visible_protobuf,
+        distinct_types_replay,
+        streaming_distinct_types_tws,
+        tws_available,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    use_tws = tws_available()
+    if use_tws:
+        try:
+            _require_worker_visible_protobuf(spark)
+        except RuntimeError:
+            use_tws = False  # JVM predates the runtime export: replay path
+    if not use_tws:
+        return distinct_types_replay(e)
+    us = F.unix_micros(F.col("ts"))
+    bounds = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) // 3
+    cut1, cut2 = lo + span, lo + 2 * span
+    base = scratch_dir("ltss_stream_distinct_state")
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    parts = [
+        e.filter(us < cut1),
+        e.filter((us >= cut1) & (us < cut2)),
+        e.filter(us >= cut2),
+    ]
+    now = 1_700_000_000
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(f"{src}/__tmp")
+        shutil.move(
+            g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/b{i}.parquet"
+        )
+        shutil.rmtree(f"{src}/__tmp")
+        os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
+    return streaming_distinct_types_tws(spark, src)

@@ -435,6 +435,121 @@ def running_totals_replay(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_distinct_types_tws(
+    spark: SparkSession,
+    src_path: str,
+    schema: str = "event_id long, user_id long, ts timestamp, event_type string",
+) -> DataFrame:
+    """Per-key exact DISTINCT tracking with State API v2 MAP STATE — the
+    third TWS primitive after value state (streaming_running_totals_tws)
+    and event-time timers (streaming_gap_close_tws): each key holds a
+    RocksDB-backed map ``event_type -> count`` that is point-read and
+    point-written per batch (``getValue``/``updateValue`` — never
+    materializing the whole map to update one entry, which is MapState's
+    reason to exist over a ValueState holding a dict), plus a ValueState
+    row counter. After each batch the key emits its cumulative
+    (n_types, n_events); with update-style emissions the final state per
+    key is the max-n_events row (the streaming_user_totals convention).
+
+    State per key is O(|distinct types seen|) — bounded by the type
+    vocabulary, not the stream length; the batch-boundary iteration cost
+    is one map scan per (key, batch) to count keys. NULL types are
+    skipped (COUNT DISTINCT semantics); rows still count toward
+    n_events. ``src_path``: directory of parquet files, one micro-batch
+    each (maxFilesPerTrigger=1)."""
+    _require_tws(spark)
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class DistinctTypes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._types = handle.getMapState("types", "t STRING", "c BIGINT")
+            self._n = handle.getValueState("n", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n_new = 0
+            batch_counts: dict[str, int] = {}
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n_new += int(len(pdf))
+                # value_counts drops nulls: COUNT(DISTINCT) semantics
+                for t, c in pdf["event_type"].value_counts().items():
+                    batch_counts[t] = batch_counts.get(t, 0) + int(c)
+            if not n_new:
+                return
+            for t, c in batch_counts.items():
+                cur = self._types.getValue((t,))
+                self._types.updateValue(
+                    (t,), ((0 if cur is None else int(cur[0])) + c,)
+                )
+            prev = self._n.get()
+            n = (0 if prev is None else int(prev[0])) + n_new
+            self._n.update((n,))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_types": [n_types],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        updates = raw.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=DistinctTypes(),
+            outputStructType="user_id bigint, n_types bigint, n_events bigint",
+            outputMode="append",
+            timeMode="none",
+        )
+        out = run_to_memory(updates, "append", "stream_distinct_state")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    # one emission per (key, batch); the cumulative counters make the
+    # final state the max-n_events row per key (update-mode convention)
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_types", "n_events"), F.col("n_events")
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_types").alias("n_types"),
+            F.col("s.n_events").alias("n_events"),
+        )
+    )
+
+
+def distinct_types_replay(events: DataFrame) -> DataFrame:
+    """Batch replay of :func:`streaming_distinct_types_tws`'s final state:
+    exact per-key distinct-type and row counts. COUNT(DISTINCT) here is
+    the two-phase skew-safe form is NOT needed — the driver fixture's
+    type vocabulary is tiny — but the streaming operator's map state is
+    precisely what makes the same computation incremental at 100 TB
+    (the batch form rescans the corpus; the stream pays O(batch))."""
+    return events.groupBy("user_id").agg(
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
 def streaming_gap_close_tws(
     spark: SparkSession,
     src_path: str,

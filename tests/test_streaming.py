@@ -1175,3 +1175,37 @@ def test_tws_totals_stream_equals_replay(spark):
     replay = {tuple(r) for r in running_totals_replay(e).collect()}
     assert len(streamed) == e.count(), "one emission per input event"
     assert streamed == replay
+
+def test_distinct_state_stream_equals_replay(spark):
+    """The registered stream_distinct_state entry's two paths must agree
+    exactly: the REAL State API v2 MapState stream (per-key type->count
+    map point-updated across three tercile micro-batches) and
+    distinct_types_replay (the batch COUNT(DISTINCT) the oracle also
+    encodes). Exact equality — both are integer counts."""
+    import pytest
+
+    import ltss_spark.plans as plans
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.streaming.stateful import (
+        _require_worker_visible_protobuf,
+        distinct_types_replay,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("protobuf runtime unavailable")
+    try:
+        _require_worker_visible_protobuf(spark)
+    except RuntimeError:
+        pytest.skip("JVM predates the fallback protobuf export")
+
+    streamed = {
+        tuple(r)
+        for r in plans.queries()["stream_distinct_state"](spark, SF_SMOKE).collect()
+    }
+    e = _t(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    replay = {tuple(r) for r in distinct_types_replay(e).collect()}
+    assert streamed, "fixture must produce per-user rows"
+    assert streamed == replay
