@@ -1266,3 +1266,79 @@ def stream_distinct_state_q(spark, sf_dir):
         shutil.rmtree(f"{src}/__tmp")
         os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
     return streaming_distinct_types_tws(spark, src)
+
+
+@register(
+    "stream_list_state",
+    """
+    WITH ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_recent,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS recent_sum
+    FROM ranked WHERE rn <= 5 GROUP BY user_id
+    """,
+    survey="stream_stateful win_rank (State API v2 LIST-STATE half — the "
+    "fourth TWS primitive: per-key RocksDB last-5 buffer trimmed on every "
+    "write, exact-decimal sum over the buffer. The max-k selection under "
+    "(ts, event_id) makes the final state order-insensitive across "
+    "micro-batches; hash-checked against the batch last-k window oracle)",
+)
+def stream_list_state_q(spark, sf_dir):
+    """Per-user recent-activity feature through State API v2 LIST state
+    (streaming/stateful.streaming_recent_k_tws): three time-tercile
+    micro-batches feed a per-key last-5 buffer (list state trimmed on
+    every write — O(k) state per key), and the final exact-decimal sum
+    over each buffer hash-matches the batch oracle's per-key last-5
+    window. Unlike the prefix operators, the last-k selection commutes
+    across batch boundaries, so this entry's correctness does not even
+    need the ordered-batch assumption. Capability-gated onto
+    recent_k_replay when the JVM lacks a worker-visible protobuf
+    runtime (stream_tws_totals precedent); a pytest pins
+    stream == replay where the runtime is available."""
+    import glob as g
+    import os
+    import shutil
+
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.streaming.stateful import (
+        _require_worker_visible_protobuf,
+        recent_k_replay,
+        streaming_recent_k_tws,
+        tws_available,
+    )
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    use_tws = tws_available()
+    if use_tws:
+        try:
+            _require_worker_visible_protobuf(spark)
+        except RuntimeError:
+            use_tws = False  # JVM predates the runtime export: replay path
+    if not use_tws:
+        return recent_k_replay(e, k=5)
+    us = F.unix_micros(F.col("ts"))
+    bounds = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) // 3
+    cut1, cut2 = lo + span, lo + 2 * span
+    base = scratch_dir("ltss_stream_list_state")
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    parts = [
+        e.filter(us < cut1),
+        e.filter((us >= cut1) & (us < cut2)),
+        e.filter(us >= cut2),
+    ]
+    now = 1_700_000_000
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(f"{src}/__tmp")
+        shutil.move(
+            g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/b{i}.parquet"
+        )
+        shutil.rmtree(f"{src}/__tmp")
+        os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
+    return streaming_recent_k_tws(spark, src, k=5)

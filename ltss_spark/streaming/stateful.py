@@ -537,6 +537,139 @@ def streaming_distinct_types_tws(
     )
 
 
+def streaming_recent_k_tws(
+    spark: SparkSession,
+    src_path: str,
+    k: int = 5,
+    schema: str = "event_id long, user_id long, ts timestamp, value double",
+) -> DataFrame:
+    """Per-key LAST-K buffer with State API v2 LIST STATE — the fourth and
+    final TWS state primitive (after value state, event-time timers, and
+    map state): each key keeps the ``k`` most recent (ts, event_id,
+    value) rows in a RocksDB-backed list, TRIMMED on every write, and
+    after each batch emits the exact-decimal sum over the buffer — the
+    "recent activity" feature every monitoring/feature-store pipeline
+    derives per series.
+
+    The buffer is a max-k selection under the total order (ts,
+    event_id), so the FINAL state is order-insensitive across
+    micro-batches (merging then trimming commutes) — stronger than the
+    prefix operators' ordered-batch assumption, and exactly what the
+    batch oracle (last k rows per key) recomputes. State per key is
+    O(k) regardless of stream length; values ride as shortest-repr
+    strings so the decimal sum is exact. Emissions carry the key's total
+    seen-row count so the final (max seen_events) row per key is
+    selectable downstream (the update-mode convention)."""
+    _require_tws(spark)
+    from decimal import Decimal
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RecentK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._recent = handle.getListState(
+                "recent", "ts_us BIGINT, eid BIGINT, v STRING"
+            )
+            self._n = handle.getValueState("n", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            fresh: list[tuple] = []
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                ts_us = pdf["ts"].astype("int64") // 1000
+                for t, e, v in zip(ts_us, pdf["event_id"], pdf["value"]):
+                    fresh.append((int(t), int(e), str(v)))
+            if not fresh:
+                return
+            merged = list(self._recent.get()) + fresh
+            merged.sort(key=lambda r: (int(r[0]), int(r[1])), reverse=True)
+            kept = merged[:k]
+            self._recent.put(kept)
+            prev = self._n.get()
+            n = (0 if prev is None else int(prev[0])) + len(fresh)
+            self._n.update((n,))
+            s = sum((Decimal(r[2]) for r in kept), Decimal(0))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "seen_events": [n],
+                    "n_recent": [len(kept)],
+                    # one IEEE rounding of the exact decimal == the
+                    # oracle's CAST(SUM(DECIMAL) AS DOUBLE)
+                    "recent_sum": [float(s)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        updates = raw.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RecentK(),
+            outputStructType=(
+                "user_id bigint, seen_events bigint, "
+                "n_recent bigint, recent_sum double"
+            ),
+            outputMode="append",
+            timeMode="none",
+        )
+        out = run_to_memory(updates, "append", "stream_list_state")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_recent", "recent_sum"), F.col("seen_events")
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_recent").alias("n_recent"),
+            F.col("s.recent_sum").alias("recent_sum"),
+        )
+    )
+
+
+def recent_k_replay(events: DataFrame, k: int = 5) -> DataFrame:
+    """Batch replay of :func:`streaming_recent_k_tws`'s final state: the
+    last ``k`` events per key under (ts, event_id) descending, summed
+    exactly (DECIMAL) and cast to double once. The rank-filter window
+    is per-key (WindowGroupLimit pre-truncates map-side) — the stream's
+    O(k)-state advantage is that it never rescans history to refresh
+    the feature."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_recent"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("recent_sum"),
+        )
+    )
+
+
 def distinct_types_replay(events: DataFrame) -> DataFrame:
     """Batch replay of :func:`streaming_distinct_types_tws`'s final state:
     exact per-key distinct-type and row counts. COUNT(DISTINCT) here is

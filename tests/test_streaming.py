@@ -1209,3 +1209,36 @@ def test_distinct_state_stream_equals_replay(spark):
     replay = {tuple(r) for r in distinct_types_replay(e).collect()}
     assert streamed, "fixture must produce per-user rows"
     assert streamed == replay
+
+def test_list_state_stream_equals_replay(spark):
+    """The registered stream_list_state entry's two paths must agree
+    exactly: the REAL State API v2 ListState stream (per-key last-5
+    buffer trimmed across three tercile micro-batches) and
+    recent_k_replay (the batch last-k window the oracle also encodes).
+    Exact equality — the buffer sum is one IEEE rounding of an exact
+    decimal on both sides."""
+    import pytest
+
+    import ltss_spark.plans as plans
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.streaming.stateful import (
+        _require_worker_visible_protobuf,
+        recent_k_replay,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("protobuf runtime unavailable")
+    try:
+        _require_worker_visible_protobuf(spark)
+    except RuntimeError:
+        pytest.skip("JVM predates the fallback protobuf export")
+
+    streamed = {
+        tuple(r)
+        for r in plans.queries()["stream_list_state"](spark, SF_SMOKE).collect()
+    }
+    e = _t(spark, SF_SMOKE, "events").select("event_id", "user_id", "ts", "value")
+    replay = {tuple(r) for r in recent_k_replay(e, k=5).collect()}
+    assert streamed, "fixture must produce per-user rows"
+    assert streamed == replay
