@@ -1342,3 +1342,89 @@ def stream_list_state_q(spark, sf_dir):
         shutil.rmtree(f"{src}/__tmp")
         os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
     return streaming_recent_k_tws(spark, src, k=5)
+
+
+@register(
+    "stream_state_bootstrap",
+    """
+    WITH cut AS (
+      SELECT MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 3
+               AS c1
+      FROM events
+    ),
+    keys AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE epoch_us(ts) >= (SELECT c1 FROM cut)
+    )
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM events e JOIN keys USING (user_id)
+    GROUP BY e.user_id
+    """,
+    survey="stream_stateful stream_ingest agg_basic (State API v2 "
+    "INITIAL-STATE bootstrap: the first time-tercile batch-aggregated "
+    "into per-key exact-decimal state that seeds the stream via "
+    "handleInitialState, then two real micro-batches fold on top — the "
+    "migrate-a-monitor-onto-streaming pattern, no history replay through "
+    "the state store. Totals over history+stream hash-checked against "
+    "the whole-table aggregate for every streamed key)",
+)
+def stream_state_bootstrap_q(spark, sf_dir):
+    """Warm-started streaming totals (streaming/stateful.
+    streaming_bootstrap_totals_tws): the first event-time tercile is
+    aggregated in BATCH to per-user (n, exact-decimal sum) and handed to
+    transformWithStateInPandas as initialState; terciles 2-3 stream as
+    real micro-batch files on top of the seeded state. The final
+    cumulative totals equal the whole-table GROUP BY for every user with
+    at least one streamed row — which is what the oracle recomputes
+    (history-only users never emit, by contract). Both the history
+    aggregate and the stream fold use the same exact-decimal
+    representation, so the split is arithmetically invisible.
+    Capability-gated onto bootstrap_totals_replay in JVMs without a
+    worker-visible protobuf runtime; a pytest pins stream == replay
+    where it is available."""
+    import glob as g
+    import os
+    import shutil
+
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.streaming.stateful import (
+        _require_worker_visible_protobuf,
+        bootstrap_history_state,
+        bootstrap_totals_replay,
+        streaming_bootstrap_totals_tws,
+        tws_available,
+    )
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    us = F.unix_micros(F.col("ts"))
+    bounds = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    cut1 = lo + (hi - lo) // 3
+    use_tws = tws_available()
+    if use_tws:
+        try:
+            _require_worker_visible_protobuf(spark)
+        except RuntimeError:
+            use_tws = False  # JVM predates the runtime export: replay path
+    if not use_tws:
+        return bootstrap_totals_replay(e, cut1)
+    cut2 = lo + 2 * ((hi - lo) // 3)
+    init = bootstrap_history_state(e.filter(us < cut1))
+    base = scratch_dir("ltss_stream_bootstrap")
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    parts = [
+        e.filter((us >= cut1) & (us < cut2)),
+        e.filter(us >= cut2),
+    ]
+    now = 1_700_000_000
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(f"{src}/__tmp")
+        shutil.move(
+            g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/b{i}.parquet"
+        )
+        shutil.rmtree(f"{src}/__tmp")
+        os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
+    return streaming_bootstrap_totals_tws(spark, src, init)

@@ -645,6 +645,150 @@ def streaming_recent_k_tws(
     )
 
 
+def streaming_bootstrap_totals_tws(
+    spark: SparkSession,
+    src_path: str,
+    init: DataFrame,
+    schema: str = "event_id long, user_id long, ts timestamp, value double",
+) -> DataFrame:
+    """Warm-start streaming state from a BATCH table — State API v2's
+    ``initialState`` hook, the production pattern the other TWS entries
+    don't cover: migrating a monitor onto streaming infrastructure
+    without replaying history (the reference's analogue: a fresh LTSS
+    install pointed at a database that already holds years of states).
+
+    ``init`` carries one row per key: (user_id, n BIGINT, s STRING) —
+    the key's historical row count and EXACT-DECIMAL value sum as a
+    string (the same representation the running-totals state uses, so
+    batch-computed history and stream-folded increments are the same
+    arithmetic). ``handleInitialState`` seeds each key's ValueState
+    before its first input row; the stream then folds normally and each
+    batch emits the key's cumulative (n_events, total). Keys present
+    only in the initial state never receive input and therefore never
+    emit — the caller's contract (and the oracle's WHERE clause) is
+    "keys with at least one streamed row, totals over history + stream".
+
+    At 100 TB the bootstrap is ONE batch aggregation shuffled by the
+    same key as the stream — no history replay through the state
+    store, state stays O(#keys)."""
+    _require_tws(spark)
+    from decimal import Decimal
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class BootstrapTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n BIGINT, s STRING")
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            # one initial-state row per key: (n, s) after the grouping key
+            if hasattr(initialState, "iloc"):  # pandas row/frame form
+                n = int(initialState["n"].iloc[0])
+                s = str(initialState["s"].iloc[0])
+            else:  # pyspark Row form
+                n, s = int(initialState["n"]), str(initialState["s"])
+            self._totals.update((n, s))
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdfs = [p for p in rows if len(p)]
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs)
+            if self._totals.exists():
+                n, s = self._totals.get()
+                run_sum = Decimal(s)
+            else:
+                n, run_sum = 0, Decimal(0)
+            n += int(len(pdf))
+            run_sum += sum(
+                (Decimal(str(v)) for v in pdf["value"]), Decimal(0)
+            )
+            self._totals.update((n, str(run_sum)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total": [float(run_sum)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        updates = raw.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=BootstrapTotals(),
+            outputStructType="user_id bigint, n_events bigint, total double",
+            outputMode="append",
+            timeMode="none",
+            initialState=init.groupBy("user_id"),
+        )
+        out = run_to_memory(updates, "append", "stream_state_bootstrap")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max_by(F.struct("n_events", "total"), F.col("n_events")).alias(
+                "s"
+            )
+        )
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total").alias("total"),
+        )
+    )
+
+
+def bootstrap_history_state(events: DataFrame) -> DataFrame:
+    """The batch half of the bootstrap: per-key (n, exact-decimal sum as
+    STRING) over the historical slice — the exact representation
+    streaming_bootstrap_totals_tws seeds its ValueState with. The sum
+    stays DECIMAL end-to-end (cast to string, never through a double),
+    so history + stream is one exact decimal fold split in two."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("string").alias("s"),
+    )
+
+
+def bootstrap_totals_replay(
+    events: DataFrame, cut1_us: int
+) -> DataFrame:
+    """Batch replay of the bootstrap entry's final state: totals over ALL
+    events for every key with at least one event at/after ``cut1_us``
+    (keys whose activity ended inside the historical slice never stream
+    a row, so they never emit)."""
+    us = F.unix_micros(F.col("ts"))
+    streamed_keys = (
+        events.filter(us >= F.lit(cut1_us)).select("user_id").distinct()
+    )
+    return (
+        events.join(streamed_keys, "user_id", "semi")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
 def recent_k_replay(events: DataFrame, k: int = 5) -> DataFrame:
     """Batch replay of :func:`streaming_recent_k_tws`'s final state: the
     last ``k`` events per key under (ts, event_id) descending, summed

@@ -1242,3 +1242,41 @@ def test_list_state_stream_equals_replay(spark):
     replay = {tuple(r) for r in recent_k_replay(e, k=5).collect()}
     assert streamed, "fixture must produce per-user rows"
     assert streamed == replay
+
+def test_state_bootstrap_stream_equals_replay(spark):
+    """The registered stream_state_bootstrap entry's two paths must agree
+    exactly: the REAL State API v2 initialState bootstrap (batch history
+    seeded via handleInitialState + two streamed terciles) and
+    bootstrap_totals_replay (the whole-table aggregate over streamed
+    keys that the oracle also encodes). Exact equality — both sides are
+    one IEEE rounding of the same exact decimal."""
+    import pytest
+
+    import ltss_spark.plans as plans
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.streaming.stateful import (
+        _require_worker_visible_protobuf,
+        bootstrap_totals_replay,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("protobuf runtime unavailable")
+    try:
+        _require_worker_visible_protobuf(spark)
+    except RuntimeError:
+        pytest.skip("JVM predates the fallback protobuf export")
+
+    streamed = {
+        tuple(r)
+        for r in plans.queries()["stream_state_bootstrap"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    e = _t(spark, SF_SMOKE, "events").select("event_id", "user_id", "ts", "value")
+    us = F.unix_micros(F.col("ts"))
+    b = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).collect()[0]
+    cut1 = b["lo"] + (b["hi"] - b["lo"]) // 3
+    replay = {tuple(r) for r in bootstrap_totals_replay(e, cut1).collect()}
+    assert streamed, "fixture must produce per-user rows"
+    assert streamed == replay
