@@ -587,3 +587,97 @@ def perplexity_buckets(
         )
         .withColumn("keep", F.col("bucket") < keep_below)
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Distributed BPE merge training (Sennrich et al. 2016, "Neural
+    Machine Translation of Rare Words with Subword Units") — the
+    tokenizer-training step of an LLM data pipeline, run the way
+    production BPE trainers actually run: over the WORD-FREQUENCY
+    DICTIONARY, never the raw corpus. One corpus scan builds
+    (word, count); every merge iteration then works on the dictionary
+    only — at 100 TB the corpus is petabytes but the dictionary is
+    millions of rows, so per-merge cost is one explode + one hash
+    aggregation over the vocabulary, independent of corpus size.
+
+    Per iteration: adjacent symbol pairs (zip_with over the split symbol
+    string, weighted by word count) -> hash-agg pair totals -> the
+    argmax pair (count desc, then lexicographic — deterministic under
+    ties) -> greedy left-to-right merge applied to every word via ONE
+    string fold (``aggregate`` HOF: merge the pair wherever the
+    accumulator's last symbol is ``lhs`` and the next symbol is ``rhs``
+    — the standard BPE replace semantics, including the overlapping
+    "a b a b" -> "ab ab" case a single-pass regex gets wrong). The
+    argmax is a bounded 1-row driver fetch per iteration (the adaptive
+    fetch exception: an inherently sequential training decision); the
+    dictionary localCheckpoints per round so expression depth stays
+    constant across iterations.
+
+    Training words are restricted to ``^[a-z]+$`` after the module's
+    shared normalization — symbols then never contain spaces, quotes,
+    or LIKE/regex metacharacters, which keeps the fold expression and
+    the cross-engine oracle replay exact. Returns the learned merge
+    table (step, lhs, rhs, pair_count) — the artifact a tokenizer ships.
+    """
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    d = words.select(
+        "n",
+        F.expr(
+            "array_join(transform(sequence(1, length(word)), "
+            "i -> substring(word, i, 1)), ' ')"
+        ).alias("sym"),
+    ).localCheckpoint(eager=False)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        arr = F.split(F.col("sym"), " ")
+        pairs = d.select(
+            "n",
+            F.explode(
+                F.zip_with(
+                    F.slice(arr, 1, F.size(arr) - 1),
+                    F.slice(arr, 2, F.size(arr) - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()  # bounded: the 1-row argmax training decision
+        )
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], top[0]["c"]
+        merges.append((step, a, b, int(c)))
+        # greedy left-to-right merge: fold the symbol list into a
+        # space-joined string, merging wherever last==lhs and next==rhs.
+        # Symbols are [a-z]+ so literal injection is quote/wildcard-safe.
+        d = d.select(
+            "n",
+            F.expr(
+                "aggregate("
+                "  slice(split(sym, ' '), 2, size(split(sym, ' ')) - 1),"
+                "  element_at(split(sym, ' '), 1),"
+                f"  (acc, x) -> CASE WHEN x = '{b}' AND"
+                f"    (acc = '{a}' OR acc LIKE '% {a}')"
+                f"    THEN concat(substring(acc, 1, length(acc) - {len(a)}),"
+                f"                '{a + b}')"
+                "    ELSE concat(acc, ' ', x) END"
+                ")"
+            ).alias("sym"),
+        ).localCheckpoint(eager=False)
+    return docs.sparkSession.createDataFrame(
+        merges, "step int, lhs string, rhs string, pair_count long"
+    )

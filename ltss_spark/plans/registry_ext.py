@@ -2502,3 +2502,78 @@ def ext_pagerank(spark, sf_dir):
     from ltss_spark.operators.graph import pagerank
 
     return pagerank(minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=5, num_hashes=12, bands=4))
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """Unrolled BPE training replay mirroring operators/text.
+    bpe_train_merges: per iteration, the weighted adjacent-pair argmax
+    (count desc, lexicographic tie-break) and the SAME greedy
+    left-to-right fold (DuckDB list_reduce == Spark aggregate HOF — both
+    fold the split symbol string with an accumulator whose last symbol
+    is tested against lhs). Symbols are [a-z]+ by construction so the
+    string surgery (LIKE '% ' || a, length arithmetic) is exact."""
+    its, sel, prev = [], [], "s0"
+    for k in range(1, n_merges + 1):
+        its.append(f"""
+    p{k} AS (
+      SELECT t[u.i] AS a, t[u.i+1] AS b, CAST(SUM(n) AS BIGINT) AS c
+      FROM (SELECT n, string_split(sym, ' ') AS t FROM {prev}) s,
+           UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      GROUP BY 1, 2 ORDER BY c DESC, a ASC, b ASC LIMIT 1
+    ),
+    s{k} AS (
+      SELECT n,
+             list_reduce(string_split(sym, ' '),
+               (acc, x) -> CASE WHEN x = p{k}.b AND
+                   (acc = p{k}.a OR acc LIKE '% ' || p{k}.a)
+                 THEN substring(acc, 1, length(acc) - length(p{k}.a))
+                      || p{k}.a || p{k}.b
+                 ELSE acc || ' ' || x END) AS sym
+      FROM {prev} CROSS JOIN p{k}
+    )""")
+        sel.append(
+            f"SELECT {k} AS step, a AS lhs, b AS rhs, c AS pair_count "
+            f"FROM p{k}"
+        )
+        prev = f"s{k}"
+    return f"""
+    WITH words AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest({_TOKS}) AS word FROM documents
+      ) WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word
+    ),
+    s0 AS (
+      SELECT CAST(cnt AS BIGINT) AS n,
+             array_to_string(list_transform(range(1, length(word) + 1),
+                                            i -> word[i]), ' ') AS sym
+      FROM words
+    ),{",".join(its)}
+    SELECT CAST(step AS INT) AS step, lhs, rhs, pair_count
+    FROM ({" UNION ALL ".join(sel)})
+    """
+
+
+@register(
+    "ext_bpe_train",
+    _bpe_oracle(8),
+    survey="ext_text_stats fn_string fn_array agg_basic (distributed BPE "
+    "merge training over the word-frequency dictionary — 8 iterations of "
+    "weighted pair-count argmax + greedy left-to-right merge fold, the "
+    "tokenizer-training step of an LLM pipeline. Per-merge cost is one "
+    "explode + one hash agg over the VOCABULARY, independent of corpus "
+    "size; the full merge table value-hashes against an unrolled DuckDB "
+    "replay of every iteration, the pagerank discipline applied to BPE)",
+)
+def ext_bpe_train(spark, sf_dir):
+    """Learn the first 8 BPE merges from the documents corpus
+    (operators/text.bpe_train_merges): one corpus scan builds the word
+    dictionary, then each iteration counts weighted adjacent symbol
+    pairs and applies the argmax merge through a single string fold
+    (Spark `aggregate` HOF == DuckDB `list_reduce` — greedy
+    left-to-right, the overlapping-pair semantics a one-pass regex gets
+    wrong). The oracle unrolls all 8 iterations as CTEs and the driver
+    value-hashes the learned (step, lhs, rhs, pair_count) merge table —
+    training-decision-level correctness, not just a row count."""
+    from ltss_spark.operators.text import bpe_train_merges
+
+    return bpe_train_merges(_t(spark, sf_dir, "documents"), n_merges=8)

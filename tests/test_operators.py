@@ -2120,3 +2120,24 @@ def test_semantic_kmeans_arrow_assignment_matches_fold(spark):
     rf = sorted(tuple(r) for r in fold.collect())
     ra = sorted(tuple(r) for r in arrow.collect())
     assert len(rf) == 500 and rf == ra
+
+
+def test_bpe_merge_fold_handles_overlapping_pairs(spark):
+    """The BPE merge fold must be greedy left-to-right: in 'a b a b' the
+    winning pair (a, b) merges BOTH occurrences ('ab ab'), the case a
+    single-pass padded-regex replace gets wrong ('ab a b'); and after a
+    merge the new symbol participates in later pairs (second-order
+    merges). Build a corpus whose counts force exactly those merges."""
+    from ltss_spark.operators.text import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        # 'abab' x4 forces (a,b) first; 'xab' x3 then forces (x, ab) —
+        # a second-order merge consuming the new symbol
+        [(i, "abab") for i in range(4)] + [(10 + i, "xab") for i in range(3)],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in bpe_train_merges(docs, n_merges=2).collect()]
+    # step 1: pair (a,b) appears 2x per 'abab' (greedy: both merge) and
+    # 1x per 'xab' => count 11; step 2: ('ab','ab') 4 vs ('x','ab') 3
+    assert got[0] == (1, "a", "b", 11)
+    assert got[1] == (2, "ab", "ab", 4)
