@@ -624,6 +624,21 @@ def bpe_train_merges(
     the cross-engine oracle replay exact. Returns the learned merge
     table (step, lhs, rhs, pair_count) — the artifact a tokenizer ships.
     """
+    merges, _ = _bpe_train_fold(docs, text_col, n_merges)
+    return docs.sparkSession.createDataFrame(
+        merges, "step int, lhs string, rhs string, pair_count long"
+    )
+
+
+def _bpe_train_fold(
+    docs: DataFrame, text_col: str, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared BPE fold: builds the [a-z]+ word-frequency dictionary, runs
+    ``n_merges`` argmax+merge iterations, and returns BOTH artifacts —
+    the merge list (what :func:`bpe_train_merges` ships) and the final
+    dictionary frame (word, n, sym) whose ``sym`` is each word's
+    space-joined subword segmentation (what :func:`bpe_encode_stats`
+    joins back to the corpus)."""
     words = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .filter(F.col("word").rlike("^[a-z]+$"))
@@ -631,6 +646,7 @@ def bpe_train_merges(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     d = words.select(
+        "word",
         "n",
         F.expr(
             "array_join(transform(sequence(1, length(word)), "
@@ -665,6 +681,7 @@ def bpe_train_merges(
         # space-joined string, merging wherever last==lhs and next==rhs.
         # Symbols are [a-z]+ so literal injection is quote/wildcard-safe.
         d = d.select(
+            "word",
             "n",
             F.expr(
                 "aggregate("
@@ -678,6 +695,43 @@ def bpe_train_merges(
                 ")"
             ).alias("sym"),
         ).localCheckpoint(eager=False)
-    return docs.sparkSession.createDataFrame(
-        merges, "step int, lhs string, rhs string, pair_count long"
+    return merges, d
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+) -> DataFrame:
+    """The ENCODE half of the BPE pair: train ``n_merges`` merges on the
+    corpus (shared fold with :func:`bpe_train_merges`), then tokenize
+    every document against the learned segmentation — per doc,
+    (n_tokens, n_subwords). This is the real token-budget measurement a
+    training-data pipeline runs (bpe_ish_token_count is the cheap
+    heuristic stand-in; this one uses an actual trained vocabulary).
+
+    Scale shape: the trained dictionary carries each word's final
+    segmentation, so encoding is ONE broadcast-or-shuffle equi-join of
+    token occurrences against the dictionary (|occurrences| linear, key
+    = word — Zipf-skewed, but the dictionary side is one row per word,
+    so AQE's skew split suffices; no per-document iteration anywhere).
+    Words outside the trained [a-z]+ alphabet count as one subword each
+    (the single-token fallback)."""
+    _, d = _bpe_train_fold(docs, text_col, n_merges)
+    seg = d.select(
+        "word", F.size(F.split(F.col("sym"), " ")).cast("long").alias("n_sub")
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        toks.join(seg, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("n_sub"), F.lit(1)))
+            .cast("long")
+            .alias("n_subwords"),
+        )
     )

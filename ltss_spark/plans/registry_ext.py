@@ -2512,6 +2512,19 @@ def _bpe_oracle(n_merges: int = 8) -> str:
     fold the split symbol string with an accumulator whose last symbol
     is tested against lhs). Symbols are [a-z]+ by construction so the
     string surgery (LIKE '% ' || a, length arithmetic) is exact."""
+    ctes, sel, last = _bpe_ctes(n_merges)
+    return f"""
+    WITH {ctes}
+    SELECT CAST(step AS INT) AS step, lhs, rhs, pair_count
+    FROM ({" UNION ALL ".join(sel)})
+    """
+
+
+def _bpe_ctes(n_merges: int) -> tuple[str, list[str], str]:
+    """The shared unrolled-training CTE chain: (full CTE text, per-step
+    merge selects, name of the final dictionary CTE). Used by both the
+    train oracle (selects the merges) and the encode oracle (joins the
+    final per-word segmentation back to the corpus)."""
     its, sel, prev = [], [], "s0"
     for k in range(1, n_merges + 1):
         its.append(f"""
@@ -2522,7 +2535,7 @@ def _bpe_oracle(n_merges: int = 8) -> str:
       GROUP BY 1, 2 ORDER BY c DESC, a ASC, b ASC LIMIT 1
     ),
     s{k} AS (
-      SELECT n,
+      SELECT word, n,
              list_reduce(string_split(sym, ' '),
                (acc, x) -> CASE WHEN x = p{k}.b AND
                    (acc = p{k}.a OR acc LIKE '% ' || p{k}.a)
@@ -2536,20 +2549,40 @@ def _bpe_oracle(n_merges: int = 8) -> str:
             f"FROM p{k}"
         )
         prev = f"s{k}"
-    return f"""
-    WITH words AS (
+    ctes = f"""words AS (
       SELECT word, COUNT(*) AS cnt FROM (
         SELECT unnest({_TOKS}) AS word FROM documents
       ) WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word
     ),
     s0 AS (
-      SELECT CAST(cnt AS BIGINT) AS n,
+      SELECT word, CAST(cnt AS BIGINT) AS n,
              array_to_string(list_transform(range(1, length(word) + 1),
                                             i -> word[i]), ' ') AS sym
       FROM words
-    ),{",".join(its)}
-    SELECT CAST(step AS INT) AS step, lhs, rhs, pair_count
-    FROM ({" UNION ALL ".join(sel)})
+    ),{",".join(its)}"""
+    return ctes, sel, prev
+
+
+def _bpe_encode_oracle(n_merges: int = 8) -> str:
+    """Encode replay: the same unrolled training CTEs, then every token
+    occurrence joins its word's final segmentation length (non-[a-z]+
+    words count as one subword — the single-token fallback) and
+    aggregates per document."""
+    ctes, _, last = _bpe_ctes(n_merges)
+    return f"""
+    WITH {ctes},
+    seg AS (
+      SELECT word, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sub
+      FROM {last}
+    ),
+    toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+    ),
+    tnz AS (SELECT doc_id, word FROM toks WHERE word <> '')
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(seg.n_sub, 1)) AS BIGINT) AS n_subwords
+    FROM tnz LEFT JOIN seg USING (word)
+    GROUP BY doc_id
     """
 
 
@@ -2577,3 +2610,26 @@ def ext_bpe_train(spark, sf_dir):
     from ltss_spark.operators.text import bpe_train_merges
 
     return bpe_train_merges(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
+@register(
+    "ext_bpe_encode",
+    _bpe_encode_oracle(8),
+    survey="ext_text_stats fn_string join_inner agg_basic (BPE ENCODE: "
+    "tokenize the corpus against the trained segmentation — per-doc "
+    "(n_tokens, n_subwords), the real token-budget measurement. Encoding "
+    "is one equi-join of token occurrences against the one-row-per-word "
+    "dictionary; value-hashed against the unrolled train+encode replay)",
+)
+def ext_bpe_encode(spark, sf_dir):
+    """Per-document subword counts under the corpus-trained 8-merge BPE
+    vocabulary (operators/text.bpe_encode_stats): the shared training
+    fold yields each word's final segmentation, and encoding is a single
+    equi-join of token occurrences against that dictionary — no
+    per-document iteration, |occurrences|-linear. Non-[a-z]+ tokens
+    count as one subword (the single-token fallback). The oracle replays
+    training AND encoding, so the hash pins the whole tokenizer
+    pipeline end-to-end."""
+    from ltss_spark.operators.text import bpe_encode_stats
+
+    return bpe_encode_stats(_t(spark, sf_dir, "documents"), n_merges=8)
