@@ -838,6 +838,51 @@ def main():
             results["r10_perp64"][str(factor)] = row
             print(json.dumps({factor: row}))
 
+    # round-10 probe: ext_bpe_train scaling. BPE's per-merge cost is
+    # one explode + one hash agg over the WORD DICTIONARY, so the axis
+    # that matters is vocabulary size, not corpus rows. Replicas are
+    # letter-tagged (token -> token + 'q' + <letter_i>: stays [a-z]+, so
+    # the training filter keeps them) — vocabulary grows ~linearly with
+    # the factor while the merge loop's iteration count stays fixed.
+    if want("bpe"):
+        from ltss_spark.operators.text import bpe_train_merges
+        from ltss_spark.sources.batch import load_table
+
+        results["r10_bpe"] = {}
+        docs1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        bpe_train_merges(docs1, n_merges=2).count()  # warm
+        for factor in (1, 4, 16):
+            n0 = docs1.agg(F.max("doc_id")).collect()[0][0] + 1
+            parts = [
+                docs1.select(
+                    (F.col("doc_id") + F.lit(i * n0)).alias("doc_id"),
+                    F.regexp_replace(
+                        "text", r"(\S+)", f"$1q{chr(ord('a') + i)}"
+                    ).alias("text"),
+                )
+                for i in range(factor)
+            ]
+            rep = parts[0]
+            for p in parts[1:]:
+                rep = rep.union(p)
+            path = os.path.join(base, f"bpe_docs_x{factor}")
+            rep.repartition(
+                spark.sparkContext.defaultParallelism
+            ).write.mode("overwrite").parquet(path)
+            docs = spark.read.parquet(path)
+            vocab = (
+                docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+                .filter(F.col("w").rlike("^[a-z]+$"))
+                .distinct()
+                .count()
+            )
+            row = {"n_docs": docs.count(), "vocab": vocab}
+            row["n_merges"], row["sec"] = timed(
+                lambda: bpe_train_merges(docs, n_merges=8).count()
+            )
+            results["r10_bpe"][str(factor)] = row
+            print(json.dumps({factor: row}))
+
     # partial runs merge into the existing probe file: one new operator
     # family should not require re-timing (or losing) the whole suite
     if "all" not in sections and os.path.exists(out_json):
