@@ -2141,3 +2141,101 @@ def test_bpe_merge_fold_handles_overlapping_pairs(spark):
     # 1x per 'xab' => count 11; step 2: ('ab','ab') 4 vs ('x','ab') 3
     assert got[0] == (1, "a", "b", 11)
     assert got[1] == (2, "ab", "ab", 4)
+
+
+def _py_bpe(word_counts: dict, n_merges: int):
+    """Pure-Python BPE reference: overlapping pair counts weighted by word
+    frequency, argmax (count desc, lexicographic), greedy left-to-right
+    merge — the exact semantics bpe_train_merges implements in one fold."""
+    import collections
+
+    syms = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc: collections.Counter = collections.Counter()
+        for w, n in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, c))
+        for w, s in syms.items():
+            out: list = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges, syms
+
+
+def _bpe_differential_case(spark, words: list, counts: list):
+    from ltss_spark.operators.text import bpe_encode_stats, bpe_train_merges
+
+    wc = dict(zip(words, counts))
+    text = " ".join(w for w, n in wc.items() for _ in range(n))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    want_merges, want_syms = _py_bpe(wc, 3)
+    got = [tuple(r) for r in bpe_train_merges(docs, n_merges=3).collect()]
+    assert got == want_merges, (wc, got, want_merges)
+    enc = bpe_encode_stats(docs, n_merges=3).collect()
+    assert len(enc) == 1
+    want_tokens = sum(wc.values())
+    want_sub = sum(len(want_syms[w]) * n for w, n in wc.items())
+    assert (enc[0]["n_tokens"], enc[0]["n_subwords"]) == (
+        want_tokens,
+        want_sub,
+    ), (wc, enc[0], want_tokens, want_sub)
+
+
+def test_bpe_differential_seeded(spark):
+    """Seeded randomized differential: bpe_train_merges + bpe_encode_stats
+    vs the pure-Python BPE model on tie-heavy two-letter corpora."""
+    import random
+
+    rng = random.Random(7)
+    alpha = "ab"
+    for _ in range(4):
+        n_words = rng.randint(1, 6)
+        words = list(
+            {
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 5)))
+                for _ in range(n_words)
+            }
+        )
+        counts = [rng.randint(1, 5) for _ in words]
+        _bpe_differential_case(spark, words, counts)
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        words=st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=5),
+            min_size=1,
+            max_size=6,
+            unique=True,
+        ),
+        data=st.data(),
+    )
+    def test_bpe_differential_hypothesis(spark, words, data):
+        """Property: on ANY two-letter corpus (maximal pair ties, overlap
+        chains like 'aaaa'), the distributed trainer and encoder match
+        the Python model exactly — merges, counts, and subword totals."""
+        counts = [
+            data.draw(st.integers(min_value=1, max_value=5)) for _ in words
+        ]
+        _bpe_differential_case(spark, words, counts)
+
+except ImportError:  # hypothesis not installed — seeded trials above still run
+    pass
