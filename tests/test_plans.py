@@ -685,3 +685,51 @@ def test_join_bloom_plan(spark):
     assert after == before, "scoped confs leaked into the session"
     # the frozen plan must survive an action run AFTER the scope closed
     assert df.count() > 0
+
+
+def test_tws_replay_paths_are_pure_codegen(spark):
+    """The State API v2 entries' capability-fallback replays (what runs in
+    a JVM without a worker-visible protobuf runtime, and what the oracle
+    encodes) must be pure DataFrame plans: no Python stage, no cartesian
+    — the fallback must not quietly cost more than the stream it stands
+    in for."""
+    import pyspark.sql.functions as F
+
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.streaming.stateful import (
+        bootstrap_totals_replay,
+        distinct_types_replay,
+        gap_close_replay,
+        recent_k_replay,
+        running_totals_replay,
+    )
+
+    e = _t(spark, SF_SMOKE, "events").select("event_id", "user_id", "ts", "value")
+    et = _t(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    us = F.unix_micros(F.col("ts"))
+    b = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).collect()[0]
+    span = (b["hi"] - b["lo"]) // 3
+    frames = {
+        "running_totals": running_totals_replay(e),
+        "distinct_types": distinct_types_replay(et),
+        "recent_k": recent_k_replay(e, k=5),
+        "bootstrap": bootstrap_totals_replay(e, b["lo"] + span),
+        "gap_close": gap_close_replay(
+            e, b["lo"] + span, b["lo"] + 2 * span, 21_600_000
+        ),
+    }
+    for name, df in frames.items():
+        s = df._jdf.queryExecution().executedPlan().toString()
+        for marker in (
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "PythonUDF",
+            "InPandas",
+            "CartesianProduct",
+        ):
+            # gap_close's 1-row watermark-max broadcast is a BroadcastNestedLoop
+            # over a single row, not a cartesian blowup — only the markers
+            # above are categorically banned
+            assert marker not in s, f"{name} replay plan contains {marker}"
