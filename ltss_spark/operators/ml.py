@@ -1,0 +1,112 @@
+"""Distributed supervised training — batch gradient descent as DataFrame
+aggregations (SURVEY.md §2 ext family: the "train a model ON the corpus"
+capability that completes the k-means / BPE trio with a classifier).
+
+The reference delegates all analytics to PostgreSQL and trains nothing;
+an LLM-data pipeline at 100 TB trains quality classifiers over document
+features constantly (fastText-style filters: label a slice, fit a linear
+model, score the corpus). The Spark-first shape is exactly the pagerank /
+exact-Lloyd discipline applied to gradient descent:
+
+- one narrow pass computes per-row gradient contributions (pure IEEE
+  column expressions — bit-identical in any engine);
+- contributions quantize to integer micro-units with the tie-free
+  ``floor(x*1e6 + 0.5)`` rule and SUM EXACTLY (order-free — the only
+  aggregation in the loop, one map-side-combined shuffle per iteration);
+- the weight update is one double division per coefficient.
+
+The link function is the FAST SIGMOID ``p = 0.5 + z / (2*(1+|z|))``
+(Georgiou's rational squashing, the classic cheap logistic substitute) —
+chosen here not only for speed but because it is RATIONAL: unlike
+``1/(1+exp(-z))`` there is no transcendental whose last-ulp libm-vs-JVM
+divergence could leak into the weights, so the ENTIRE training loop is
+bit-exact across engines and a SQL oracle can replay every iteration
+(plans/registry_ext.py ext_lr_train).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _fast_sigmoid(z: Column) -> Column:
+    """p = 0.5 + z / (2*(1+|z|)) — monotone, (0,1)-bounded, p(0)=0.5,
+    and pure IEEE arithmetic (no exp): bit-identical in Spark and DuckDB
+    when written with this exact operation order."""
+    return F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+
+
+def logreg_train(
+    docs: DataFrame,
+    n_iters: int = 3,
+    lr: float = 4.0,
+    text_col: str = "text",
+    label_col: str = "lang",
+    pos_label: str = "en",
+) -> DataFrame:
+    """Train a 3-coefficient linear classifier (bias, chars/1000,
+    tokens/100 -> is the document ``pos_label``?) by full-batch gradient
+    descent and return the per-iteration trace
+    (step, w0, w1, w2, train_acc).
+
+    Per iteration: z = (w0*x0 + w1*x1) + w2*x2 per row (fixed
+    association order — the cross-engine exactness contract), p =
+    fast_sigmoid(z), per-coefficient gradient g_j = Σ floor((y-p)*x_j*1e6
+    + 0.5) summed as exact LONGs, then w_j += lr * g_j / (N*1e6) — ONE
+    shuffle (the 1-row aggregate) per iteration, weights fetched to the
+    driver as three bounded scalars (the BPE-argmax adaptive-fetch
+    exception) and re-broadcast as literals. Training accuracy is
+    evaluated with the UPDATED weights ((p >= 0.5) == y, exact
+    comparisons, one exact division).
+
+    At 100 TB: the feature pass is map-only; the gradient aggregate is
+    map-side combined (32 partial rows per executor, 3 longs each); the
+    loop is n_iters sequential 1-row shuffles — the same cost model as
+    distributed LBFGS/SGD drivers, with none of the nondeterminism.
+    """
+    from ltss_spark.operators.text import tokens
+
+    feats = docs.select(
+        F.when(F.col(label_col) == pos_label, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.length(F.col(text_col)) / F.lit(1000.0)).alias("x1"),
+        (F.size(tokens(F.col(text_col))) / F.lit(100.0)).alias("x2"),
+    ).localCheckpoint(eager=False)
+    w = [0.0, 0.0, 0.0]
+    trace: list[tuple] = []
+    for step in range(1, n_iters + 1):
+        z = (
+            F.lit(w[0]) * F.col("x0") + F.lit(w[1]) * F.col("x1")
+        ) + F.lit(w[2]) * F.col("x2")
+        p = _fast_sigmoid(z)
+        q = [
+            F.floor((F.col("y") - p) * F.col(f"x{j}") * F.lit(1e6) + F.lit(0.5))
+            for j in range(3)
+        ]
+        row = feats.agg(
+            *[F.sum(q[j]).alias(f"g{j}") for j in range(3)],
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]  # bounded: 3 gradient scalars + N per iteration
+        n = row["n"]
+        w = [
+            w[j] + lr * float(row[f"g{j}"]) / (n * 1e6) for j in range(3)
+        ]
+        z2 = (
+            F.lit(w[0]) * F.col("x0") + F.lit(w[1]) * F.col("x1")
+        ) + F.lit(w[2]) * F.col("x2")
+        p2 = _fast_sigmoid(z2)
+        acc_row = feats.agg(
+            F.sum(
+                F.when(
+                    (p2 >= F.lit(0.5)).cast("int") == F.col("y").cast("int"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("c")
+        ).collect()[0]
+        trace.append((step, w[0], w[1], w[2], float(acc_row["c"]) / n))
+    return docs.sparkSession.createDataFrame(
+        trace, "step int, w0 double, w1 double, w2 double, train_acc double"
+    )

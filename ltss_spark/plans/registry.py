@@ -101,6 +101,7 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_state_bootstrap",
     "ext_bpe_train",
     "ext_bpe_encode",
+    "ext_lr_train",
     # --- materially changed in round 10 (must re-verify): the tie-free
     # floor-quantized Lloyd oracle (ADVICE r9) and the three skew-guarded
     # token joins whose pre-flight cache key changed (ADVICE r9) ---
@@ -149,7 +150,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_dedup_embed_capped",
     "ext_dedup_spans",
     "ext_knn_join",
-    "ext_knn_join_ivf",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -167,6 +167,7 @@ _CHANGED_ENTRIES: set[str] = {
 # priority block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
     # --- latest driver row: round 6 ---
+    "ext_knn_join_ivf",
     "ext_mixture_sample",
     "ext_repetition",
     "ext_sample_group",

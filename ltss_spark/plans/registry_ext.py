@@ -2633,3 +2633,91 @@ def ext_bpe_encode(spark, sf_dir):
     from ltss_spark.operators.text import bpe_encode_stats
 
     return bpe_encode_stats(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
+def _lr_oracle(n_iters: int = 3, lr: float = 4.0) -> str:
+    """Unrolled gradient-descent replay mirroring operators/ml.
+    logreg_train: every per-row expression is written with the SAME
+    association order as the Spark side (z = (w0*x0 + w1*x1) + w2*x2,
+    fast-sigmoid p = 0.5 + z/(2*(1+|z|)) — rational, no transcendental),
+    gradients quantize with the tie-free floor(v*1e6 + 0.5) rule and sum
+    as exact integers, and each weight update is one double division —
+    so the whole trace is bit-identical across engines."""
+    its, sel, prev = [], [], "w0t"
+    for k in range(1, n_iters + 1):
+        its.append(f"""
+    g{k} AS (
+      SELECT
+        CAST(SUM(CAST(FLOOR((y - p) * x0 * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) AS g0,
+        CAST(SUM(CAST(FLOOR((y - p) * x1 * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) AS g1,
+        CAST(SUM(CAST(FLOOR((y - p) * x2 * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) AS g2,
+        COUNT(*) AS n
+      FROM (
+        SELECT y, x0, x1, x2,
+               0.5 + z / (2.0 * (1.0 + abs(z))) AS p
+        FROM (
+          SELECT f.*, (w.w0 * f.x0 + w.w1 * f.x1) + w.w2 * f.x2 AS z
+          FROM feat f CROSS JOIN {prev} w
+        )
+      )
+    ),
+    w{k} AS (
+      SELECT w.w0 + {lr} * g.g0 / (g.n * 1000000.0) AS w0,
+             w.w1 + {lr} * g.g1 / (g.n * 1000000.0) AS w1,
+             w.w2 + {lr} * g.g2 / (g.n * 1000000.0) AS w2
+      FROM {prev} w CROSS JOIN g{k} g
+    ),
+    a{k} AS (
+      SELECT CAST(SUM(CASE WHEN
+               CAST((0.5 + z2 / (2.0 * (1.0 + abs(z2)))) >= 0.5 AS INT)
+                 = CAST(y AS INT)
+               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS acc
+      FROM (
+        SELECT f.y, (w.w0 * f.x0 + w.w1 * f.x1) + w.w2 * f.x2 AS z2
+        FROM feat f CROSS JOIN w{k} w
+      )
+    )""")
+        sel.append(
+            f"SELECT {k} AS step, w0, w1, w2, "
+            f"(SELECT acc FROM a{k}) AS train_acc FROM w{k}"
+        )
+        prev = f"w{k}"
+    return f"""
+    WITH feat AS (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             1.0 AS x0,
+             length(text) / 1000.0 AS x1,
+             len({_TOKS}) / 100.0 AS x2
+      FROM documents
+    ),
+    w0t AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),{",".join(its)}
+    SELECT CAST(step AS INT) AS step, w0, w1, w2, train_acc
+    FROM ({" UNION ALL ".join(sel)})
+    """
+
+
+@register(
+    "ext_lr_train",
+    _lr_oracle(3, 4.0),
+    survey="ext_text_stats agg_basic fn_math udaf (distributed classifier "
+    "TRAINING: full-batch gradient descent over document features — one "
+    "map-side-combined gradient aggregate per iteration, weights as three "
+    "bounded driver scalars. The fast-sigmoid link is RATIONAL, so the "
+    "whole trace — weights AND accuracy per iteration — is bit-exact "
+    "across engines and value-hashed against the unrolled replay; the "
+    "pagerank/Lloyd/BPE discipline applied to supervised training)",
+)
+def ext_lr_train(spark, sf_dir):
+    """Train a linear quality-style classifier (is the doc English, from
+    bias/chars/tokens features) by 3 full-batch gradient-descent steps
+    (operators/ml.logreg_train) and return the per-iteration trace
+    (step, w0, w1, w2, train_acc). Every per-row expression is pure IEEE
+    arithmetic in a pinned association order, gradient sums are exact
+    micro-unit LONGs, and the link is the rational fast sigmoid — no
+    transcendental anywhere, so the oracle's unrolled CTE replay hash-
+    matches the weights bit-for-bit. Completes the on-corpus training
+    trio: k-means (unsupervised), BPE (tokenizer), classifier
+    (supervised)."""
+    from ltss_spark.operators.ml import logreg_train
+
+    return logreg_train(_t(spark, sf_dir, "documents"), n_iters=3, lr=4.0)
