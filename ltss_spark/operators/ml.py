@@ -65,16 +65,46 @@ def logreg_train(
     loop is n_iters sequential 1-row shuffles — the same cost model as
     distributed LBFGS/SGD drivers, with none of the nondeterminism.
     """
+    trace, _, _ = _fit(docs, n_iters, lr, text_col, label_col, pos_label)
+    return docs.sparkSession.createDataFrame(
+        trace, "step int, w0 double, w1 double, w2 double, train_acc double"
+    )
+
+
+def _features(
+    docs: DataFrame,
+    text_col: str,
+    label_col: str,
+    pos_label: str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """The shared feature pass: y (is pos_label), bias, chars/1000,
+    tokens/100 — pure column expressions, identical in the oracle."""
     from ltss_spark.operators.text import tokens
 
-    feats = docs.select(
+    cols = [F.col(id_col)] if id_col else []
+    return docs.select(
+        *cols,
         F.when(F.col(label_col) == pos_label, F.lit(1.0))
         .otherwise(F.lit(0.0))
         .alias("y"),
         F.lit(1.0).alias("x0"),
         (F.length(F.col(text_col)) / F.lit(1000.0)).alias("x1"),
         (F.size(tokens(F.col(text_col))) / F.lit(100.0)).alias("x2"),
-    ).localCheckpoint(eager=False)
+    )
+
+
+def _fit(
+    docs: DataFrame,
+    n_iters: int,
+    lr: float,
+    text_col: str,
+    label_col: str,
+    pos_label: str,
+) -> tuple[list[tuple], list[float], DataFrame]:
+    feats = _features(docs, text_col, label_col, pos_label).localCheckpoint(
+        eager=False
+    )
     w = [0.0, 0.0, 0.0]
     trace: list[tuple] = []
     for step in range(1, n_iters + 1):
@@ -107,6 +137,33 @@ def logreg_train(
             ).alias("c")
         ).collect()[0]
         trace.append((step, w[0], w[1], w[2], float(acc_row["c"]) / n))
-    return docs.sparkSession.createDataFrame(
-        trace, "step int, w0 double, w1 double, w2 double, train_acc double"
+    return trace, w, feats
+
+
+def logreg_score(
+    docs: DataFrame,
+    n_iters: int = 3,
+    lr: float = 4.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    pos_label: str = "en",
+) -> DataFrame:
+    """The APPLY half of :func:`logreg_train`: fit the same classifier,
+    then score EVERY document with the final weights — (doc_id, score,
+    keep), the fastText-style quality-filter pass a pipeline runs over
+    the whole corpus. Scoring is one map-only expression pass (z in the
+    pinned association order, rational fast-sigmoid); ``score`` is the
+    raw exact double (no rounding needed — every input op is IEEE-
+    deterministic), ``keep`` = score >= 0.5."""
+    _, w, _ = _fit(docs, n_iters, lr, text_col, label_col, pos_label)
+    f = _features(docs, text_col, label_col, pos_label, id_col=id_col)
+    z = (
+        F.lit(w[0]) * F.col("x0") + F.lit(w[1]) * F.col("x1")
+    ) + F.lit(w[2]) * F.col("x2")
+    p = _fast_sigmoid(z)
+    return f.select(
+        F.col(id_col),
+        p.alias("score"),
+        (p >= F.lit(0.5)).alias("keep"),
     )

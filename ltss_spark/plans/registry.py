@@ -82,8 +82,9 @@ def register(name: str, oracle: str | None, survey: str = ""):
 # The per-round driver check covers roughly the first 50 `queries()` entries
 # in dict order. The union of CORRECTNESS_r01-r09 gives all 223 pre-r10
 # entries at least one driver row, all green on their latest check. Round 10
-# heads the window with the one never-verified entry (stream_tws_totals, the
-# State API v2 value-state half — VERDICT r9 item 2), then the entries whose
+# heads the window with the eight never-verified round-10 entries (the State
+# API v2 quartet — VERDICT r9 item 2 plus the map/list/initialState halves —
+# and the BPE / classifier train+apply pairs), then the entries whose
 # implementation or oracle materially changed this round (the tie-free
 # floor-quantized Lloyd means and the skew-guard cache-key fix, both ADVICE
 # r9), then drains the ENTIRE r4 staleness cohort (VERDICT r9 item 1: all 33
@@ -102,6 +103,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_bpe_train",
     "ext_bpe_encode",
     "ext_lr_train",
+    "ext_lr_score",
     # --- materially changed in round 10 (must re-verify): the tie-free
     # floor-quantized Lloyd oracle (ADVICE r9) and the three skew-guarded
     # token joins whose pre-flight cache key changed (ADVICE r9) ---
@@ -149,7 +151,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_dedup_cdf",
     "ext_dedup_embed_capped",
     "ext_dedup_spans",
-    "ext_knn_join",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -167,6 +168,7 @@ _CHANGED_ENTRIES: set[str] = {
 # priority block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
     # --- latest driver row: round 6 ---
+    "ext_knn_join",
     "ext_knn_join_ivf",
     "ext_mixture_sample",
     "ext_repetition",

@@ -2721,3 +2721,50 @@ def ext_lr_train(spark, sf_dir):
     from ltss_spark.operators.ml import logreg_train
 
     return logreg_train(_t(spark, sf_dir, "documents"), n_iters=3, lr=4.0)
+
+
+def _lr_score_oracle(n_iters: int = 3, lr: float = 4.0) -> str:
+    """Score replay: reuse the unrolled training CTEs' final weights and
+    apply them to every document — the scored double is exact (pure IEEE
+    in pinned order), so it hashes raw, no rounding."""
+    train = _lr_oracle(n_iters, lr)
+    # keep everything up to (and excluding) the final SELECT; re-target it
+    body = train[: train.rindex("SELECT CAST(step AS INT)")].rstrip()
+    return f"""{body},
+    feat_id AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             1.0 AS x0,
+             length(text) / 1000.0 AS x1,
+             len({_TOKS}) / 100.0 AS x2
+      FROM documents
+    )
+    SELECT f.doc_id,
+           0.5 + z / (2.0 * (1.0 + abs(z))) AS score,
+           (0.5 + z / (2.0 * (1.0 + abs(z)))) >= 0.5 AS keep
+    FROM (
+      SELECT f.doc_id, (w.w0 * f.x0 + w.w1 * f.x1) + w.w2 * f.x2 AS z
+      FROM feat_id f CROSS JOIN w{n_iters} w
+    ) f
+    """
+
+
+@register(
+    "ext_lr_score",
+    _lr_score_oracle(3, 4.0),
+    survey="ext_text_stats fn_math project (classifier APPLY: score every "
+    "document with the trained weights — one map-only expression pass, "
+    "raw exact-double scores hash-matched against the unrolled "
+    "train+score replay; the fastText-style corpus quality filter)",
+)
+def ext_lr_score(spark, sf_dir):
+    """Corpus-wide quality-filter scoring under the trained classifier
+    (operators/ml.logreg_score): fit the 3-step gradient-descent model,
+    then one map-only pass emits (doc_id, score, keep) for every
+    document. The score is the raw double — every operation from feature
+    to fast-sigmoid is IEEE-deterministic in a pinned association order,
+    so the oracle's unrolled train+score replay hashes it bit-for-bit
+    with no rounding anywhere."""
+    from ltss_spark.operators.ml import logreg_score
+
+    return logreg_score(_t(spark, sf_dir, "documents"), n_iters=3, lr=4.0)
