@@ -167,3 +167,46 @@ def logreg_score(
         p.alias("score"),
         (p >= F.lit(0.5)).alias("keep"),
     )
+
+
+def logreg_calibration(
+    docs: DataFrame,
+    n_iters: int = 3,
+    lr: float = 4.0,
+    n_bins: int = 10,
+    text_col: str = "text",
+    label_col: str = "lang",
+    pos_label: str = "en",
+) -> DataFrame:
+    """Reliability diagram for the trained classifier — the third piece
+    of the train/score/calibrate story a production quality filter
+    needs before anyone trusts its threshold: scores bin into
+    ``n_bins`` equal-width buckets and each bucket reports its size,
+    mean predicted score, and empirical positive rate.
+
+    One aggregation over the scored corpus. Determinism: the bin index
+    is floor(score * n_bins) capped at n_bins-1 (score is an exact
+    IEEE double, multiply+floor exact in both engines); the mean score
+    quantizes each score to tie-free integer micro-units and divides
+    the exact sum ONCE; the positive rate is an exact integer ratio."""
+    _, w, _ = _fit(docs, n_iters, lr, text_col, label_col, pos_label)
+    f = _features(docs, text_col, label_col, pos_label)
+    z = (
+        F.lit(w[0]) * F.col("x0") + F.lit(w[1]) * F.col("x1")
+    ) + F.lit(w[2]) * F.col("x2")
+    p = _fast_sigmoid(z)
+    binc = F.least(
+        F.floor(p * F.lit(float(n_bins))), F.lit(n_bins - 1).cast("bigint")
+    ).cast("int")
+    q = F.floor(p * F.lit(1e6) + F.lit(0.5))  # tie-free micro-units
+    return (
+        f.select(binc.alias("bin"), q.alias("q"), F.col("y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum("q").cast("double") / (F.count(F.lit(1)) * F.lit(1e6))).alias(
+                "mean_score"
+            ),
+            (F.sum("y").cast("double") / F.count(F.lit(1))).alias("pos_rate"),
+        )
+    )

@@ -104,6 +104,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_bpe_encode",
     "ext_lr_train",
     "ext_lr_score",
+    "ext_lr_calibration",
     # --- materially changed in round 10 (must re-verify): the tie-free
     # floor-quantized Lloyd oracle (ADVICE r9) and the three skew-guarded
     # token joins whose pre-flight cache key changed (ADVICE r9) ---
@@ -150,7 +151,6 @@ _DRIVER_PRIORITY: list[str] = [
     "diag_skew",
     "ext_dedup_cdf",
     "ext_dedup_embed_capped",
-    "ext_dedup_spans",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -168,6 +168,7 @@ _CHANGED_ENTRIES: set[str] = {
 # priority block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
     # --- latest driver row: round 6 ---
+    "ext_dedup_spans",
     "ext_knn_join",
     "ext_knn_join_ivf",
     "ext_mixture_sample",

@@ -2768,3 +2768,47 @@ def ext_lr_score(spark, sf_dir):
     from ltss_spark.operators.ml import logreg_score
 
     return logreg_score(_t(spark, sf_dir, "documents"), n_iters=3, lr=4.0)
+
+
+def _lr_calibration_oracle(n_iters: int = 3, lr: float = 4.0) -> str:
+    """Calibration replay: unrolled training CTEs, score every doc with
+    the final weights, bin by floor(score*10) capped at 9, aggregate
+    exact micro-unit mean score and exact-integer positive rate."""
+    train = _lr_oracle(n_iters, lr)
+    body = train[: train.rindex("SELECT CAST(step AS INT)")].rstrip()
+    return f"""{body}
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(p * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 1000000.0) AS mean_score,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS pos_rate
+    FROM (
+      SELECT y, LEAST(CAST(FLOOR(p * 10.0) AS INT), 9) AS bin, p FROM (
+        SELECT y, 0.5 + z / (2.0 * (1.0 + abs(z))) AS p FROM (
+          SELECT f.y, (w.w0 * f.x0 + w.w1 * f.x1) + w.w2 * f.x2 AS z
+          FROM feat f CROSS JOIN w{n_iters} w
+        )
+      )
+    ) GROUP BY bin
+    """
+
+
+@register(
+    "ext_lr_calibration",
+    _lr_calibration_oracle(3, 4.0),
+    survey="ext_text_stats agg_basic fn_math (classifier CALIBRATION: "
+    "reliability bins over the trained scores — per-bin size, micro-unit "
+    "exact mean score, exact-integer positive rate; the check a quality "
+    "filter needs before anyone trusts its threshold. One aggregation "
+    "over the scored corpus, value-hashed against the unrolled replay)",
+)
+def ext_lr_calibration(spark, sf_dir):
+    """Reliability diagram for the trained quality classifier
+    (operators/ml.logreg_calibration): equal-width score bins with each
+    bin's size, mean predicted score (tie-free micro-unit quantization,
+    one exact sum, one division), and empirical positive rate (exact
+    integer ratio — sums of 0.0/1.0 doubles are exact at any order).
+    Completes train (ext_lr_train) -> score (ext_lr_score) ->
+    calibrate."""
+    from ltss_spark.operators.ml import logreg_calibration
+
+    return logreg_calibration(_t(spark, sf_dir, "documents"), n_iters=3, lr=4.0)
