@@ -2782,7 +2782,11 @@ def _lr_calibration_oracle(n_iters: int = 3, lr: float = 4.0) -> str:
              / (COUNT(*) * 1000000.0) AS mean_score,
            CAST(SUM(y) AS DOUBLE) / COUNT(*) AS pos_rate
     FROM (
-      SELECT y, LEAST(CAST(FLOOR(p * 10.0) AS INT), 9) AS bin, p FROM (
+      SELECT y,
+             -- outer CAST: DuckDB's LEAST promotes to BIGINT (dtype-parity
+             -- rule — Spark side is int32)
+             CAST(LEAST(CAST(FLOOR(p * 10.0) AS INT), 9) AS INT) AS bin,
+             p FROM (
         SELECT y, 0.5 + z / (2.0 * (1.0 + abs(z))) AS p FROM (
           SELECT f.y, (w.w0 * f.x0 + w.w1 * f.x1) + w.w2 * f.x2 AS z
           FROM feat f CROSS JOIN w{n_iters} w
