@@ -2239,3 +2239,29 @@ try:
 
 except ImportError:  # hypothesis not installed — seeded trials above still run
     pass
+
+
+def test_lr_train_reaches_majority_baseline(spark):
+    """The gradient-descent classifier must be at least as accurate as
+    the majority-class predictor after training (on the synthetic
+    fixture the features don't separate languages, so the achievable
+    optimum IS the majority rate — reaching it proves the descent
+    converges instead of oscillating below the trivial baseline), and
+    the trace must carry one row per iteration with finite weights."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from ltss_spark.operators.ml import logreg_train
+    from ltss_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    trace = logreg_train(docs, n_iters=3, lr=4.0).orderBy("step").collect()
+    assert [r["step"] for r in trace] == [1, 2, 3]
+    assert all(
+        math.isfinite(r[c]) for r in trace for c in ("w0", "w1", "w2")
+    )
+    tot = docs.count()
+    en = docs.filter(F.col("lang") == "en").count()
+    majority = max(en, tot - en) / tot
+    assert trace[-1]["train_acc"] >= majority - 1e-12
