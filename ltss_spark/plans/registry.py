@@ -82,9 +82,10 @@ def register(name: str, oracle: str | None, survey: str = ""):
 # The per-round driver check covers roughly the first 50 `queries()` entries
 # in dict order. The union of CORRECTNESS_r01-r09 gives all 223 pre-r10
 # entries at least one driver row, all green on their latest check. Round 10
-# heads the window with the eight never-verified round-10 entries (the State
+# heads the window with the nine never-verified round-10 entries (the State
 # API v2 quartet — VERDICT r9 item 2 plus the map/list/initialState halves —
-# and the BPE / classifier train+apply pairs), then the entries whose
+# the BPE train+encode pair, and the classifier train/score/calibrate
+# trio), then the entries whose
 # implementation or oracle materially changed this round (the tie-free
 # floor-quantized Lloyd means and the skew-guard cache-key fix, both ADVICE
 # r9), then drains the ENTIRE r4 staleness cohort (VERDICT r9 item 1: all 33
