@@ -27,7 +27,7 @@ bit-exact across engines and a SQL oracle can replay every iteration
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def _fast_sigmoid(z: Column) -> Column:
@@ -166,6 +166,206 @@ def logreg_score(
         F.col(id_col),
         p.alias("score"),
         (p >= F.lit(0.5)).alias("keep"),
+    )
+
+
+def nb_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Train a multinomial Naive Bayes token model over the corpus —
+    the COUNTING complement to :func:`logreg_train`'s gradient descent
+    (fastText-style language/quality classifiers are usually NB or
+    linear; a pipeline wants both). Returns the full model table
+    ``(label, token, c, llq)`` where ``llq`` is the add-one-smoothed
+    token log-likelihood ln((c+1)/(t_label+V)) quantized to tie-free
+    integer micro-units (``floor(x*1e6 + 0.5)`` — the Lloyd/pagerank
+    discipline), so every downstream score is an EXACT BIGINT sum.
+
+    Composition: one token explode -> one (label, token) hash aggregate
+    (the only O(|tokens|) shuffle) -> per-label totals and the vocab
+    size derive from the count table itself (checkpointed once) and
+    join back as broadcasts. At 100 TB the model table is O(V x C) —
+    bounded by vocabulary x label count, not corpus size.
+    """
+    from ltss_spark.operators.text import tokens
+
+    toks = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token") != "")
+    ct = (
+        toks.groupBy("label", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # feeds totals, vocab, AND the output
+    )
+    totals = ct.groupBy("label").agg(F.sum("c").alias("t"))
+    vocab = ct.select("token").distinct().agg(F.count(F.lit(1)).alias("v"))
+    llq = F.floor(
+        F.log(
+            (F.col("c") + F.lit(1)).cast("double") / (F.col("t") + F.col("v"))
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        ct.join(F.broadcast(totals), "label")
+        .crossJoin(F.broadcast(vocab))
+        .select("label", "token", "c", llq.alias("llq"))
+    )
+
+
+def _nb_scored(
+    docs: DataFrame,
+    text_col: str,
+    label_col: str,
+    id_col: str,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Shared NB scoring pass: ``(doc_id, true_label, pred, score_micro)``.
+
+    Every document scores against EVERY class: score(d, k) = prior_q(k)
+    + Σ_matched llq(k, token) + (n_tokens − n_matched) · unseen_llq(k),
+    where ``unseen_llq(k)`` = ln(1/(t_k+V)) is the add-one mass for a
+    token class k never saw. The unseen term is ARITHMETIC, not a left
+    join: one inner token→model match (fan-out ≤ C rows per occurrence)
+    plus a per-(doc, class) count is exactly equivalent to left-joining
+    every (occurrence × class) pair — and |matched| rows instead of
+    |occurrences| × C flow through the shuffle. Every leaf quantizes to
+    tie-free integer micro-units (``floor(x*1e6 + 0.5)``), so scores are
+    exact BIGINT sums, order-free across engines. ``pred`` is the argmax
+    class with ascending-label tie-break (one row_number window per
+    doc).
+
+    Scale shape: model and per-class constants are O(V x C)-bounded
+    broadcasts; scoring is one map-side match, one (doc, class) hash
+    aggregate, one per-doc window. ``broadcast_model=False`` routes the
+    Zipf-keyed token match through
+    :func:`~ltss_spark.operators.skew.hot_key_guarded_join` instead —
+    the 100 TB posture when V x C outgrows the broadcast threshold
+    (value-identical; a pytest pins both paths equal).
+    """
+    from ltss_spark.operators.text import tokens
+
+    model = nb_train(docs, text_col, label_col).localCheckpoint(eager=False)
+    totals = model.groupBy("label").agg(F.sum("c").alias("t"))
+    vocab = model.select("token").distinct().agg(F.count(F.lit(1)).alias("v"))
+    nd = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # one row per class: prior log + unseen-token log mass, micro-units
+    classes = (
+        nd.join(totals, "label")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "label",
+            F.floor(
+                F.log(F.col("n_label").cast("double") / F.col("n_docs"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("prior_q"),
+            F.floor(
+                F.log(F.lit(1.0) / (F.col("t") + F.col("v")))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("unseen_llq"),
+        )
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.col(label_col).alias("true_label"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token") != "").localCheckpoint(eager=False)
+    n_toks = toks.groupBy(id_col, "true_label").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    if broadcast_model:
+        matched = toks.join(F.broadcast(model), "token")
+    else:
+        from ltss_spark.operators.skew import hot_key_guarded_join
+
+        token_counts = model.groupBy("token").agg(F.sum("c").alias("c"))
+        matched = hot_key_guarded_join(
+            toks,
+            model,
+            ["token"],
+            salt_src=F.col(id_col),
+            count_col="c",
+            stats_of=token_counts,
+            cache_key_frame=docs,
+            cache_tag=f"nb.model:{text_col}:{label_col}:{id_col}",
+        )
+    ms = matched.groupBy(id_col, "label").agg(
+        F.sum("llq").alias("ms"), F.count(F.lit(1)).alias("mc")
+    )
+    per_class = (
+        n_toks.crossJoin(F.broadcast(classes))
+        .join(ms, [id_col, "label"], "left")
+        .select(
+            F.col(id_col),
+            "true_label",
+            "label",
+            (
+                F.col("prior_q")
+                + F.coalesce(F.col("ms"), F.lit(0))
+                + (F.col("n_tokens") - F.coalesce(F.col("mc"), F.lit(0)))
+                * F.col("unseen_llq")
+            ).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("label").asc()
+    )
+    return (
+        per_class.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            "true_label",
+            F.col("label").alias("pred"),
+            "score_micro",
+        )
+    )
+
+
+def nb_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """The APPLY half of :func:`nb_train`: classify every document —
+    ``(doc_id, pred, score_micro)`` where ``score_micro`` is the winning
+    class's exact integer log-score (micro-units). See
+    :func:`_nb_scored` for the determinism and scale contract."""
+    return _nb_scored(docs, text_col, label_col, id_col, broadcast_model).select(
+        id_col, "pred", "score_micro"
+    )
+
+
+def nb_confusion(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-set confusion matrix for the NB classifier —
+    ``(true_label, pred, n)``: the evaluation a pipeline runs before
+    trusting a language/quality filter. The true label rides through
+    the scoring pass (no extra join back to the corpus); the matrix is
+    one C x C-bounded hash aggregate over the per-doc argmax."""
+    return (
+        _nb_scored(docs, text_col, label_col, id_col)
+        .groupBy("true_label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 

@@ -167,6 +167,7 @@ def hot_key_guarded_join(
     decision: dict | None = None,
     cache_key_frame: DataFrame | None = None,
     cache_tag: str = "",
+    stats_of: DataFrame | None = None,
 ) -> DataFrame:
     """Equi-join with an AUTOMATIC skew pre-flight — the wiring VERDICT r8
     item 5 asks for on the Zipf-keyed token joins: the docstrings said
@@ -215,7 +216,15 @@ def hot_key_guarded_join(
     either way — salting is value-preserving — but the path choice and
     the reported ``decision`` numbers would be wrong). Entries from
     finished applications are evicted on each call, bounding the cache
-    to the live application."""
+    to the live application.
+
+    ``stats_of``: when ``counts`` is NOT itself the per-key aggregate —
+    e.g. a model table with one row per (key, class), whose ``count_col``
+    is a per-(key, class) count — pass the true per-key aggregate here
+    and the pre-flight measures it instead (the join still uses
+    ``counts``). Callers owning such a frame already computed it; without
+    this the stats would understate the big side's per-key fan-out by up
+    to the class multiplicity."""
     key_frame = cache_key_frame if cache_key_frame is not None else counts
     app_id = counts.sparkSession.sparkContext.applicationId
     # evict stats from FINISHED applications (ADVICE r9): the cache is
@@ -234,7 +243,8 @@ def hot_key_guarded_join(
     stats = _PREFLIGHT_CACHE.get(cache_key)
     if stats is None:
         counts = counts.localCheckpoint(eager=False)
-        row = counts.agg(
+        stats_frame = stats_of if stats_of is not None else counts
+        row = stats_frame.agg(
             F.max(F.col(count_col)).alias("mx"),
             F.avg(F.col(count_col)).alias("mean"),
         ).first()

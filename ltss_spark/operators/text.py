@@ -496,6 +496,81 @@ def bigram_logprob(
     )
 
 
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information —
+    the corpus-analytics pass that surfaces multiword expressions
+    ("new york", boilerplate phrases) for tokenizer vocab decisions and
+    template detection in a training-data pipeline.
+
+    PMI = ln(p(xy) / (p(x)·p(y))); ln is monotone, so the RANKING only
+    needs the ratio c_xy·N / (c_x·c_y) — and that is computed ENTIRELY
+    in integer arithmetic: score_micro = ((c_xy·10^6) div c_x · N) div
+    c_y, two BIGINT floor-divisions pinned in this order in both
+    engines (no ln, no doubles, no rounding hazard anywhere). Since
+    c_xy ≤ c_x the first quotient is ≤ 10^6, so the widest
+    intermediate is 10^6·N — overflow-safe to N ≈ 9·10^12 tokens;
+    beyond that (the 100 TB regime) drop the multiplier to 10^3 or
+    lift to decimal(38,0), same plan shape.
+
+    Composition: one tokenize pass -> adjacent-pair explode (the
+    bigram_logprob extraction) -> two hash aggregates (bigram counts,
+    unigram counts; N derives from the unigram table) -> the
+    ``min_count`` floor prunes the bigram table BEFORE its two
+    vocabulary-sized broadcast joins -> global top-k
+    (TakeOrderedAndProject — per-partition heaps, never a full sort).
+    Ties break on (w1, w2) ascending so the cut is engine-independent.
+    At 100 TB the unigram side may outgrow a broadcast: both joins are
+    plain equi-joins on a pruned-aggregate left side (bounded rows per
+    key), so AQE's shuffle path absorbs them unchanged.
+    """
+    toks = docs.select(tokens(F.col(text_col)).alias("t"))
+    pairs = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    occ = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    c1 = occ.groupBy("token").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=False
+    )  # feeds both word joins and the corpus total
+    n_total = c1.agg(F.sum("c").alias("n"))
+    c2 = (
+        toks.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= min_count)
+    )
+    scored = (
+        c2.join(
+            F.broadcast(c1.select(F.col("token").alias("w1"), F.col("c").alias("cx"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("token").alias("w2"), F.col("c").alias("cy"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            F.expr("(c2 * 1000000L div cx) * n div cy").alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+
+
 def hybrid_rrf(
     lexical: DataFrame,
     dense: DataFrame,

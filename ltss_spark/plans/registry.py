@@ -89,10 +89,12 @@ def register(name: str, oracle: str | None, survey: str = ""):
 # implementation or oracle materially changed this round (the tie-free
 # floor-quantized Lloyd means and the skew-guard cache-key fix, both ADVICE
 # r9), then drains the ENTIRE r4 staleness cohort (VERDICT r9 item 1: all 33
-# entries whose latest driver row is r4), then the oldest r6 entries.
-# _DRIVER_SECOND continues strictly least-recently-verified-first, so by r11
-# the remaining r6 cohort drains too and no entry is ever older than two
-# rounds of plan churn.
+# entries whose latest driver row is r4), then the round-10 second batch
+# (the Naive Bayes train/apply/evaluate trio and PMI collocations — also
+# never driver-verified). _DRIVER_SECOND continues strictly
+# least-recently-verified-first (r6 cohort first), so by r11 the remaining
+# r6 cohort drains too and no entry is ever older than two rounds of plan
+# churn.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY: list[str] = [
@@ -147,11 +149,12 @@ _DRIVER_PRIORITY: list[str] = [
     "udf_scalar",
     "udtf",
     "win_time_range",
-    # --- oldest r6 entries: fill the window least-recently-first ---
-    "agg_theta_overlap",
-    "diag_skew",
-    "ext_dedup_cdf",
-    "ext_dedup_embed_capped",
+    # --- new in round 10, second batch (never driver-verified): the NB
+    # train/apply/evaluate trio and PMI collocation mining ---
+    "ext_nb_train",
+    "ext_nb_score",
+    "ext_nb_confusion",
+    "ext_pmi",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -169,6 +172,10 @@ _CHANGED_ENTRIES: set[str] = {
 # priority block re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
     # --- latest driver row: round 6 ---
+    "agg_theta_overlap",
+    "diag_skew",
+    "ext_dedup_cdf",
+    "ext_dedup_embed_capped",
     "ext_dedup_spans",
     "ext_knn_join",
     "ext_knn_join_ivf",

@@ -2816,3 +2816,197 @@ def ext_lr_calibration(spark, sf_dir):
     from ltss_spark.operators.ml import logreg_calibration
 
     return logreg_calibration(_t(spark, sf_dir, "documents"), n_iters=3, lr=4.0)
+
+
+#: shared NB CTE prefix: per-(label, token) counts, per-label totals,
+#: vocab size — mirrors operators/ml.nb_train exactly (add-one smoothing,
+#: tie-free floor(x*1e6 + 0.5) micro-unit quantization of every ln leaf)
+_NB_CTE = f"""
+    nbtoks AS (
+      SELECT doc_id, lang AS true_label, unnest({_TOKS}) AS token
+      FROM documents
+    ),
+    nbnz AS (
+      SELECT doc_id, true_label, token FROM nbtoks WHERE token <> ''
+    ),
+    nbct AS (
+      SELECT true_label AS label, token, COUNT(*) AS c
+      FROM nbnz GROUP BY 1, 2
+    ),
+    nbtot AS (
+      SELECT label, CAST(SUM(c) AS BIGINT) AS t FROM nbct GROUP BY 1
+    ),
+    nbvoc AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM nbct)
+"""
+
+#: NB scoring CTE suffix (through the per-doc argmax) — shared by
+#: ext_nb_score and ext_nb_confusion
+_NB_SCORE_CTE = f"""{_NB_CTE},
+    nbmodel AS (
+      SELECT nbct.label, nbct.token,
+             CAST(FLOOR(ln(CAST(nbct.c + 1 AS DOUBLE) / (nbtot.t + nbvoc.v))
+                        * 1e6 + 0.5) AS BIGINT) AS llq
+      FROM nbct JOIN nbtot USING (label) CROSS JOIN nbvoc
+    ),
+    nbnd AS (SELECT lang AS label, COUNT(*) AS n_label FROM documents GROUP BY 1),
+    nbndocs AS (SELECT COUNT(*) AS n_docs FROM documents),
+    nbclasses AS (
+      SELECT nbnd.label,
+             CAST(FLOOR(ln(CAST(n_label AS DOUBLE) / n_docs) * 1e6 + 0.5)
+                  AS BIGINT) AS prior_q,
+             CAST(FLOOR(ln(1.0 / (t + v)) * 1e6 + 0.5) AS BIGINT) AS unseen_llq
+      FROM nbnd JOIN nbtot ON nbnd.label = nbtot.label
+      CROSS JOIN nbvoc CROSS JOIN nbndocs
+    ),
+    nbntoks AS (
+      SELECT doc_id, true_label, COUNT(*) AS n_tokens
+      FROM nbnz GROUP BY 1, 2
+    ),
+    nbms AS (
+      SELECT d.doc_id, m.label, CAST(SUM(m.llq) AS BIGINT) AS ms,
+             COUNT(*) AS mc
+      FROM nbnz d JOIN nbmodel m USING (token) GROUP BY 1, 2
+    ),
+    nbranked AS (
+      SELECT doc_id, true_label, label, score_micro,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_micro DESC, label ASC) AS rn
+      FROM (
+        SELECT n.doc_id, n.true_label, c.label,
+               c.prior_q + COALESCE(nbms.ms, 0)
+                 + (n.n_tokens - COALESCE(nbms.mc, 0)) * c.unseen_llq
+                 AS score_micro
+        FROM nbntoks n CROSS JOIN nbclasses c
+        LEFT JOIN nbms ON nbms.doc_id = n.doc_id AND nbms.label = c.label
+      )
+    )
+"""
+
+
+@register(
+    "ext_nb_train",
+    f"""
+    WITH {_NB_CTE}
+    SELECT nbct.label, nbct.token, nbct.c,
+           CAST(FLOOR(ln(CAST(nbct.c + 1 AS DOUBLE) / (nbtot.t + nbvoc.v))
+                      * 1e6 + 0.5) AS BIGINT) AS llq
+    FROM nbct JOIN nbtot USING (label) CROSS JOIN nbvoc
+    """,
+    survey="ext_text_stats agg_basic fn_math (multinomial Naive Bayes "
+    "TRAINING: one (label, token) hash aggregate builds the whole model — "
+    "the counting complement to ext_lr_train's gradient descent; add-one "
+    "smoothed log-likelihoods quantized to tie-free integer micro-units "
+    "so downstream scores are exact BIGINT sums)",
+)
+def ext_nb_train(spark, sf_dir):
+    """Multinomial Naive Bayes token model over the corpus
+    (operators/ml.nb_train): (label, token, count, micro-unit
+    log-likelihood). One token explode, ONE O(|tokens|) shuffle (the
+    (label, token) hash aggregate); per-label totals and the vocab size
+    derive from the count table and join back as broadcasts. The model
+    is O(vocab x classes) — bounded by vocabulary, not corpus size. The
+    ln leaf quantizes with the tie-free floor(x*1e6 + 0.5) rule, the
+    same transcendental-determinism discipline as the unigram/bigram
+    LMs."""
+    from ltss_spark.operators.ml import nb_train
+
+    return nb_train(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ext_nb_score",
+    f"""
+    WITH {_NB_SCORE_CTE}
+    SELECT doc_id, label AS pred, score_micro
+    FROM nbranked WHERE rn = 1
+    """,
+    survey="ext_text_stats agg_basic fn_math win_rank (Naive Bayes APPLY: "
+    "classify every document against every class — broadcast model match, "
+    "one (doc, class) aggregate, one per-doc argmax window; the unseen-"
+    "token mass is arithmetic, not a join, so scores stay exact BIGINT "
+    "sums end to end)",
+)
+def ext_nb_score(spark, sf_dir):
+    """Corpus-wide Naive Bayes classification (operators/ml.nb_score):
+    (doc_id, predicted label, exact integer micro-unit log-score). The
+    score of doc d under class k is prior_q(k) + Σ matched llq + (unseen
+    token count) x unseen_llq(k) — the unseen term is computed
+    arithmetically from the per-doc token count, so the plan is one
+    broadcast token->model match (fan-out <= |classes|), one
+    (doc, class) hash aggregate, and one per-doc row_number window with
+    ascending-label tie-break. Every leaf is micro-unit quantized; the
+    argmax is over exact BIGINTs — fully order-free across engines."""
+    from ltss_spark.operators.ml import nb_score
+
+    return nb_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ext_nb_confusion",
+    f"""
+    WITH {_NB_SCORE_CTE}
+    SELECT true_label, label AS pred, COUNT(*) AS n
+    FROM nbranked WHERE rn = 1 GROUP BY 1, 2
+    """,
+    survey="ext_text_stats agg_basic (Naive Bayes EVALUATION: the training-"
+    "set confusion matrix — true label rides through the scoring pass, so "
+    "the matrix is one classes-squared-bounded aggregate over the per-doc "
+    "argmax; the check a pipeline runs before trusting a language filter)",
+)
+def ext_nb_confusion(spark, sf_dir):
+    """Confusion matrix of the NB classifier on its training corpus
+    (operators/ml.nb_confusion): (true_label, pred, n). The true label
+    is carried through the scoring pipeline (no join back to the
+    corpus); the matrix aggregate is bounded by |classes|^2 rows.
+    Completes the second train/apply/evaluate loop alongside
+    ext_lr_train/_score/_calibration."""
+    from ltss_spark.operators.ml import nb_confusion
+
+    return nb_confusion(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ext_pmi",
+    f"""
+    WITH ptoks AS (SELECT {_TOKS} AS t FROM documents),
+    pocc AS (SELECT unnest(t) AS token FROM ptoks),
+    ponz AS (SELECT token FROM pocc WHERE token <> ''),
+    pc1 AS (SELECT token, COUNT(*) AS c FROM ponz GROUP BY 1),
+    pn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM pc1),
+    pbg AS (
+      SELECT t[u.i] AS w1, t[u.i + 1] AS w2
+      FROM ptoks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE t[u.i] <> '' AND t[u.i + 1] <> ''
+    ),
+    pc2 AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM pbg GROUP BY 1, 2
+      HAVING COUNT(*) >= 5
+    )
+    SELECT pc2.w1, pc2.w2, pc2.c2,
+           (pc2.c2 * 1000000 // cx.c) * pn.n // cy.c AS pmi_micro
+    FROM pc2
+    JOIN pc1 cx ON pc2.w1 = cx.token
+    JOIN pc1 cy ON pc2.w2 = cy.token
+    CROSS JOIN pn
+    ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT 100
+    """,
+    survey="ext_text_stats agg_basic topk_group fn_math (PMI collocation "
+    "mining: top multiword expressions by pointwise mutual information — "
+    "ln is monotone so the ranking needs only the integer ratio "
+    "c_xy*N/(c_x*c_y), computed as two pinned BIGINT floor-divisions: no "
+    "ln, no doubles, no rounding hazard; two hash aggregates, two "
+    "vocabulary broadcasts, one top-k heap)",
+)
+def ext_pmi(spark, sf_dir):
+    """Top-100 bigram collocations by PMI (operators/text.
+    pmi_collocations): the corpus-analytics pass that surfaces multiword
+    expressions and boilerplate phrases for tokenizer-vocab and template
+    decisions. The score is ((c_xy*10^6) div c_x * N) div c_y — pure
+    BIGINT arithmetic in a pinned order (PMI's ln is monotone, so the
+    ratio ranks identically), with ties broken on (w1, w2) ascending.
+    Plan: two hash aggregates + min_count pruning BEFORE the two
+    broadcast vocabulary joins + TakeOrderedAndProject (per-partition
+    heaps, no full sort)."""
+    from ltss_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"))

@@ -2265,3 +2265,91 @@ def test_lr_train_reaches_majority_baseline(spark):
     en = docs.filter(F.col("lang") == "en").count()
     majority = max(en, tot - en) / tot
     assert trace[-1]["train_acc"] >= majority - 1e-12
+
+
+def test_nb_score_broadcast_and_guarded_paths_agree(spark):
+    """broadcast_model=False routes the token->model match through
+    hot_key_guarded_join (the 100 TB posture when vocab x classes
+    outgrows a broadcast); both paths must be row-identical — the same
+    value-preserving contract the tfidf/LM skew guards carry."""
+    from ltss_spark.operators.ml import nb_score
+    from ltss_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = nb_score(docs, broadcast_model=True).orderBy("doc_id").collect()
+    b = nb_score(docs, broadcast_model=False).orderBy("doc_id").collect()
+    assert a == b and len(a) == docs.count()
+
+
+def test_nb_score_matches_hand_computation(spark):
+    """Exact NB semantics on a corpus small enough to replay by hand:
+    add-one smoothing, per-class unseen mass, micro-unit quantization of
+    every ln leaf, ascending-label tie-break. Python floats are the same
+    IEEE doubles, so the replay is exact."""
+    import math
+
+    from ltss_spark.operators.ml import nb_score
+
+    rows = [
+        (1, "aa aa bb", "x"),
+        (2, "aa bb bb", "y"),
+        (3, "aa aa aa", "x"),
+        (4, "cc", "y"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def q(v: float) -> int:
+        return math.floor(v * 1e6 + 0.5)
+
+    ct = {("x", "aa"): 5, ("x", "bb"): 1, ("y", "aa"): 1, ("y", "bb"): 2, ("y", "cc"): 1}
+    t = {"x": 6, "y": 4}
+    v = 3  # distinct tokens
+    nd, n_docs = {"x": 2, "y": 2}, 4
+    toks = {1: ["aa", "aa", "bb"], 2: ["aa", "bb", "bb"], 3: ["aa", "aa", "aa"], 4: ["cc"]}
+    expected = {}
+    for d, ts in toks.items():
+        best = None
+        for lab in sorted(t):
+            s = q(math.log(nd[lab] / n_docs))
+            for tok in ts:
+                c = ct.get((lab, tok))
+                s += q(math.log((c + 1) / (t[lab] + v)) if c else math.log(1 / (t[lab] + v)))
+            if best is None or s > best[1]:
+                best = (lab, s)
+        expected[d] = best
+    got = {r["doc_id"]: (r["pred"], r["score_micro"]) for r in nb_score(docs).collect()}
+    assert got == expected
+
+
+def test_nb_confusion_totals_and_labels(spark):
+    """The confusion matrix partitions the corpus: cell counts sum to the
+    document count and both axes stay within the label set."""
+    from ltss_spark.operators.ml import nb_confusion
+    from ltss_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cells = nb_confusion(docs).collect()
+    labels = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert sum(r["n"] for r in cells) == docs.count()
+    assert {r["true_label"] for r in cells} <= labels
+    assert {r["pred"] for r in cells} <= labels
+
+
+def test_pmi_collocations_exact_integer_scores(spark):
+    """PMI scores are pure BIGINT arithmetic: replay the two pinned
+    floor-divisions in Python ints on a tiny corpus and compare exactly;
+    the min_count floor and the (score desc, w1, w2) tie-break hold."""
+    from ltss_spark.operators.text import pmi_collocations
+
+    # "aa bb" appears 6x (>= min_count 5); "bb cc" only 3x (pruned)
+    rows = [(i, "aa bb xx aa bb", "en") for i in range(3)] + [
+        (10 + i, "bb cc", "en") for i in range(3)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = pmi_collocations(docs, min_count=5, k=10).collect()
+    c1 = {"aa": 6, "bb": 9, "xx": 3, "cc": 3}
+    n = sum(c1.values())
+    exp_score = (6 * 1_000_000 // c1["aa"]) * n // c1["bb"]
+    assert [(r["w1"], r["w2"], r["c2"], r["pmi_micro"]) for r in got] == [
+        ("aa", "bb", 6, exp_score)
+    ]

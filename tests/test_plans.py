@@ -319,6 +319,17 @@ def test_registry_wide_plan_audit(spark):
         # r8: the 1-row count broadcast that selects the middle rank(s)
         # for the exact distributed median — bounded by construction
         "agg_median_exact",
+        # r10: the 1-ROW vocab-size aggregate crossed onto the NB count
+        # table (operators/ml.nb_train) — bounded by construction
+        "ext_nb_train",
+        # r10: same 1-row vocab/doc-count crosses inside the model build,
+        # plus the |classes|-row constants frame broadcast onto the
+        # per-doc token-count frame — all O(V x C)-bounded
+        "ext_nb_score",
+        "ext_nb_confusion",
+        # r10: the 1-ROW corpus-token-total aggregate crossed onto the
+        # min_count-pruned bigram frame — bounded by construction
+        "ext_pmi",
     }
     # streaming/sink entries run real side-effecting queries — covered by
     # their own tests
