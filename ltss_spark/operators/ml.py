@@ -305,9 +305,15 @@ def _nb_scored(
     ms = matched.groupBy(id_col, "label").agg(
         F.sum("llq").alias("ms"), F.count(F.lit(1)).alias("mc")
     )
+    # merge hint: BOTH sides of the (doc, class) join are corpus-sized —
+    # ms derives from checkpointed RDDs whose static size estimate can dip
+    # under the broadcast threshold (measured at 16x: Spark picked a
+    # driver-built broadcast of the 400k-row frame, 16.5 s vs 6 s pinned,
+    # and an OOM at default driver memory). A corpus-sized frame must
+    # never be a build side at 100 TB; SMJ here is one linear co-shuffle.
     per_class = (
         n_toks.crossJoin(F.broadcast(classes))
-        .join(ms, [id_col, "label"], "left")
+        .join(ms.hint("merge"), [id_col, "label"], "left")
         .select(
             F.col(id_col),
             "true_label",

@@ -154,6 +154,14 @@ def key_skew_profile(
 #: see its docstring; keyed by (appId, plan semanticHash, knobs)
 _PREFLIGHT_CACHE: dict[tuple, tuple] = {}
 
+#: non-hot strategy cut for hot_key_guarded_join: counts frames at or
+#: under this many MEASURED rows are pinned as the broadcast side
+#: (~25 MB of token rows — comfortable on any real executor); above it
+#: the join is pinned sort-merge. Exists because the static planner has
+#: no statistics for checkpointed inputs and was measured choosing the
+#: CORPUS side as a broadcast build (see hot_key_guarded_join).
+SMALL_COUNTS_ROWS = 500_000
+
 
 def hot_key_guarded_join(
     big: DataFrame,
@@ -192,7 +200,11 @@ def hot_key_guarded_join(
 
     Result is identical to ``big.join(counts, on)`` either way
     (salted_join's invariant, asserted in tests); ``decision`` (optional)
-    receives the measured stats for tests/diagnostics.
+    receives the measured stats for tests/diagnostics. Non-hot joins are
+    pinned to an explicit physical strategy from the measured stats
+    (broadcast of ``counts`` when it is small, sort-merge otherwise):
+    checkpointed inputs have no usable static statistics and the planner
+    was measured broadcasting the CORPUS side (see the inline comment).
 
     Pre-flight cost control: the measured stats are CACHED per
     (application, plan semanticHash, tag) — the same key-statistics
@@ -247,15 +259,39 @@ def hot_key_guarded_join(
         row = stats_frame.agg(
             F.max(F.col(count_col)).alias("mx"),
             F.avg(F.col(count_col)).alias("mean"),
+            F.count(F.lit(1)).alias("n"),
         ).first()
-        stats = (
-            (row["mx"], row["mean"]) if row is not None else (None, None)
-        )
+        if row is None:
+            stats = (None, None, 0)
+        elif stats_of is None:
+            stats = (row["mx"], row["mean"], row["n"])
+        else:
+            # counts' own row count (it may be keys x classes, not |keys|)
+            # — the stats action above already materialized its inputs
+            stats = (row["mx"], row["mean"], counts.count())
         _PREFLIGHT_CACHE[cache_key] = stats
-    mx, mean = stats
+    mx, mean, n_counts = stats
     hot = mx is not None and mx >= min_hot_rows and mx >= skew_factor * mean
+    # Non-hot joins get an EXPLICIT strategy from the measured stats
+    # instead of the static planner's estimate: a checkpointed big side is
+    # a LogicalRDD with no usable statistics, and Spark was measured
+    # (nb_score, 16x probe) picking it as a BroadcastHashJoin BUILD side —
+    # a driver-built broadcast of the corpus-sized frame (16.5 s there; a
+    # driver OOM at 100 TB). counts measured small -> pin the broadcast of
+    # counts (what a correct estimator would choose); otherwise pin a
+    # sort-merge join (spill-safe linear co-shuffle). The big side is
+    # never a build side on any path.
+    small = n_counts <= SMALL_COUNTS_ROWS
     if decision is not None:
-        decision.update(max_key_rows=mx, mean_key_rows=mean, salted=bool(hot))
+        decision.update(
+            max_key_rows=mx,
+            mean_key_rows=mean,
+            counts_rows=n_counts,
+            salted=bool(hot),
+            strategy="salted" if hot else ("broadcast" if small else "merge"),
+        )
     if hot:
         return salted_join(big, counts, on, salt_src, salt_buckets)
-    return big.join(counts, on)
+    if small:
+        return big.join(F.broadcast(counts), on)
+    return big.join(counts.hint("merge"), on)

@@ -883,6 +883,40 @@ def main():
             results["r10_bpe"][str(factor)] = row
             print(json.dumps({factor: row}))
 
+    # round-10 probe: NB classification + PMI collocations. The replica
+    # token-tagging grows the VOCABULARY linearly with the factor (each
+    # replica's tokens are disjoint), which is exactly the axis that
+    # stresses both operators: nb_score's broadcast model is O(V x C)
+    # rows, and pmi's two vocabulary joins broadcast the unigram table.
+    # Expected shape: near-linear in token volume (explode + hash aggs +
+    # broadcast joins — no all-pairs term anywhere); the probe records
+    # the model row count so the broadcast-threshold story is a number,
+    # not a claim.
+    if want("nbpmi"):
+        from ltss_spark.operators.ml import nb_score, nb_train
+        from ltss_spark.operators.text import pmi_collocations
+
+        results["r10_nbpmi"] = {}
+        nb_score(warm).count()  # warm
+        pmi_collocations(warm).count()
+        for factor in (1, 4, 16, 32):
+            docs = replicated_docs(spark, sf_dir, factor, base)
+            row = {"n_docs": docs.count()}
+            row["model_rows"], row["nb_train_sec"] = timed(
+                lambda: nb_train(docs).count()
+            )
+            row["nb_score_rows"], row["nb_score_sec"] = timed(
+                lambda: nb_score(docs).count()
+            )
+            row["nb_guarded_rows"], row["nb_guarded_sec"] = timed(
+                lambda: nb_score(docs, broadcast_model=False).count()
+            )
+            row["pmi_rows"], row["pmi_sec"] = timed(
+                lambda: pmi_collocations(docs).count()
+            )
+            results["r10_nbpmi"][str(factor)] = row
+            print(json.dumps({factor: row}))
+
     # partial runs merge into the existing probe file: one new operator
     # family should not require re-timing (or losing) the whole suite
     if "all" not in sections and os.path.exists(out_json):
