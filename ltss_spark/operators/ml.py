@@ -121,6 +121,8 @@ def _fit(
             F.count(F.lit(1)).alias("n"),
         ).collect()[0]  # bounded: 3 gradient scalars + N per iteration
         n = row["n"]
+        if n == 0:  # loud failure beats an opaque None-gradient TypeError
+            raise ValueError("logreg: cannot train on an empty corpus")
         w = [
             w[j] + lr * float(row[f"g{j}"]) / (n * 1e6) for j in range(3)
         ]

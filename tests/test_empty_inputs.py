@@ -312,3 +312,30 @@ def test_agg_median_exact_empty_matches_oracle_semantics(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["median_value"] is None
     assert rows[0]["n"] == 0
+
+
+def test_round10_operators_empty(spark):
+    """The round-10 family on the empty corpus: NB train/score/confusion,
+    PMI, and BPE all return empty frames (empty aggregates, NULL corpus
+    totals, and the empty argmax window are the traps); classifier
+    TRAINING on an empty corpus is a programming error and must fail
+    loudly, not with an opaque None-gradient TypeError."""
+    import pytest
+
+    from ltss_spark.operators.ml import (
+        logreg_train,
+        nb_confusion,
+        nb_score,
+        nb_train,
+    )
+    from ltss_spark.operators.text import bpe_train_merges, pmi_collocations
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert nb_train(docs).count() == 0
+    assert nb_score(docs).count() == 0
+    assert nb_score(docs, broadcast_model=False).count() == 0
+    assert nb_confusion(docs).count() == 0
+    assert pmi_collocations(docs).count() == 0
+    assert bpe_train_merges(docs.select("doc_id", "text"), n_merges=2).count() == 0
+    with pytest.raises(ValueError, match="empty corpus"):
+        logreg_train(docs)

@@ -2353,3 +2353,41 @@ def test_pmi_collocations_exact_integer_scores(spark):
     assert [(r["w1"], r["w2"], r["c2"], r["pmi_micro"]) for r in got] == [
         ("aa", "bb", 6, exp_score)
     ]
+
+
+def test_pmi_randomized_differential_vs_python_ints(spark):
+    """Randomized differential: pmi_collocations == a pure-Python integer
+    replay on arbitrary corpora (both sides are exact BIGINT arithmetic,
+    so equality is total, not approximate — including the (score desc,
+    w1, w2) tie-break and the min_count cut)."""
+    import random
+    from collections import Counter
+
+    from ltss_spark.operators.text import pmi_collocations
+
+    for seed in (3, 11, 42):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))), "en")
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = [
+            (r["w1"], r["w2"], r["c2"], r["pmi_micro"])
+            for r in pmi_collocations(docs, min_count=3, k=15).collect()
+        ]
+        c1: Counter = Counter()
+        c2: Counter = Counter()
+        for _, text, _ in rows:
+            toks = [t for t in text.split() if t]
+            c1.update(toks)
+            c2.update(zip(toks, toks[1:]))
+        n = sum(c1.values())
+        exp = [
+            (w1, w2, c, (c * 1_000_000 // c1[w1]) * n // c1[w2])
+            for (w1, w2), c in c2.items()
+            if c >= 3
+        ]
+        exp.sort(key=lambda t: (-t[3], t[0], t[1]))
+        assert got == exp[:15], f"seed {seed}"
