@@ -2391,3 +2391,23 @@ def test_pmi_randomized_differential_vs_python_ints(spark):
         ]
         exp.sort(key=lambda t: (-t[3], t[0], t[1]))
         assert got == exp[:15], f"seed {seed}"
+
+
+def test_nb_score_tie_breaks_on_ascending_label(spark):
+    """A corpus symmetric in both classes makes every per-class score
+    EXACTLY equal (the scores are integer micro-units, so the tie is
+    exact, not approximate): the argmax must resolve to the ascending
+    label, mirroring the oracle's row_number tie-break."""
+    from ltss_spark.operators.ml import nb_score
+
+    rows = [
+        (1, "aa bb", "x"),
+        (2, "aa bb", "y"),
+        (3, "cc", "x"),
+        (4, "cc", "y"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = nb_score(docs).orderBy("doc_id").collect()
+    assert [r["pred"] for r in got] == ["x", "x", "x", "x"]
+    # and the tie is real: identical token/prior structure per class
+    # (verified: both classes score -2890371 / -1791759 micro-units)
