@@ -162,6 +162,37 @@ _PREFLIGHT_CACHE: dict[tuple, tuple] = {}
 #: CORPUS side as a broadcast build (see hot_key_guarded_join).
 SMALL_COUNTS_ROWS = 500_000
 
+#: ...and a bytes ceiling guarding the ROW-count cut against wide rows
+#: (arrays, structs): rows x estimated row width must also clear this.
+SMALL_COUNTS_BYTES = 32 * 1024 * 1024
+
+
+def _est_row_bytes(schema) -> int:
+    """Schema-driven per-row byte estimate (the same role as Catalyst's
+    defaultSize, which PySpark does not expose): fixed widths for
+    primitives, 20 B strings, and a deliberately PESSIMISTIC ~16-element
+    assumption for arrays/maps — overestimating only risks a sort-merge
+    join where a broadcast might have fit; underestimating risks a heavy
+    broadcast, the exact failure this cut exists to prevent."""
+    from pyspark.sql import types as T
+
+    def sz(dt) -> int:
+        if isinstance(dt, (T.LongType, T.DoubleType, T.TimestampType)):
+            return 8
+        if isinstance(dt, (T.IntegerType, T.FloatType, T.DateType)):
+            return 4
+        if isinstance(dt, T.StringType):
+            return 20
+        if isinstance(dt, T.ArrayType):
+            return 16 * sz(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return 16 * (sz(dt.keyType) + sz(dt.valueType))
+        if isinstance(dt, T.StructType):
+            return sum(sz(f.dataType) for f in dt.fields)
+        return 16
+
+    return sum(sz(f.dataType) for f in schema.fields)
+
 
 def hot_key_guarded_join(
     big: DataFrame,
@@ -277,11 +308,14 @@ def hot_key_guarded_join(
     # a LogicalRDD with no usable statistics, and Spark was measured
     # (nb_score, 16x probe) picking it as a BroadcastHashJoin BUILD side —
     # a driver-built broadcast of the corpus-sized frame (16.5 s there; a
-    # driver OOM at 100 TB). counts measured small -> pin the broadcast of
+    # driver OOM at 100 TB). counts measured small (rows AND estimated bytes) -> pin the broadcast of
     # counts (what a correct estimator would choose); otherwise pin a
     # sort-merge join (spill-safe linear co-shuffle). The big side is
     # never a build side on any path.
-    small = n_counts <= SMALL_COUNTS_ROWS
+    small = (
+        n_counts <= SMALL_COUNTS_ROWS
+        and n_counts * _est_row_bytes(counts.schema) <= SMALL_COUNTS_BYTES
+    )
     if decision is not None:
         decision.update(
             max_key_rows=mx,
