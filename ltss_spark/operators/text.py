@@ -519,15 +519,27 @@ def pmi_collocations(
 
     Composition: one tokenize pass -> adjacent-pair explode (the
     bigram_logprob extraction) -> two hash aggregates (bigram counts,
-    unigram counts; N derives from the unigram table) -> the
-    ``min_count`` floor prunes the bigram table BEFORE its two
-    vocabulary-sized broadcast joins -> global top-k
+    unigram counts) -> the ``min_count`` floor prunes the bigram table
+    BEFORE its two vocabulary joins -> global top-k
     (TakeOrderedAndProject — per-partition heaps, never a full sort).
     Ties break on (w1, w2) ascending so the cut is engine-independent.
-    At 100 TB the unigram side may outgrow a broadcast: both joins are
-    plain equi-joins on a pruned-aggregate left side (bounded rows per
-    key), so AQE's shuffle path absorbs them unchanged.
+
+    The corpus total N and the vocabulary size come back as TWO bounded
+    driver scalars from one aggregate over the unigram table (the
+    BPE-argmax adaptive-fetch exception), and the vocab size picks the
+    join strategy with the same measured cut as
+    :func:`~ltss_spark.operators.skew.hot_key_guarded_join`: small
+    vocabulary -> explicit broadcast of the count table; large ->
+    explicit sort-merge (at 100 TB the unigram side outgrows any
+    broadcast, and an unhinted join would leave the choice to static
+    estimates that a checkpointed frame does not have).
     """
+    from ltss_spark.operators.skew import (
+        SMALL_COUNTS_BYTES,
+        SMALL_COUNTS_ROWS,
+        _est_row_bytes,
+    )
+
     toks = docs.select(tokens(F.col(text_col)).alias("t"))
     pairs = F.zip_with(
         F.slice(F.col("t"), 1, F.size("t") - 1),
@@ -539,8 +551,23 @@ def pmi_collocations(
     ).filter(F.col("token") != "")
     c1 = occ.groupBy("token").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
         eager=False
-    )  # feeds both word joins and the corpus total
-    n_total = c1.agg(F.sum("c").alias("n"))
+    )  # feeds both word joins; N and |vocab| derive from it below
+    stats = c1.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).first()  # bounded: two scalars; materializes the checkpoint once
+    n_tokens = int(stats["n"]) if stats and stats["n"] is not None else 0
+    v_rows = int(stats["v"]) if stats else 0
+    small = (
+        v_rows <= SMALL_COUNTS_ROWS
+        and v_rows * _est_row_bytes(c1.schema) <= SMALL_COUNTS_BYTES
+    )
+
+    def side(col_alias: str, cnt_alias: str):
+        s = c1.select(
+            F.col("token").alias(col_alias), F.col("c").alias(cnt_alias)
+        )
+        return F.broadcast(s) if small else s.hint("merge")
+
     c2 = (
         toks.select(F.explode(pairs).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
@@ -550,20 +577,15 @@ def pmi_collocations(
         .filter(F.col("c2") >= min_count)
     )
     scored = (
-        c2.join(
-            F.broadcast(c1.select(F.col("token").alias("w1"), F.col("c").alias("cx"))),
-            "w1",
-        )
-        .join(
-            F.broadcast(c1.select(F.col("token").alias("w2"), F.col("c").alias("cy"))),
-            "w2",
-        )
-        .crossJoin(F.broadcast(n_total))
+        c2.join(side("w1", "cx"), "w1")
+        .join(side("w2", "cy"), "w2")
         .select(
             "w1",
             "w2",
             "c2",
-            F.expr("(c2 * 1000000L div cx) * n div cy").alias("pmi_micro"),
+            F.expr(
+                f"(c2 * 1000000L div cx) * {n_tokens}L div cy"
+            ).alias("pmi_micro"),
         )
     )
     return scored.orderBy(
