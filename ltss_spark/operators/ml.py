@@ -247,6 +247,12 @@ def _nb_scored(
     :func:`~ltss_spark.operators.skew.hot_key_guarded_join` instead —
     the 100 TB posture when V x C outgrows the broadcast threshold
     (value-identical; a pytest pins both paths equal).
+
+    Conventions (mirrored exactly by the oracle): token-less documents
+    produce NO row — the same length-floor convention as the LM scorers
+    (bigram_logprob) — and a class whose training text is entirely
+    empty never becomes a candidate (it has no totals row, hence no
+    prior/unseen constants).
     """
     from ltss_spark.operators.text import tokens
 
