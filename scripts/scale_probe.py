@@ -917,6 +917,57 @@ def main():
             results["r10_nbpmi"][str(factor)] = row
             print(json.dumps({factor: row}))
 
+    # round-10 probe: the flagship dedup path at 64x — one factor beyond
+    # every prior dedup probe. Two questions: (a) do the pair-generation
+    # shapes stay linear one more doubling out (MinHash banded equi-join,
+    # SimHash bit-band join, n-gram shingle join, exact md5 groups, and
+    # the large/small-star CC loop on the MinHash pairs); (b) does the
+    # STATIC band-self-join plan stay sane as the checkpointed signature
+    # frame's estimate grows (the audit_broadcast_sides triage notes these
+    # joins build a checkpointed |docs|-scale frame at SMALL scale — the
+    # healthy behavior is a flip to SMJ well before the build side gets
+    # heavy, measured here rather than assumed).
+    if want("dedup64"):
+        from ltss_spark.operators.dedup import (
+            exact_dedup_groups,
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+            simhash_pairs,
+        )
+        from ltss_spark.operators.graph import connected_components
+
+        results["r10_dedup64"] = {}
+        for factor in (32, 64):
+            docs = replicated_docs(spark, sf_dir, factor, base)
+            row = {"n_docs": docs.count()}
+            mh = minhash_lsh_pairs(docs)
+            row["minhash_pairs"], row["minhash_sec"] = timed(lambda: mh.count())
+            cc_stats: dict = {}
+            row["cc_components"], row["cc_sec"] = timed(
+                lambda: connected_components(
+                    minhash_lsh_pairs(docs), stats=cc_stats, small_graph_edges=0
+                ).count()
+            )
+            row["cc_rounds"] = cc_stats.get("rounds")
+            row["simhash_pairs"], row["simhash_sec"] = timed(
+                lambda: simhash_pairs(docs).count()
+            )
+            row["ngram_pairs"], row["ngram_sec"] = timed(
+                lambda: ngram_jaccard_pairs(docs).count()
+            )
+            row["exact_groups"], row["exact_sec"] = timed(
+                lambda: exact_dedup_groups(docs).count()
+            )
+            # the static join strategy actually planned for the MinHash
+            # band self-join at this size (the audit question made a number)
+            plan = mh._jdf.queryExecution().sparkPlan().toString()
+            row["band_join"] = (
+                "SMJ" if "SortMergeJoin" in plan
+                else ("BHJ" if "BroadcastHashJoin" in plan else "other")
+            )
+            results["r10_dedup64"][str(factor)] = row
+            print(json.dumps({factor: row}))
+
     # partial runs merge into the existing probe file: one new operator
     # family should not require re-timing (or losing) the whole suite
     if "all" not in sections and os.path.exists(out_json):
