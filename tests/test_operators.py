@@ -2411,3 +2411,34 @@ def test_nb_score_tie_breaks_on_ascending_label(spark):
     assert [r["pred"] for r in got] == ["x", "x", "x", "x"]
     # and the tie is real: identical token/prior structure per class
     # (verified: both classes score -2890371 / -1791759 micro-units)
+
+
+def test_hot_key_guard_pins_strategy_from_measured_stats(spark, monkeypatch):
+    """The non-hot path must pin an EXPLICIT physical strategy from the
+    measured pre-flight (never leave a checkpointed frame's build side to
+    the static planner): measured-small counts -> broadcast (BHJ in the
+    plan), above the cut -> sort-merge (SMJ in the plan), values
+    identical either way and the decision dict names the choice."""
+    import ltss_spark.operators.skew as skew
+
+    big = spark.createDataFrame(
+        [(i, f"k{i % 4}") for i in range(200)], "id long, k string"
+    )
+    counts = big.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+
+    def run(expect_strategy, expect_node):
+        skew._PREFLIGHT_CACHE.clear()
+        dec = {}
+        out = skew.hot_key_guarded_join(
+            big, counts, ["k"], salt_src=F.col("id"), count_col="c",
+            min_hot_rows=10_000, decision=dec,
+        )
+        assert dec["strategy"] == expect_strategy and dec["counts_rows"] == 4
+        plan = out._jdf.queryExecution().sparkPlan().toString()
+        assert expect_node in plan, f"{expect_strategy}: {expect_node} not planned"
+        return sorted(tuple(r) for r in out.collect())
+
+    a = run("broadcast", "BroadcastHashJoin")
+    monkeypatch.setattr(skew, "SMALL_COUNTS_ROWS", 0)
+    b = run("merge", "SortMergeJoin")
+    assert a == b and len(a) == 200
