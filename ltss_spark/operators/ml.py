@@ -313,12 +313,13 @@ def _nb_scored(
     ms = matched.groupBy(id_col, "label").agg(
         F.sum("llq").alias("ms"), F.count(F.lit(1)).alias("mc")
     )
-    # merge hint: BOTH sides of the (doc, class) join are corpus-sized —
-    # ms derives from checkpointed RDDs whose static size estimate can dip
-    # under the broadcast threshold (measured at 16x: Spark picked a
-    # driver-built broadcast of the 400k-row frame, 16.5 s vs 6 s pinned,
-    # and an OOM at default driver memory). A corpus-sized frame must
-    # never be a build side at 100 TB; SMJ here is one linear co-shuffle.
+    # merge hint: BOTH sides of the (doc, class) join are corpus-sized,
+    # and ms derives from checkpointed RDDs whose static size estimate is
+    # a width-ratio guess — the same estimate class that mis-broadcast the
+    # OCCURRENCE frame in the token match above (16x probe: 16.5 s and an
+    # OOM at default driver memory; fixed by the guard's measured pin).
+    # A corpus-sized frame must never be a build side at 100 TB; SMJ here
+    # is one linear co-shuffle on (doc, class).
     per_class = (
         n_toks.crossJoin(F.broadcast(classes))
         .join(ms.hint("merge"), [id_col, "label"], "left")
