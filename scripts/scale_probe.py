@@ -968,6 +968,55 @@ def main():
             results["r10_dedup64"][str(factor)] = row
             print(json.dumps({factor: row}))
 
+    # round-10 probe: the batch-replay halves of the State API v2 family
+    # (what the oracle checks, and what the registry entries run when the
+    # TWS runtime is not worker-visible). The streaming halves are fixed
+    # trigger latency by construction (bench_all receipts); these replays
+    # are the per-key WINDOW pipelines — replicated states grow KEYS
+    # linearly (entity-tagged replicas), so flat-or-linear wall here is
+    # the evidence that per-key state work is key-parallel with no
+    # cross-key serialization.
+    if want("streamrep"):
+        from ltss_spark.streaming.stateful import (
+            distinct_types_replay,
+            gap_close_replay,
+            recent_k_replay,
+            running_totals_replay,
+        )
+
+        results["r10_streamrep"] = {}
+        for factor in (1, 16, 32):
+            states = replicated_states(spark, sf_dir, factor, base)
+            ev = states.select(
+                F.monotonically_increasing_id().alias("event_id"),
+                F.col("entity_id").alias("user_id"),
+                F.col("time").alias("ts"),
+                F.col("state").alias("event_type"),
+                F.coalesce(
+                    F.expr("try_cast(state AS DOUBLE)"), F.lit(1.0)
+                ).alias("value"),
+            ).localCheckpoint(eager=False)
+            row = {"n_events": ev.count()}
+            row["totals_rows"], row["totals_sec"] = timed(
+                lambda: running_totals_replay(ev).count()
+            )
+            row["distinct_rows"], row["distinct_sec"] = timed(
+                lambda: distinct_types_replay(ev).count()
+            )
+            row["recentk_rows"], row["recentk_sec"] = timed(
+                lambda: recent_k_replay(ev).count()
+            )
+            lo, hi = ev.agg(
+                F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+            ).first()
+            cut1 = lo + (hi - lo) // 3
+            cut2 = lo + 2 * (hi - lo) // 3
+            row["gap_rows"], row["gap_sec"] = timed(
+                lambda: gap_close_replay(ev, cut1, cut2, gap_ms=60_000).count()
+            )
+            results["r10_streamrep"][str(factor)] = row
+            print(json.dumps({factor: row}))
+
     # partial runs merge into the existing probe file: one new operator
     # family should not require re-timing (or losing) the whole suite
     if "all" not in sections and os.path.exists(out_json):
