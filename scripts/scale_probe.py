@@ -1017,6 +1017,31 @@ def main():
             results["r10_streamrep"][str(factor)] = row
             print(json.dumps({factor: row}))
 
+    # round-10 probe: the corpus-wide IVF kNN self-join two factors past
+    # the r7 table (8x -> 32x; C ∝ N holds average cell size ≈ 125, so
+    # per-vector candidate volume is constant and total work ∝ N).
+    if want("knn32"):
+        from ltss_spark.operators.similarity import knn_join
+
+        results["r10_knn32"] = {}
+        knn_join(emb1, k=5, method="ivf", n_centroids=16, nprobe=4).count()
+        for factor in (16, 32):
+            embsh = replicated_embeddings_shifted(spark, sf_dir, factor, base)
+            n = embsh.count()
+            c = max(16, n // 125)
+            rows, sec = timed(
+                lambda: knn_join(
+                    embsh, k=5, method="ivf", n_centroids=c, nprobe=4
+                ).count()
+            )
+            results["r10_knn32"][str(factor)] = {
+                "n_vecs": n,
+                "n_centroids": c,
+                "knn_rows": rows,
+                "knn_sec": sec,
+            }
+            print(json.dumps({factor: results["r10_knn32"][str(factor)]}))
+
     # partial runs merge into the existing probe file: one new operator
     # family should not require re-timing (or losing) the whole suite
     if "all" not in sections and os.path.exists(out_json):
