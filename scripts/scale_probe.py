@@ -1042,6 +1042,27 @@ def main():
             }
             print(json.dumps({factor: results["r10_knn32"][str(factor)]}))
 
+    # round-10 probe: the gradient-descent classifier family. The loop is
+    # n_iters x (one map-side-combined gradient aggregate + one accuracy
+    # aggregate) — cost ∝ corpus per iteration with 3-long partials, so
+    # wall should track the feature pass, not the model.
+    if want("lr32"):
+        from ltss_spark.operators.ml import logreg_score, logreg_train
+
+        results["r10_lr32"] = {}
+        logreg_train(warm, n_iters=1).count()  # warm
+        for factor in (1, 16, 32):
+            docs = replicated_docs(spark, sf_dir, factor, base)
+            row = {"n_docs": docs.count()}
+            row["train_rows"], row["train_sec"] = timed(
+                lambda: logreg_train(docs, n_iters=3).count()
+            )
+            row["score_rows"], row["score_sec"] = timed(
+                lambda: logreg_score(docs, n_iters=3).count()
+            )
+            results["r10_lr32"][str(factor)] = row
+            print(json.dumps({factor: row}))
+
     # partial runs merge into the existing probe file: one new operator
     # family should not require re-timing (or losing) the whole suite
     if "all" not in sections and os.path.exists(out_json):
