@@ -167,14 +167,28 @@ SMALL_COUNTS_ROWS = 500_000
 SMALL_COUNTS_BYTES = 32 * 1024 * 1024
 
 
-def _est_row_bytes(schema) -> int:
+#: pessimistic per-string byte assumption — used ONLY for strings the
+#: pre-flight could not measure (nested inside arrays/maps/structs, or
+#: all-NULL columns). Top-level string columns are MEASURED (ADVICE r10:
+#: a fixed 20 B understated phrase/URL keys, the exact failure mode the
+#: SMALL_COUNTS_BYTES ceiling exists to prevent); 64 B matches the
+#: deliberately-pessimistic ~16-element array/map policy below.
+_PESSIMISTIC_STR_BYTES = 64
+
+
+def _est_row_bytes(schema, str_widths: dict[str, int] | None = None) -> int:
     """Schema-driven per-row byte estimate (the same role as Catalyst's
     defaultSize, which PySpark does not expose): fixed widths for
-    primitives, 20 B strings, and a deliberately PESSIMISTIC ~16-element
-    assumption for arrays/maps — overestimating only risks a sort-merge
-    join where a broadcast might have fit; underestimating risks a heavy
-    broadcast, the exact failure this cut exists to prevent."""
+    primitives, MEASURED top-level string widths (``str_widths`` maps
+    field name -> avg octet_length from the caller's stats aggregate;
+    ADVICE r10), and a deliberately PESSIMISTIC ~16-element assumption
+    for arrays/maps and unmeasured strings — overestimating only risks a
+    sort-merge join where a broadcast might have fit; underestimating
+    risks a heavy broadcast, the exact failure this cut exists to
+    prevent."""
     from pyspark.sql import types as T
+
+    widths = str_widths or {}
 
     def sz(dt) -> int:
         if isinstance(dt, (T.LongType, T.DoubleType, T.TimestampType)):
@@ -182,7 +196,7 @@ def _est_row_bytes(schema) -> int:
         if isinstance(dt, (T.IntegerType, T.FloatType, T.DateType)):
             return 4
         if isinstance(dt, T.StringType):
-            return 20
+            return _PESSIMISTIC_STR_BYTES
         if isinstance(dt, T.ArrayType):
             return 16 * sz(dt.elementType)
         if isinstance(dt, T.MapType):
@@ -191,7 +205,13 @@ def _est_row_bytes(schema) -> int:
             return sum(sz(f.dataType) for f in dt.fields)
         return 16
 
-    return sum(sz(f.dataType) for f in schema.fields)
+    total = 0
+    for f in schema.fields:
+        if isinstance(f.dataType, T.StringType) and f.name in widths:
+            total += widths[f.name]
+        else:
+            total += sz(f.dataType)
+    return total
 
 
 def hot_key_guarded_join(
@@ -267,7 +287,10 @@ def hot_key_guarded_join(
     and the pre-flight measures it instead (the join still uses
     ``counts``). Callers owning such a frame already computed it; without
     this the stats would understate the big side's per-key fan-out by up
-    to the class multiplicity."""
+    to the class multiplicity. stats_of PRESENCE is folded into the cache
+    key (ADVICE r10); callers passing two DIFFERENT stats_of frames under
+    the same cache_tag must fold that identity into the tag, same rule as
+    any other stats-changing parameter."""
     key_frame = cache_key_frame if cache_key_frame is not None else counts
     app_id = counts.sparkSession.sparkContext.applicationId
     # evict stats from FINISHED applications (ADVICE r9): the cache is
@@ -282,26 +305,70 @@ def hot_key_guarded_join(
         count_col,
         skew_factor,
         min_hot_rows,
+        # stats_of changes WHAT the pre-flight measures (per-key aggregate
+        # vs counts' own count_col) — ADVICE r10: without this marker two
+        # calls sharing (key_frame, tag, count_col, knobs) that differ
+        # only in stats_of would silently share stats and could pick the
+        # wrong strategy. A presence bool (not semanticHash) because
+        # stats_of frames routinely carry checkpoint lineage whose hash
+        # is unstable per build — the same reason cache_key_frame exists;
+        # callers passing DIFFERENT stats_of frames under one tag must
+        # fold that identity into cache_tag (documented above).
+        stats_of is not None,
     )
+    from pyspark.sql import types as T
+
+    str_cols = [
+        f.name
+        for f in counts.schema.fields
+        if isinstance(f.dataType, T.StringType)
+    ]
+    width_aggs = [
+        F.ceil(F.avg(F.octet_length(F.col(c)))).alias(f"__w{i}")
+        for i, c in enumerate(str_cols)
+    ]
     stats = _PREFLIGHT_CACHE.get(cache_key)
     if stats is None:
         counts = counts.localCheckpoint(eager=False)
-        stats_frame = stats_of if stats_of is not None else counts
-        row = stats_frame.agg(
-            F.max(F.col(count_col)).alias("mx"),
-            F.avg(F.col(count_col)).alias("mean"),
-            F.count(F.lit(1)).alias("n"),
-        ).first()
-        if row is None:
-            stats = (None, None, 0)
-        elif stats_of is None:
-            stats = (row["mx"], row["mean"], row["n"])
+        if stats_of is None:
+            # ONE 1-row action: skew stats + measured string widths
+            row = counts.agg(
+                F.max(F.col(count_col)).alias("mx"),
+                F.avg(F.col(count_col)).alias("mean"),
+                F.count(F.lit(1)).alias("n"),
+                *width_aggs,
+            ).first()
+            n_counts = row["n"] if row is not None else 0
         else:
+            row = stats_of.agg(
+                F.max(F.col(count_col)).alias("mx"),
+                F.avg(F.col(count_col)).alias("mean"),
+            ).first()
             # counts' own row count (it may be keys x classes, not |keys|)
-            # — the stats action above already materialized its inputs
-            stats = (row["mx"], row["mean"], counts.count())
+            # and its string widths, in the one action that previously was
+            # a bare .count() — the stats action above already
+            # materialized its inputs
+            crow = counts.agg(
+                F.count(F.lit(1)).alias("n"), *width_aggs
+            ).first()
+            n_counts = crow["n"]
+        if row is None:
+            stats = (None, None, 0, _est_row_bytes(counts.schema))
+        else:
+            wrow = row if stats_of is None else crow
+            widths = {
+                c: int(wrow[f"__w{i}"])
+                for i, c in enumerate(str_cols)
+                if wrow[f"__w{i}"] is not None
+            }
+            stats = (
+                row["mx"],
+                row["mean"],
+                n_counts,
+                _est_row_bytes(counts.schema, widths),
+            )
         _PREFLIGHT_CACHE[cache_key] = stats
-    mx, mean, n_counts = stats
+    mx, mean, n_counts, row_bytes = stats
     hot = mx is not None and mx >= min_hot_rows and mx >= skew_factor * mean
     # Non-hot joins get an EXPLICIT strategy from the measured stats
     # instead of the static planner's estimate: a checkpointed big side is
@@ -314,13 +381,14 @@ def hot_key_guarded_join(
     # never a build side on any path.
     small = (
         n_counts <= SMALL_COUNTS_ROWS
-        and n_counts * _est_row_bytes(counts.schema) <= SMALL_COUNTS_BYTES
+        and n_counts * row_bytes <= SMALL_COUNTS_BYTES
     )
     if decision is not None:
         decision.update(
             max_key_rows=mx,
             mean_key_rows=mean,
             counts_rows=n_counts,
+            est_row_bytes=row_bytes,
             salted=bool(hot),
             strategy="salted" if hot else ("broadcast" if small else "merge"),
         )

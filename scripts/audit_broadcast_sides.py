@@ -20,7 +20,10 @@ should be explainable by a bound the code enforces.
 Usage: python scripts/audit_broadcast_sides.py [sf_dir]
 
 Baseline triage (r10, 14 hits, all explained — a NEW name appearing
-here needs the same treatment):
+here needs the same treatment). Re-run r11 after the Generate/Expand
+bounded-state fix (ADVICE r10): identical 14 hits — no registry plan
+has an exploded-aggregate build side, so the fix strengthened the
+guarantee without changing the triage list:
 - a checkpoint HIDES the aggregate inside it, so a checkpointed
   aggregate flags as raw rows: ts_gapfill / ts_interpolate build the
   checkpointed (key, bucket) AGGREGATE (LeftOuter right side — the only
@@ -62,12 +65,21 @@ def _children(node):
     return [seq.apply(i) for i in range(seq.size())]
 
 
-def _has_raw_rdd_scan(node) -> bool:
-    if any(k in node.nodeName() for k in BOUNDING):
+def _has_raw_rdd_scan(node, expanded: bool = False) -> bool:
+    """``expanded`` flips when a Generate/Expand sits between the build
+    root and a bounding operator: an explode above an aggregate
+    re-expands cardinality, so that aggregate no longer bounds the build
+    side's OUTPUT and must not stop the walk (ADVICE r10 — the previous
+    version reported an exploded-aggregate build side as safe). An
+    aggregate ABOVE the Generate still bounds and still stops."""
+    name = node.nodeName()
+    if not expanded and any(k in name for k in BOUNDING):
         return False
-    if "ExistingRDD" in node.nodeName():
+    if "ExistingRDD" in name:
         return True
-    return any(_has_raw_rdd_scan(c) for c in _children(node))
+    if "Generate" in name or "Expand" in name:
+        expanded = True
+    return any(_has_raw_rdd_scan(c, expanded) for c in _children(node))
 
 
 def _visit(node, qname: str, hits: list) -> None:
