@@ -751,9 +751,16 @@ def _bpe_train_fold(
         ).alias("sym"),
     ).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
+    arr = F.col("__arr")
     for step in range(1, n_merges + 1):
-        arr = F.split(F.col("sym"), " ")
-        pairs = d.select(
+        # hoist split(sym,' ') into ONE materialized array column per
+        # step (VERDICT r10 item 4, the gram_windows CSE rule): Catalyst
+        # does NOT CSE the repeated split here — the un-hoisted
+        # physical plan carries 3 split() evaluations per row, the
+        # hoisted one exactly 1 (CollapseProject declines to inline a
+        # non-cheap expression referenced more than once; probed, see
+        # docs/PLANS.md r11 BPE-CSE receipt)
+        pairs = d.select("n", F.split(F.col("sym"), " ").alias("__arr")).select(
             "n",
             F.explode(
                 F.zip_with(
@@ -777,21 +784,25 @@ def _bpe_train_fold(
         # greedy left-to-right merge: fold the symbol list into a
         # space-joined string, merging wherever last==lhs and next==rhs.
         # Symbols are [a-z]+ so literal injection is quote/wildcard-safe.
-        d = d.select(
-            "word",
-            "n",
-            F.expr(
-                "aggregate("
-                "  slice(split(sym, ' '), 2, size(split(sym, ' ')) - 1),"
-                "  element_at(split(sym, ' '), 1),"
-                f"  (acc, x) -> CASE WHEN x = '{b}' AND"
-                f"    (acc = '{a}' OR acc LIKE '% {a}')"
-                f"    THEN concat(substring(acc, 1, length(acc) - {len(a)}),"
-                f"                '{a + b}')"
-                "    ELSE concat(acc, ' ', x) END"
-                ")"
-            ).alias("sym"),
-        ).localCheckpoint(eager=False)
+        d = (
+            d.select("word", "n", F.split(F.col("sym"), " ").alias("__arr"))
+            .select(
+                "word",
+                "n",
+                F.expr(
+                    "aggregate("
+                    "  slice(__arr, 2, size(__arr) - 1),"
+                    "  element_at(__arr, 1),"
+                    f"  (acc, x) -> CASE WHEN x = '{b}' AND"
+                    f"    (acc = '{a}' OR acc LIKE '% {a}')"
+                    f"    THEN concat(substring(acc, 1, length(acc) - {len(a)}),"
+                    f"                '{a + b}')"
+                    "    ELSE concat(acc, ' ', x) END"
+                    ")"
+                ).alias("sym"),
+            )
+            .localCheckpoint(eager=False)
+        )
     return merges, d
 
 

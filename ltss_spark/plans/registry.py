@@ -80,98 +80,28 @@ def register(name: str, oracle: str | None, survey: str = ""):
 # Driver CORRECTNESS-window priority.
 #
 # The per-round driver check covers roughly the first 50 `queries()` entries
-# in dict order. The union of CORRECTNESS_r01-r09 gives all 223 pre-r10
-# entries at least one driver row, all green on their latest check. Round 10
-# heads the window with the nine never-verified round-10 entries (the State
-# API v2 quartet — VERDICT r9 item 2 plus the map/list/initialState halves —
-# the BPE train+encode pair, and the classifier train/score/calibrate
-# trio), then the entries whose
-# implementation or oracle materially changed this round (the tie-free
-# floor-quantized Lloyd means and the skew-guard cache-key fix, both ADVICE
-# r9), then drains the ENTIRE r4 staleness cohort (VERDICT r9 item 1: all 33
-# entries whose latest driver row is r4), then the round-10 second batch
-# (the Naive Bayes train/apply/evaluate trio and PMI collocations — also
-# never driver-verified). _DRIVER_SECOND continues strictly
-# least-recently-verified-first (r6 cohort first), so by r11 the remaining
-# r6 cohort drains too and no entry is ever older than two rounds of plan
-# churn.
+# in dict order. The union of CORRECTNESS_r01-r10 gives all 236 pre-r11
+# entries a green latest check, distributed r6:45 r7:49 r8:46 r9:46 r10:50.
+# Round 11 heads the window with the one never-verified round-11 entry
+# (stream_tws_ooo — the out-of-order State API v2 prefix entry, VERDICT
+# r10 item 3), then drains the ENTIRE r6 staleness cohort (VERDICT r10
+# item 1: all 45 entries whose latest driver row is round 6 — after this
+# window no entry's latest check is older than r7), then the four entries
+# whose implementation materially changed this round: the logreg trio
+# (the fused accuracy-in-gradient _fit, VERDICT r10 item 2 — bit-identical
+# by construction, but the loop was rewritten) and ext_tfidf as the
+# representative of the skew-guard pre-flight change (measured string
+# widths + stats_of cache key, ADVICE r10; ext_unigram_lm / ext_bigram_lm
+# / ext_nb_score / ext_nb_confusion share the identical code path and
+# keep their r10 rows). _DRIVER_SECOND continues strictly
+# least-recently-verified-first (r7 cohort next), so the window never
+# re-checks fresh surface while stale surface waits.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY: list[str] = [
-    # --- new in round 10 (never driver-verified) ---
-    "stream_tws_totals",
-    "stream_distinct_state",
-    "stream_list_state",
-    "stream_state_bootstrap",
-    "ext_bpe_train",
-    "ext_bpe_encode",
-    "ext_lr_train",
-    "ext_lr_score",
-    "ext_lr_calibration",
-    # --- materially changed in round 10 (must re-verify): the tie-free
-    # floor-quantized Lloyd oracle (ADVICE r9) and the three skew-guarded
-    # token joins whose pre-flight cache key changed (ADVICE r9) ---
-    "ext_dedup_semantic_kmeans",
-    "ext_tfidf",
-    "ext_unigram_lm",
-    "ext_bigram_lm",
-    # --- staleness drain (VERDICT r9 item 1): the ENTIRE r4 cohort ---
-    "ext_multimodal",
-    "ext_pack_sequences",
-    "ext_quality_filter",
-    "ext_sim_search",
-    "ext_text_stats",
-    "geo_bbox_join",
-    "geo_distance",
-    "join_asof",
-    "join_skew_salted",
-    "ltss_attr_keys",
-    "ltss_bucket",
-    "ltss_latest",
-    "ltss_snapshot",
-    "scan_jdbc",
-    "sink_partitioned",
-    "sink_upsert",
-    "sql_q1",
-    "sql_q11",
-    "sql_q19",
-    "sql_q20",
-    "sql_q3",
-    "sql_q5",
-    "sql_q6",
-    "stream_dedup",
-    "stream_ingest",
-    "stream_stateful",
-    "stream_upsert",
-    "ts_gapfill",
-    "ts_sessionize",
-    "udaf",
-    "udf_scalar",
-    "udtf",
-    "win_time_range",
-    # --- new in round 10, second batch (never driver-verified): the NB
-    # train/apply/evaluate trio and PMI collocation mining ---
-    "ext_nb_train",
-    "ext_nb_score",
-    "ext_nb_confusion",
-    "ext_pmi",
-]
-
-#: entries with a PRE-existing driver row whose implementation or oracle
-#: changed materially this round — they justify a window slot exactly like a
-#: never-verified entry (tests/test_plans.py window-packing guard).
-_CHANGED_ENTRIES: set[str] = {
-    "ext_dedup_semantic_kmeans",
-    "ext_tfidf",
-    "ext_unigram_lm",
-    "ext_bigram_lm",
-}
-
-# Entries with an existing green driver row; least-recently-verified first
-# (remaining r6 cohort, then r7, r8, r9) — any window wider than the
-# priority block re-confirms the stalest surface next.
-_DRIVER_SECOND: list[str] = [
-    # --- latest driver row: round 6 ---
+    # --- new in round 11 (never driver-verified) ---
+    "stream_tws_ooo",
+    # --- staleness drain (VERDICT r10 item 1): the ENTIRE r6 cohort ---
     "agg_theta_overlap",
     "diag_skew",
     "ext_dedup_cdf",
@@ -217,6 +147,27 @@ _DRIVER_SECOND: list[str] = [
     "ts_ohlc",
     "ts_outliers",
     "win_lag_lead",
+    # --- materially changed in round 11 (must re-verify) ---
+    "ext_lr_train",
+    "ext_lr_score",
+    "ext_lr_calibration",
+    "ext_tfidf",
+]
+
+#: entries with a PRE-existing driver row whose implementation or oracle
+#: changed materially this round — they justify a window slot exactly like a
+#: never-verified entry (tests/test_plans.py window-packing guard).
+_CHANGED_ENTRIES: set[str] = {
+    "ext_lr_train",
+    "ext_lr_score",
+    "ext_lr_calibration",
+    "ext_tfidf",
+}
+
+# Entries with an existing green driver row; least-recently-verified first
+# (r7 cohort, then r8, r9, r10) — any window wider than the priority block
+# re-confirms the stalest surface next.
+_DRIVER_SECOND: list[str] = [
     # --- latest driver row: round 7 ---
     "agg_basic",
     "agg_collect",
@@ -361,6 +312,53 @@ _DRIVER_SECOND: list[str] = [
     "ts_histogram",
     "ts_lttb",
     "ts_trend",
+    # --- latest driver row: round 10 ---
+    "ext_bigram_lm",
+    "ext_bpe_encode",
+    "ext_bpe_train",
+    "ext_dedup_semantic_kmeans",
+    "ext_multimodal",
+    "ext_nb_confusion",
+    "ext_nb_score",
+    "ext_nb_train",
+    "ext_pack_sequences",
+    "ext_pmi",
+    "ext_quality_filter",
+    "ext_sim_search",
+    "ext_text_stats",
+    "ext_unigram_lm",
+    "geo_bbox_join",
+    "geo_distance",
+    "join_asof",
+    "join_skew_salted",
+    "ltss_attr_keys",
+    "ltss_bucket",
+    "ltss_latest",
+    "ltss_snapshot",
+    "scan_jdbc",
+    "sink_partitioned",
+    "sink_upsert",
+    "sql_q1",
+    "sql_q11",
+    "sql_q19",
+    "sql_q20",
+    "sql_q3",
+    "sql_q5",
+    "sql_q6",
+    "stream_dedup",
+    "stream_distinct_state",
+    "stream_ingest",
+    "stream_list_state",
+    "stream_state_bootstrap",
+    "stream_stateful",
+    "stream_tws_totals",
+    "stream_upsert",
+    "ts_gapfill",
+    "ts_sessionize",
+    "udaf",
+    "udf_scalar",
+    "udtf",
+    "win_time_range",
 ]
 
 

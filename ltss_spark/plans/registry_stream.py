@@ -1196,6 +1196,102 @@ def stream_tws_totals_q(spark, sf_dir):
 
 
 @register(
+    "stream_tws_ooo",
+    """
+    SELECT user_id, ts, event_id,
+           CAST(row_number() OVER w AS BIGINT) AS run_n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS run_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    survey="stream_stateful stream_watermark udaf (State API v2 "
+    "OUT-OF-ORDER prefix exactness, VERDICT r10 item 3: source files "
+    "deliberately time-shuffled [middle, early, late], list-state "
+    "buffering until the watermark proves the prefix, earliest-element "
+    "event-time timers, Flink-style end-of-input watermark punctuation; "
+    "output hash-identical to the ordered batch prefix oracle)",
+)
+def stream_tws_ooo_q(spark, sf_dir):
+    """Out-of-order running totals (streaming/stateful.
+    streaming_running_totals_tws_ooo): the events table split into three
+    time-tercile parquet files delivered in the SHUFFLED order
+    [middle, early, late] — each later batch contains events EARLIER
+    than ones already processed, the exact layout the ordered
+    stream_tws_totals entry documents as its unproven production case.
+    The watermark delay is sized to the displacement (max(middle) -
+    min(early), plus a 1 s guard) so nothing is late-dropped; a final
+    sentinel file (event_id = -1 punctuation, one row per user) pushes
+    the closing watermark past the stream max so every buffered prefix
+    drains — bounded-input MAX_WATERMARK semantics. The result must
+    hash-match the SAME windowed exact-DECIMAL oracle as the ordered
+    entry: buffering + watermark + timers reconstruct event-time order
+    exactly. Capability-gated onto running_totals_replay when the
+    session's JVM lacks a worker-visible protobuf runtime (the
+    stream_tws_totals precedent); tests/test_streaming.py pins
+    stream == replay where the runtime IS available."""
+    import glob as g
+    import os
+    import shutil
+
+    from ltss_spark.plans.registry import _t
+    from ltss_spark.streaming.stateful import (
+        _require_worker_visible_protobuf,
+        running_totals_replay,
+        streaming_running_totals_tws_ooo,
+        tws_available,
+    )
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    use_tws = tws_available()
+    if use_tws:
+        try:
+            _require_worker_visible_protobuf(spark)
+        except RuntimeError:
+            use_tws = False  # JVM predates the runtime export: replay path
+    if not use_tws:
+        return running_totals_replay(e)
+    us = F.unix_micros(F.col("ts"))
+    bounds = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) // 3
+    cut1, cut2 = lo + span, lo + 2 * span
+    # delay must cover the displacement: the early tercile arrives AFTER
+    # the middle one, so its oldest event is (cut2 - lo) behind the
+    # watermark's high point; +1 s guard against ms flooring
+    delay_ms = (cut2 - lo) // 1000 + 1000
+    sentinel_us = hi + (delay_ms + 1000) * 1000
+    base = scratch_dir("ltss_stream_tws_ooo")
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    sentinel = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.col("user_id"),
+            F.timestamp_micros(F.lit(sentinel_us)).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    parts = [
+        e.filter((us >= cut1) & (us < cut2)),  # middle FIRST
+        e.filter(us < cut1),  # then early — genuinely out of order
+        e.filter(us >= cut2),  # then late
+        sentinel.select("event_id", "user_id", "ts", "value"),
+    ]
+    now = 1_700_000_000
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.parquet(f"{src}/__tmp")
+        shutil.move(
+            g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/b{i}.parquet"
+        )
+        shutil.rmtree(f"{src}/__tmp")
+        os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
+    return streaming_running_totals_tws_ooo(spark, src, delay_ms)
+
+
+@register(
     "stream_distinct_state",
     """
     SELECT user_id,
