@@ -95,6 +95,15 @@ HEADLINE = [
     # recursion via the reflection identity)
     "ext_pagerank",
     "ts_changepoint_cusum",
+    # round 11 (VERDICT r10 item 7, decided 2026-08-16): the set had been
+    # frozen since r9; extend with ONE round-10 family representative —
+    # ext_bpe_train, the heaviest new shape (8 sequential argmax+merge
+    # rounds, driver-fetched 1-row decisions, checkpointed fold) AND the
+    # code path the r11 split-CSE hoist changed, so its quiet history
+    # tracks exactly that change. The other 25 queries keep their
+    # histories; totals across rounds compare on the shared 25 (the same
+    # convention as the r8/r9 extensions).
+    "ext_bpe_train",
 ]
 
 

@@ -155,6 +155,13 @@ def main():
     from ltss_spark.sources.batch import upsert_partitioned, write_partitioned
     from ltss_spark.session import pin_session_for_oracle
 
+    # State API v2 protobuf shim must be wired BEFORE the JVM starts
+    # (local-mode workers inherit the env captured at JVM launch) — the
+    # twsooo probe runs a real transformWithStateInPandas stream
+    from ltss_spark.streaming.stateful import enable_state_api_v2_runtime
+
+    enable_state_api_v2_runtime()
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -1062,6 +1069,63 @@ def main():
             )
             results["r10_lr32"][str(factor)] = row
             print(json.dumps({factor: row}))
+
+    # round-11 probe: stream_tws_ooo (out-of-order State API v2 prefix
+    # entry). The axis that matters is BUFFERED ROWS: same users, same
+    # time span, f x the events — each key's list-state buffer and every
+    # watermark drain grow ∝ f while the micro-batch count stays fixed
+    # (4 files + the finalization batch), so the expected shape is fixed
+    # trigger/RocksDB latency + a linear term. Runs the REAL streaming
+    # entry end-to-end (skipped with a note when the State API v2
+    # runtime is not worker-visible in this JVM).
+    if want("twsooo"):
+        import ltss_spark.plans as plans
+        from ltss_spark.streaming.stateful import (
+            _require_worker_visible_protobuf,
+            tws_available,
+        )
+
+        results["r11_twsooo"] = {}
+        ok = tws_available()
+        if ok:
+            try:
+                _require_worker_visible_protobuf(spark)
+            except RuntimeError:
+                ok = False
+        if not ok:
+            results["r11_twsooo"]["skipped"] = "tws runtime unavailable"
+        else:
+            ev = spark.read.parquet(
+                os.path.join(sf_dir, "events.parquet")
+            ).select("event_id", "user_id", "ts", "value")
+            n0 = ev.agg(F.max("event_id")).first()[0] + 1
+            q = plans.queries()["stream_tws_ooo"]
+            for factor in (1, 4):
+                rep = ev
+                for i in range(1, factor):
+                    rep = rep.union(
+                        ev.select(
+                            (F.col("event_id") + F.lit(i * n0)).alias(
+                                "event_id"
+                            ),
+                            "user_id",
+                            "ts",
+                            "value",
+                        )
+                    )
+                d = os.path.join(base, f"twsooo_x{factor}")
+                os.makedirs(d, exist_ok=True)
+                rep.coalesce(8).write.mode("overwrite").parquet(
+                    os.path.join(d, "events.parquet")
+                )
+                row = {
+                    "n_events": spark.read.parquet(
+                        os.path.join(d, "events.parquet")
+                    ).count()
+                }
+                row["out_rows"], row["sec"] = timed(lambda: q(spark, d).count())
+                results["r11_twsooo"][str(factor)] = row
+                print(json.dumps({factor: row}))
 
     # partial runs merge into the existing probe file: one new operator
     # family should not require re-timing (or losing) the whole suite
