@@ -82,25 +82,29 @@ def register(name: str, oracle: str | None, survey: str = ""):
 # The per-round driver check covers roughly the first 50 `queries()` entries
 # in dict order. The union of CORRECTNESS_r01-r10 gives all 236 pre-r11
 # entries a green latest check, distributed r6:45 r7:49 r8:46 r9:46 r10:50.
-# Round 11 heads the window with the one never-verified round-11 entry
+# Round 11 heads the window with the two never-verified round-11 entries
 # (stream_tws_ooo — the out-of-order State API v2 prefix entry, VERDICT
-# r10 item 3), then drains the ENTIRE r6 staleness cohort (VERDICT r10
+# r10 item 3 — and ext_dedup_containment, the sub-document containment
+# dedup), then drains the ENTIRE r6 staleness cohort (VERDICT r10
 # item 1: all 45 entries whose latest driver row is round 6 — after this
-# window no entry's latest check is older than r7), then the four entries
-# whose implementation materially changed this round: the logreg trio
-# (the fused accuracy-in-gradient _fit, VERDICT r10 item 2 — bit-identical
-# by construction, but the loop was rewritten) and ext_tfidf as the
-# representative of the skew-guard pre-flight change (measured string
-# widths + stats_of cache key, ADVICE r10; ext_unigram_lm / ext_bigram_lm
-# / ext_nb_score / ext_nb_confusion share the identical code path and
-# keep their r10 rows). _DRIVER_SECOND continues strictly
-# least-recently-verified-first (r7 cohort next), so the window never
-# re-checks fresh surface while stale surface waits.
+# window no entry's latest check is older than r7), then the three
+# entries whose implementation materially changed this round: the logreg
+# trio (the fused accuracy-in-gradient _fit, VERDICT r10 item 2 —
+# bit-identical by construction, but the loop was rewritten). The r11
+# skew-guard pre-flight change (measured string widths + stats_of cache
+# key, ADVICE r10) touches ext_tfidf / ext_unigram_lm / ext_bigram_lm /
+# ext_nb_score / ext_nb_confusion but is value-preserving by TESTED
+# contract (salted/broadcast/merge all produce identical rows; all five
+# were re-verified hash-green at sf0.01 in-session), so those keep their
+# r10 rows rather than displacing the staleness drain. _DRIVER_SECOND
+# continues strictly least-recently-verified-first (r7 cohort next), so
+# the window never re-checks fresh surface while stale surface waits.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY: list[str] = [
     # --- new in round 11 (never driver-verified) ---
     "stream_tws_ooo",
+    "ext_dedup_containment",
     # --- staleness drain (VERDICT r10 item 1): the ENTIRE r6 cohort ---
     "agg_theta_overlap",
     "diag_skew",
@@ -151,7 +155,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_lr_train",
     "ext_lr_score",
     "ext_lr_calibration",
-    "ext_tfidf",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -161,7 +164,6 @@ _CHANGED_ENTRIES: set[str] = {
     "ext_lr_train",
     "ext_lr_score",
     "ext_lr_calibration",
-    "ext_tfidf",
 }
 
 # Entries with an existing green driver row; least-recently-verified first
@@ -326,6 +328,7 @@ _DRIVER_SECOND: list[str] = [
     "ext_quality_filter",
     "ext_sim_search",
     "ext_text_stats",
+    "ext_tfidf",
     "ext_unigram_lm",
     "geo_bbox_join",
     "geo_distance",

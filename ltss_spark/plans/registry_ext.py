@@ -259,6 +259,49 @@ def ext_dedup_ngram(spark, sf_dir):
     )
 
 
+@register(
+    "ext_dedup_containment",
+    f"""
+    WITH {_SHINGLES_CTE},
+    shc AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common / least(sa.n_shingles, sb.n_shingles), 6)
+             AS containment,
+           CASE WHEN sb.n_shingles < sa.n_shingles THEN doc_b
+                ELSE doc_a END AS contained_doc
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_common / least(sa.n_shingles, sb.n_shingles), 6) >= 0.8
+    """,
+    survey="ext_dedup_near (CONTAINMENT |A∩B|/min(|A|,|B|) over the same "
+    "df-capped inverted shingle index — the sub-document/superset "
+    "duplication signal Jaccard structurally misses: a short doc fully "
+    "quoted inside a long one scores Jaccard ~0 but containment 1.0; "
+    "contained_doc names the subset side)",
+)
+def ext_dedup_containment(spark, sf_dir):
+    """Near-superset pairs (operators/dedup.ngram_containment_pairs):
+    exact containment over 5-word shingles, candidates from the inverted
+    shingle index under the ngram entry's stop-shingle cap. Distinct
+    capability from ext_dedup_ngram, shared plumbing and scale posture
+    (bucket bound = max_shingle_df^2; no |docs|^2 term anywhere)."""
+    from ltss_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), k=5, threshold=0.8, max_shingle_df=1000
+    )
+
+
 def _oracle_base_hash() -> str:
     """DuckDB mirror of ltss_spark.operators.dedup.shingle_base_hash: parse
     the first 15 hex chars of md5(shingle) into a BIGINT (60 bits, exact),

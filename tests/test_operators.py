@@ -109,6 +109,45 @@ def test_minhash_lsh_finds_high_jaccard_pairs(spark):
     assert j[(0, 1)] > 0.9
 
 
+def test_containment_catches_subset_docs_jaccard_misses(spark):
+    """The capability claim, not just the formula: a short doc fully
+    quoted inside a much longer one is invisible to Jaccard (union
+    dominated by the long doc) but is EXACTLY what containment reports.
+    Also pins contained_doc = the smaller-shingle-set side and the
+    ordered-pair convention (doc_a < doc_b)."""
+    import itertools
+
+    from ltss_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    # 210 distinct purely-alphabetic tokens
+    toks = [
+        "".join(p) for p in itertools.islice(
+            itertools.product("abcdefghijklmnop", repeat=2), 210
+        )
+    ]
+    short = " ".join(toks[:10])  # 6 five-token shingles
+    long = " ".join(toks[:210])  # 206 shingles, first 6 shared
+    other = " ".join(reversed(toks[:100]))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, other)], "doc_id long, text string"
+    )
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac, "jaccard 6/206 must stay under threshold"
+    cont = {
+        (r.doc_a, r.doc_b): r
+        for r in ngram_containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert set(cont) == {(1, 2)}
+    assert cont[(1, 2)].containment == 1.0
+    assert cont[(1, 2)].contained_doc == 1, "smaller shingle set is contained"
+
+
 def test_sim_search_lsh_recall_vs_exact(spark):
     """Random-hyperplane LSH recall@5 against the exact brute-force top-k
     on the driver's embeddings (label-clustered => high-cosine neighbors)."""
