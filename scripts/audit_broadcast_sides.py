@@ -28,7 +28,9 @@ guarantee without changing the triage list:
   aggregate flags as raw rows: ts_gapfill / ts_interpolate build the
   checkpointed (key, bucket) AGGREGATE (LeftOuter right side — the only
   legal build side, flips to SMJ as estimates grow); ext_dedup_minhash
-  / _verified / _ngram build the checkpointed signature/shingle-derived
+  / _verified / _ngram — and, from r11, _containment (same checkpointed
+  shingle frame and unhinted sizes joins as _ngram; 15 hits total now) —
+  build the checkpointed signature/shingle-derived
   frames (bands x |docs| rows by design, probed linear to 32x);
 - measured-small pins (the guard / pmi's driver-fetched vocab size):
   ext_tfidf, ext_unigram_lm, ext_bigram_lm, ext_pmi (x2) — these pins
