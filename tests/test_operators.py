@@ -148,6 +148,80 @@ def test_containment_catches_subset_docs_jaccard_misses(spark):
     assert cont[(1, 2)].contained_doc == 1, "smaller shingle set is contained"
 
 
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _CONT_DOCS = st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+
+    @given(
+        docs_toks=_CONT_DOCS,
+        df_cap=st.integers(min_value=1, max_value=6),
+        thr=st.sampled_from([0.3, 0.6, 0.9]),
+    )
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_containment_property_vs_python_reference(
+        spark, docs_toks, df_cap, thr
+    ):
+        """Property: for ANY token lists, df cap, and threshold, the
+        distributed containment pipeline (shingle sets -> df-capped
+        universe -> inverted-index join -> |A∩B|/min) equals a direct
+        Python set computation — including the doc_a<doc_b convention,
+        the contained_doc tie-break, and docs too short to shingle."""
+        from collections import Counter
+
+        from ltss_spark.operators.dedup import ngram_containment_pairs
+
+        k = 3
+        sets: dict[int, set] = {}
+        for i, ts in enumerate(docs_toks):
+            sets[i] = (
+                {" ".join(ts[j : j + k]) for j in range(len(ts) - k + 1)}
+                if len(ts) >= k
+                else set()
+            )
+        df_count = Counter(g for s in sets.values() for g in s)
+        sets = {
+            i: {g for g in s if df_count[g] <= df_cap}
+            for i, s in sets.items()
+        }
+        expected = {}
+        for a in sets:
+            for b in sets:
+                if a < b and sets[a] and sets[b]:
+                    inter = len(sets[a] & sets[b])
+                    c = round(inter / min(len(sets[a]), len(sets[b])), 6)
+                    if inter > 0 and c >= thr:
+                        contained = a if len(sets[b]) >= len(sets[a]) else b
+                        expected[(a, b)] = (c, contained)
+        frame = spark.createDataFrame(
+            [(i, " ".join(ts)) for i, ts in enumerate(docs_toks)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_a, r.doc_b): (r.containment, r.contained_doc)
+            for r in ngram_containment_pairs(
+                frame, k=k, threshold=thr, max_shingle_df=df_cap
+            ).collect()
+        }
+        assert got == expected
+
+except ImportError:  # hypothesis not installed — the fixed test above runs
+    pass
+
+
 def test_sim_search_lsh_recall_vs_exact(spark):
     """Random-hyperplane LSH recall@5 against the exact brute-force top-k
     on the driver's embeddings (label-clustered => high-cosine neighbors)."""
