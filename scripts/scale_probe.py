@@ -1070,6 +1070,26 @@ def main():
             results["r10_lr32"][str(factor)] = row
             print(json.dumps({factor: row}))
 
+    # round-11 probe: containment dedup at 16x/64x. Same inverted-index
+    # shape as ngram Jaccard (shared shingle plumbing, df-capped
+    # universe); replicas are letter-tagged so each replica's shingles
+    # are disjoint — candidate volume and output pairs grow linearly
+    # with the factor, which is what the probe checks (no quadratic
+    # term sneaking in through the sizes joins).
+    if want("cont64"):
+        from ltss_spark.operators.dedup import ngram_containment_pairs
+
+        results["r11_cont64"] = {}
+        ngram_containment_pairs(warm).count()  # warm
+        for factor in (16, 64):
+            docs = replicated_docs(spark, sf_dir, factor, base)
+            row = {"n_docs": docs.count()}
+            row["pairs"], row["sec"] = timed(
+                lambda: ngram_containment_pairs(docs).count()
+            )
+            results["r11_cont64"][str(factor)] = row
+            print(json.dumps({factor: row}))
+
     # round-11 probe: stream_tws_ooo (out-of-order State API v2 prefix
     # entry). The axis that matters is BUFFERED ROWS: same users, same
     # time span, f x the events — each key's list-state buffer and every
