@@ -14,6 +14,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # window evidence, sampled BEFORE Spark's 32 threads start AND again
+    # at the end: the r11 sweeps showed a 1-min pre-load of 0.07 can hide
+    # a 5-min average of 4+ and a mid-run noisy-neighbor burst — record
+    # all three so a sweep number carries its own comparability caveat
+    try:
+        load1_pre, load5_pre, _ = (round(v, 2) for v in os.getloadavg())
+    except OSError:
+        load1_pre = load5_pre = -1.0
     import ltss_spark.plans as plans
     from ltss_spark.session import get_spark
 
@@ -27,7 +35,13 @@ def main() -> None:
         ops[q.name] = round(time.time() - t0, 3)
     print(
         json.dumps(
-            {"total_sec": round(sum(ops.values()), 3), "n_ops": len(ops), "ops": ops}
+            {
+                "total_sec": round(sum(ops.values()), 3),
+                "n_ops": len(ops),
+                "load_1m_pre": load1_pre,
+                "load_5m_pre": load5_pre,
+                "ops": ops,
+            }
         )
     )
 
