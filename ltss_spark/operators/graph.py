@@ -439,3 +439,109 @@ def pagerank(
     return ranks.select(
         "node", (F.col("rank_n").cast("double") / F.lit(1e9)).alias("rank")
     )
+
+
+def triangle_counts(
+    pairs: DataFrame, src: str = "a", dst: str = "b"
+) -> DataFrame:
+    """Per-node triangle counts by DEGREE-ORIENTED wedge closure (Suri &
+    Vassilvitskii, "Counting triangles and the curse of the last
+    reducer", WWW'11) — the third member of the graph family next to
+    connected components (dup-cluster membership) and PageRank (canonical
+    -copy authority): a node's triangle count / clustering coefficient
+    measures how CLIQUE-LIKE its neighborhood is (co-purchase affinity
+    groups, transitivity of near-duplication).
+
+    The naive plan — join the edge list with itself on a shared endpoint,
+    then probe for the closing edge — dies at scale on the highest-degree
+    node: a degree-d hub contributes C(d,2) wedges, and at 100 TB the
+    hottest key's wedge set IS the job ("the curse of the last reducer").
+    Orientation fixes the asymptotics, not just the constant: direct
+    every undirected edge from its lower-(degree, id) endpoint to the
+    higher, and generate wedges only at each node's OUT-neighbors. Every
+    triangle then has exactly one apex (its minimum endpoint in the
+    (degree, id) order) and out-degrees are bounded by O(sqrt(m)), so
+    total wedge work is sum(d_out^2) = O(m^1.5) regardless of hub skew —
+    a degree-d hub is the oriented TARGET of its heavy edges, never the
+    wedge generator.
+
+    Plan shape: one distinct (canonical a<b edges), one degree aggregate,
+    two (degree-attach) joins, ONE wedge self-join on the apex key, one
+    LEFT SEMI probe against the oriented edge list for the closing edge,
+    one final per-node aggregate. All equi-joins — no cartesian, no
+    Python.
+
+    Returns (node, degree, n_triangles) for every node with degree >= 1;
+    all-BIGINT, hash-exact cross-engine (the oracle is the brute-force
+    canonical x<y<z triple join — orientation must not change a single
+    count).
+    """
+    e = (
+        pairs.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        # consumers: degree agg, orientation join, closure probe
+        .localCheckpoint(eager=False)
+    )
+    sym = e.select(F.col("a").alias("node")).unionAll(
+        e.select(F.col("b").alias("node"))
+    )
+    deg = (
+        sym.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    lo_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    # oriented edge u -> v with v's (degree, id) key carried for the
+    # wedge-ordering comparison (the closing edge of a wedge (v, w) with
+    # key(v) < key(w) is oriented v -> w by construction)
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(
+                lo_first,
+                F.struct(F.col("degb").alias("d"), F.col("b").alias("n")),
+            )
+            .otherwise(F.struct(F.col("dega").alias("d"), F.col("a").alias("n")))
+            .alias("vkey"),
+        )
+        .localCheckpoint(eager=False)  # wedge both sides + closure probe
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.vkey") < F.col("e2.vkey")),
+    ).select(
+        F.col("e1.u").alias("x"),
+        F.col("e1.v").alias("y"),
+        F.col("e2.v").alias("z"),
+    )
+    closing = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = wedges.join(closing, ["y", "z"], "left_semi").localCheckpoint(
+        eager=False
+    )  # three per-corner projections below
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )

@@ -105,6 +105,8 @@ _DRIVER_PRIORITY: list[str] = [
     # --- new in round 11 (never driver-verified) ---
     "stream_tws_ooo",
     "ext_dedup_containment",
+    "ext_setsim_join",
+    "ext_triangle_count",
     # --- staleness drain (VERDICT r10 item 1): the ENTIRE r6 cohort ---
     "agg_theta_overlap",
     "diag_skew",
@@ -149,8 +151,9 @@ _DRIVER_PRIORITY: list[str] = [
     "ts_ewma",
     "ts_funnel",
     "ts_ohlc",
-    "ts_outliers",
-    "win_lag_lead",
+    # ts_outliers + win_lag_lead: displaced from the r6 drain by the two
+    # round-11 NEW entries (never-verified beats stale-but-green for a
+    # window slot) — they are the r12 carryover, put them first next round
     # --- materially changed in round 11 (must re-verify) ---
     "ext_lr_train",
     "ext_lr_score",

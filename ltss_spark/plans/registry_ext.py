@@ -3053,3 +3053,118 @@ def ext_pmi(spark, sf_dir):
     from ltss_spark.operators.text import pmi_collocations
 
     return pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
+#: shared k=3 shingle CTE for the set-similarity entry (the k=5 cousin is
+#: _SHINGLES_CTE) — mirrors ltss_spark.operators.dedup.shingles at k=3
+_SHINGLES3_CTE = f"""
+    toks3 AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh3 AS (
+      SELECT DISTINCT doc_id, array_to_string(t[u.i:u.i + 2], ' ') AS shingle
+      FROM toks3, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+      WHERE len(t[u.i:u.i + 2]) = 3
+    )
+"""
+
+
+@register(
+    "ext_setsim_join",
+    f"""
+    WITH {_SHINGLES3_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT da AS doc_a, db AS doc_b, CAST(c AS BIGINT) AS n_common,
+           round(c / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = da
+    JOIN sizes sb ON sb.doc_id = db
+    WHERE c * 10 >= 6 * (sa.n + sb.n - c)
+    """,
+    survey="ext_dedup_near (EXACT set-similarity self-join, Jaccard >= 0.6 "
+    "over 3-word shingle sets, via AllPairs/PPJoin PREFIX FILTERING — the "
+    "lossless candidate scheme: sets ordered by one global (df ASC, "
+    "shingle ASC) order, only the first n-ceil(t*n)+1 rarest elements "
+    "indexed, plus the min/max length filter; provably a candidate "
+    "superset of every qualifying pair, so the oracle is the full "
+    "UNCAPPED brute-force inverted-index answer — unlike MinHash "
+    "(probabilistic misses) or the df-capped ngram entry (truncated "
+    "universe), this one must not lose a single pair)",
+)
+def ext_setsim_join(spark, sf_dir):
+    """Exact Jaccard>=0.6 pairs over 3-word shingle sets
+    (operators/dedup.setsim_join_pairs): AllPairs prefix filtering —
+    candidates from an equi-join on each set's RAREST
+    ``n - ceil(0.6 n) + 1`` shingles under the global (df, shingle)
+    order, integer-exact threshold gates (10*common >= 6*union), exact
+    verification via array_intersect on the per-doc arrays. The df
+    attach rides hot_key_guarded_join (the df aggregate doubles as the
+    skew pre-flight). Candidate cost is sum(df^2) over PREFIX (rare)
+    shingles only — the stop-shingle buckets a naive inverted index
+    drowns in never enter the join, with zero approximation."""
+    from ltss_spark.operators.dedup import setsim_join_pairs
+
+    return setsim_join_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold_tenths=6
+    )
+
+
+@register(
+    "ext_triangle_count",
+    """
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    symn AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+    deg AS (SELECT node, COUNT(*) AS degree FROM symn GROUP BY node),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pt AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    tc AS (SELECT node, COUNT(*) AS n_triangles FROM pt GROUP BY node)
+    SELECT d.node, d.degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM deg d LEFT JOIN tc t USING (node)
+    """,
+    survey="join_inner agg_basic join_semi (degree-oriented triangle "
+    "counting over the co-purchase graph — parts co-ordered in one order; "
+    "Suri-Vassilvitskii orientation: every triangle counted once at its "
+    "minimum-(degree,id) apex, wedge work sum(d_out^2) = O(m^1.5) "
+    "regardless of hub skew; the oracle is the brute-force canonical "
+    "x<y<z triple join, so orientation must not change a single count)",
+)
+def ext_triangle_count(spark, sf_dir):
+    """Per-part triangle counts on the co-purchase graph
+    (operators/graph.triangle_counts): parts are adjacent when they
+    appear in the same order (lineitem self-equi-join on l_orderkey —
+    fan-out bounded by order size), triangles = cliques of 3 mutually
+    co-ordered parts, the affinity-group signal. Degree orientation
+    kills the hub-wedge blowup ("the curse of the last reducer"): the
+    wedge join fires only at each edge's LOW-degree end, closing edges
+    resolve via one LEFT SEMI equi-join. Output (node, degree,
+    n_triangles) is all-BIGINT — hash-exact with zero rounding rules."""
+    from ltss_spark.operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
+        )
+    )
+    return triangle_counts(edges)

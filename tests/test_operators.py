@@ -2630,3 +2630,119 @@ def test_hot_key_guard_measures_string_widths_and_keys_stats_of(
     assert len(skew._PREFLIGHT_CACHE) == 2
     assert dec_a["max_key_rows"] == 50
     assert dec_b["max_key_rows"] == 50_000_000
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join (AllPairs prefix filtering)
+# ---------------------------------------------------------------------------
+
+def test_setsim_integer_threshold_boundary(spark):
+    """Pins the integer gate 10*common >= t10*union at the EXACT boundary:
+    two 8-shingle docs sharing exactly 6 shingles have Jaccard
+    6/(8+8-6) = 0.600000 — included, not float-rounded out; a disjoint
+    doc and an identical doc bracket the range."""
+    from ltss_spark.operators.dedup import setsim_join_pairs
+
+    t = [f"t{i}" for i in range(10)]
+    d1 = " ".join(t)                         # shingles s1..s8
+    d2 = " ".join(t[:8] + ["x9", "x10"])     # shares exactly 6 of 8
+    d3 = d1                                  # identical: J = 1.0
+    d4 = " ".join(f"z{i}" for i in range(10))  # disjoint
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in setsim_join_pairs(docs, k=3, threshold_tenths=6).collect()
+    }
+    assert got == {(1, 2): (6, 0.6), (1, 3): (8, 1.0), (2, 3): (6, 0.6)}
+
+
+def test_setsim_equals_bruteforce_on_fixture(spark):
+    """Losslessness on real data: the prefix-filtered pipeline must
+    return EXACTLY the pairs of a direct (no blocking) computation over
+    the SF_SMOKE corpus — the property that separates this entry from
+    MinHash (probabilistic) and the df-capped inverted index
+    (truncated universe)."""
+    from ltss_spark.operators.dedup import setsim_join_pairs, shingles
+    from ltss_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = {
+        (r.doc_a, r.doc_b): r.n_common
+        for r in setsim_join_pairs(docs, k=3, threshold_tenths=6).collect()
+    }
+    sets: dict[int, set] = {}
+    for r in shingles(docs, k=3).collect():
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if 10 * inter >= 6 * (len(sets[a]) + len(sets[b]) - inter):
+                want[(a, b)] = inter
+    assert got == want
+    assert len(got) > 0, "fixture must exercise the operator"
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        docs_toks=st.lists(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                min_size=0,
+                max_size=12,
+            ),
+            min_size=2,
+            max_size=6,
+        ),
+        t10=st.integers(min_value=1, max_value=10),
+    )
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_setsim_property_vs_python_reference(spark, docs_toks, t10):
+        """Property: for ANY token lists and ANY threshold in tenths, the
+        prefix-filtered join equals the brute-force set computation —
+        the AllPairs losslessness lemma exercised across thresholds
+        (t10=10 indexes only the single rarest shingle per doc) and
+        degenerate shapes (empty docs, all-identical docs)."""
+        from ltss_spark.operators.dedup import setsim_join_pairs
+
+        k = 3
+        sets: dict[int, set] = {}
+        for i, ts in enumerate(docs_toks):
+            sets[i] = (
+                {" ".join(ts[j : j + k]) for j in range(len(ts) - k + 1)}
+                if len(ts) >= k
+                else set()
+            )
+        expected = {}
+        for a in sets:
+            for b in sets:
+                if a < b and sets[a] and sets[b]:
+                    inter = len(sets[a] & sets[b])
+                    if 10 * inter >= t10 * (
+                        len(sets[a]) + len(sets[b]) - inter
+                    ):
+                        expected[(a, b)] = inter
+        frame = spark.createDataFrame(
+            [(i, " ".join(ts)) for i, ts in enumerate(docs_toks)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_a, r.doc_b): r.n_common
+            for r in setsim_join_pairs(
+                frame, k=k, threshold_tenths=t10
+            ).collect()
+        }
+        assert got == expected
+
+except ImportError:  # hypothesis not installed — the fixed tests above run
+    pass
