@@ -666,3 +666,95 @@ def dsum_int(arr_col: str):
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def corpus_drift(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Token-distribution drift between two corpus splits — the mixture
+    -validation / train-eval-shift check run before training: are the
+    eval split's token frequencies the train split's, and if not, WHICH
+    tokens carry the gap (a new boilerplate template, a language slice
+    missing from one side, a crawl-date topic shift).
+
+    Per token: both raw counts, both micro-quantized frequencies
+    (``p_micro = (c * 10^6) div N`` — the split's distribution on a
+    fixed 10^-6 grid), the total-variation contribution
+    ``|p_micro - q_micro|`` and the chi-square contribution
+    ``(p-q)^2 div (p+q)`` (both of the QUANTIZED distributions — sums
+    over the full result are the corpus-level TVD x 2e6 / chi-square
+    x 1e6 up to per-token truncation < 1 micro-unit). Top ``k`` tokens
+    by TVD contribution, ties on token ascending.
+
+    Why these two divergences and not KL/JSD: they are RATIONAL in the
+    counts — the whole pipeline is BIGINT arithmetic with floor
+    divisions pinned in one order, so there is no ln() whose last-ulp
+    disagreement between engines could flip a rank (the PMI rule). KL's
+    ln adds nothing for drift TRIAGE: the per-token ordering of "who
+    moved most" is what feeds the curation decision.
+
+    Plan shape: one tokenize+hash-aggregate pass per split (map-side
+    partial combine; output bounded by |vocab|, not corpus size), each
+    checkpointed so its scalar total N does NOT rescan the corpus, one
+    full-outer join of the two vocab frames on the token key (both
+    sides already unique per key — no skew possible regardless of token
+    zipfianness, the hot keys were absorbed by the aggregates), the two
+    bounded 1-row totals broadcast in, then TakeOrderedAndProject.
+    Two corpus scans total (one per split), vocab-sized state from
+    there on — at 100 TB the scans dominate and nothing else grows.
+    """
+    zero = F.lit(0).cast("long")
+
+    def side(df: DataFrame, cnt: str) -> DataFrame:
+        return (
+            df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(cnt))
+            .localCheckpoint(eager=False)  # feeds the join AND its total
+        )
+
+    c1, c2 = side(train, "c_train"), side(eval_docs, "c_eval")
+    n1 = c1.agg(F.coalesce(F.sum("c_train"), zero).alias("n1"))
+    n2 = c2.agg(F.coalesce(F.sum("c_eval"), zero).alias("n2"))
+    quant = (
+        c1.join(c2, "token", "full")
+        .select(
+            "token",
+            F.coalesce("c_train", zero).alias("c_train"),
+            F.coalesce("c_eval", zero).alias("c_eval"),
+        )
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "token",
+            "c_train",
+            "c_eval",
+            F.expr(
+                "CASE WHEN n1 > 0 THEN (c_train * 1000000L) div n1 ELSE 0L END"
+            ).alias("p_micro"),
+            F.expr(
+                "CASE WHEN n2 > 0 THEN (c_eval * 1000000L) div n2 ELSE 0L END"
+            ).alias("q_micro"),
+        )
+    )
+    return (
+        quant.select(
+            "token",
+            "c_train",
+            "c_eval",
+            "p_micro",
+            "q_micro",
+            F.abs(F.col("p_micro") - F.col("q_micro")).alias("drift_micro"),
+            F.expr(
+                "CASE WHEN p_micro + q_micro > 0 THEN"
+                " ((p_micro - q_micro) * (p_micro - q_micro))"
+                " div (p_micro + q_micro) ELSE 0L END"
+            ).alias("chi2_micro"),
+        )
+        .orderBy(F.col("drift_micro").desc(), F.col("token").asc())
+        .limit(k)
+    )

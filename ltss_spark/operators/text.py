@@ -843,3 +843,58 @@ def bpe_encode_stats(
             .alias("n_subwords"),
         )
     )
+
+
+def skipgram_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_weight: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Windowed skip-gram co-occurrence counts with linear distance decay
+    — the word2vec/GloVe preprocessing pass (Mikolov et al. 2013): for
+    every ordered token pair (w1, w2) with w2 at most ``window``
+    positions to the right of w1, accumulate weight ``window + 1 - d``
+    (distance d: adjacent pairs weigh ``window``, the farthest weigh 1).
+    The embedding-training co-occurrence matrix, and — next to
+    :func:`pmi_collocations`, which sees only ADJACENT pairs — the wider
+    -context collocation surface.
+
+    Plan shape: pair generation is a PER-ROW array expression (nested
+    ``transform`` over the empty-compacted token array, the
+    gram_windows/repetition_stats rule — no self-join on position, which
+    would shuffle the exploded token table on doc_id twice), then ONE
+    explode feeding ONE hash aggregate (map-side partial combine does
+    the heavy lifting: the distinct-pair space is far smaller than the
+    pair stream), the ``min_weight`` floor, and a global top-k via
+    TakeOrderedAndProject (per-partition heaps, never a full sort).
+    Exactly one shuffle — on the (w1, w2) key — at any scale.
+
+    Determinism: weights are all-integer (no distance kernels in
+    doubles), ties at the top-k cut break on (w1, w2) ascending.
+
+    Empty tokens (double-space artifacts) are compacted OUT of the array
+    BEFORE windowing, so a run of spaces does not widen the effective
+    distance between surviving tokens — document this when comparing
+    against the adjacent-bigram ops, which instead DROP pairs touching
+    an empty slot.
+    """
+    t = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    pairs = F.expr(
+        f"""
+        flatten(transform(tc, (x, i) ->
+          transform(slice(tc, i + 2, {window}), (y, d) ->
+            struct(x AS w1, y AS w2, CAST({window} - d AS BIGINT) AS wt))))
+        """
+    )
+    return (
+        docs.select(t.alias("tc"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2", "p.wt")
+        .groupBy("w1", "w2")
+        .agg(F.sum("wt").alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+        .orderBy(F.col("weight").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+    )

@@ -107,6 +107,9 @@ _DRIVER_PRIORITY: list[str] = [
     "ext_dedup_containment",
     "ext_setsim_join",
     "ext_triangle_count",
+    "ext_graph_bfs",
+    "ext_corpus_drift",
+    "ext_skipgram",
     # --- staleness drain (VERDICT r10 item 1): the ENTIRE r6 cohort ---
     "agg_theta_overlap",
     "diag_skew",
@@ -148,12 +151,11 @@ _DRIVER_PRIORITY: list[str] = [
     "sql_q9",
     "stream_snapshot",
     "ts_cohort",
-    "ts_ewma",
-    "ts_funnel",
-    "ts_ohlc",
-    # ts_outliers + win_lag_lead: displaced from the r6 drain by the two
-    # round-11 NEW entries (never-verified beats stale-but-green for a
-    # window slot) — they are the r12 carryover, put them first next round
+    # ts_ewma + ts_funnel + ts_ohlc + ts_outliers + win_lag_lead: displaced
+    # from the r6 drain by the five round-11 NEW entries (never-verified
+    # beats stale-but-green for a window slot) — they are the r12
+    # carryover, put them first next round; they head _DRIVER_SECOND so any
+    # window wider than 50 still reaches them before fresher surface
     # --- materially changed in round 11 (must re-verify) ---
     "ext_lr_train",
     "ext_lr_score",
@@ -173,6 +175,13 @@ _CHANGED_ENTRIES: set[str] = {
 # (r7 cohort, then r8, r9, r10) — any window wider than the priority block
 # re-confirms the stalest surface next.
 _DRIVER_SECOND: list[str] = [
+    # --- latest driver row: round 6 (r12 carryover of the staleness
+    # drain — displaced from the priority block by round-11 new entries) ---
+    "ts_ewma",
+    "ts_funnel",
+    "ts_ohlc",
+    "ts_outliers",
+    "win_lag_lead",
     # --- latest driver row: round 7 ---
     "agg_basic",
     "agg_collect",

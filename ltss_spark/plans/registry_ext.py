@@ -3168,3 +3168,166 @@ def ext_triangle_count(spark, sf_dir):
         )
     )
     return triangle_counts(edges)
+
+
+def _bfs_oracle(max_hops: int, seed_mod: int) -> str:
+    """Unrolled min-distance relaxation mirroring operators/graph.
+    bfs_hops: d_{h} = per-node MIN over d_{h-1} ∪ (neighbors of d_{h-1}
+    at dist+1). Relaxation min equals frontier BFS (a node first reached
+    in round h has true distance h), so the frontier/anti-join plan must
+    reproduce it node-for-node."""
+    its, prev = [], "d0"
+    for h in range(1, max_hops + 1):
+        its.append(f"""
+    d{h} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT s.v AS node, p.dist + 1 AS dist
+        FROM {prev} p JOIN bsym s ON s.u = p.node
+      ) GROUP BY node
+    )""")
+        prev = f"d{h}"
+    return f"""
+    WITH bli AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    be AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM bli a JOIN bli b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    bsym AS (SELECT a AS u, b AS v FROM be UNION SELECT b AS u, a AS v FROM be),
+    d0 AS (
+      SELECT DISTINCT l_partkey AS node, 0 AS dist FROM bli
+      WHERE l_partkey % {seed_mod} = 0
+    ),{",".join(its)}
+    SELECT node, CAST(dist AS INT) AS dist FROM {prev}
+    """
+
+
+@register(
+    "ext_graph_bfs",
+    _bfs_oracle(3, 97),
+    survey="join_inner join_anti agg_basic (multi-source bounded BFS over "
+    "the co-purchase graph — blast-radius / recall-impact reachability; "
+    "level-synchronous frontier expansion, per hop ONE frontier-edge "
+    "equi-join + ONE anti-join against the visited set so work tracks the "
+    "FRONTIER not the graph; all-integer, oracle is the unrolled "
+    "min-relaxation which frontier BFS must match node-for-node)",
+)
+def ext_graph_bfs(spark, sf_dir):
+    """Hop distances from a seed part set over the co-purchase graph
+    (operators/graph.bfs_hops, max 3 hops): "which parts are co-ordered
+    within k links of a recalled part" — the frontier-expansion shape
+    the graph family lacked next to propagation (ext_pagerank),
+    contraction (ext_dedup_cluster) and closure (ext_triangle_count).
+    Seeds = parts with partkey % 97 = 0 (an external watchlist). Per
+    hop: frontier⋈edges on the source key, then LEFT ANTI against
+    visited — interior nodes never re-expand, so a bounded-hop query on
+    a 100 TB graph touches only the frontier's partitions. Adaptive
+    small-graph short-circuit replays the same level-synchronous
+    expansion driver-side under the SMALL_GRAPH_EDGES bound."""
+    from ltss_spark.operators.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
+        )
+    )
+    seeds = li.filter(F.col("l_partkey") % 97 == 0).select(
+        F.col("l_partkey").alias("node")
+    )
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
+@register(
+    "ext_corpus_drift",
+    f"""
+    WITH dtoks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    docc AS (SELECT doc_id, unnest(t) AS token FROM dtoks),
+    dnz AS (SELECT doc_id, token FROM docc WHERE token <> ''),
+    dc1 AS (SELECT token, COUNT(*) AS c_train FROM dnz WHERE doc_id % 10 != 0 GROUP BY 1),
+    dc2 AS (SELECT token, COUNT(*) AS c_eval FROM dnz WHERE doc_id % 10 = 0 GROUP BY 1),
+    dn1 AS (SELECT COALESCE(SUM(c_train), 0) AS n1 FROM dc1),
+    dn2 AS (SELECT COALESCE(SUM(c_eval), 0) AS n2 FROM dc2),
+    dj AS (
+      SELECT COALESCE(dc1.token, dc2.token) AS token,
+             CAST(COALESCE(c_train, 0) AS BIGINT) AS c_train,
+             CAST(COALESCE(c_eval, 0) AS BIGINT) AS c_eval
+      FROM dc1 FULL JOIN dc2 ON dc1.token = dc2.token
+    ),
+    dm AS (
+      SELECT token, c_train, c_eval,
+             CAST(CASE WHEN n1 > 0 THEN (c_train * 1000000) // n1 ELSE 0 END AS BIGINT) AS p_micro,
+             CAST(CASE WHEN n2 > 0 THEN (c_eval * 1000000) // n2 ELSE 0 END AS BIGINT) AS q_micro
+      FROM dj CROSS JOIN dn1 CROSS JOIN dn2
+    )
+    SELECT token, c_train, c_eval, p_micro, q_micro,
+           abs(p_micro - q_micro) AS drift_micro,
+           CAST(CASE WHEN p_micro + q_micro > 0
+                THEN ((p_micro - q_micro) * (p_micro - q_micro)) // (p_micro + q_micro)
+                ELSE 0 END AS BIGINT) AS chi2_micro
+    FROM dm
+    ORDER BY drift_micro DESC, token ASC LIMIT 100
+    """,
+    survey="ext_text_stats agg_basic join_full topk_group fn_math "
+    "(train/eval token-distribution drift: per-token total-variation and "
+    "chi-square contributions of the micro-quantized frequencies — "
+    "RATIONAL divergences only, BIGINT floor-divisions in one pinned "
+    "order, no ln() whose last ulp could flip a rank cross-engine; one "
+    "aggregate pass per split then a vocab-sized full-outer join)",
+)
+def ext_corpus_drift(spark, sf_dir):
+    """Which tokens carry the distribution gap between the train split
+    (doc_id % 10 != 0) and the eval split (doc_id % 10 = 0) — the
+    mixture-validation drift triage run before training
+    (operators/corpus.corpus_drift): top-100 tokens by total-variation
+    contribution |p_micro - q_micro| with the chi-square contribution
+    alongside. Two corpus scans (one hash aggregate per split, counts
+    frames checkpointed so their scalar totals do not rescan), one
+    full-outer join of two UNIQUE-keyed vocab frames (token zipfianness
+    cannot skew it — the hot keys were absorbed by the aggregates),
+    broadcast 1-row totals, TakeOrderedAndProject."""
+    from ltss_spark.operators.corpus import corpus_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_drift(
+        d.filter(F.col("doc_id") % 10 != 0), d.filter(F.col("doc_id") % 10 == 0)
+    )
+
+
+@register(
+    "ext_skipgram",
+    f"""
+    WITH sgt AS (SELECT list_filter({_TOKS}, x -> x <> '') AS t FROM documents),
+    sgp AS (
+      SELECT t[u.i] AS w1, t[u.i + d.d] AS w2, 4 - d.d AS wt
+      FROM sgt,
+           UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+           CROSS JOIN (VALUES (1), (2), (3)) AS d(d)
+      WHERE u.i + d.d <= len(t)
+    )
+    SELECT w1, w2, CAST(SUM(wt) AS BIGINT) AS weight
+    FROM sgp GROUP BY 1, 2 HAVING SUM(wt) >= 5
+    ORDER BY weight DESC, w1 ASC, w2 ASC LIMIT 100
+    """,
+    survey="ext_text_stats fn_array agg_basic topk_group (word2vec/GloVe "
+    "windowed skip-gram co-occurrence, window 3, linear distance decay "
+    "4-d — pair generation as a PER-ROW nested-transform array expression "
+    "over the empty-compacted token array (no positional self-join), ONE "
+    "explode into ONE map-side-combined hash aggregate, min-weight floor, "
+    "top-k heap; integer weights, ties on (w1, w2))",
+)
+def ext_skipgram(spark, sf_dir):
+    """Top-100 windowed co-occurrence pairs (operators/text.
+    skipgram_counts, window 3, weight = 4 - distance): the embedding
+    -training co-occurrence matrix and the wider-context collocation
+    surface next to ext_pmi's adjacent bigrams. Exactly ONE shuffle (the
+    (w1, w2) aggregate key) at any corpus size — the quadratic-ish pair
+    stream (3 per token) is collapsed map-side before it moves."""
+    from ltss_spark.operators.text import skipgram_counts
+
+    return skipgram_counts(_t(spark, sf_dir, "documents"))

@@ -278,3 +278,99 @@ def test_triangles_match_bruteforce_random(spark):
     got = _spark_triangles(spark, edges)
     want = {v: (deg_want[v][0], want_tri[v]) for v in deg_want}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# bounded multi-source BFS
+# ---------------------------------------------------------------------------
+
+
+def _py_bfs(edges, seeds, max_hops):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(dist)
+    for h in range(1, max_hops + 1):
+        nxt = {
+            v
+            for u in frontier
+            for v in adj.get(u, ())
+            if v not in dist
+        }
+        for v in nxt:
+            dist[v] = h
+        frontier = nxt
+    return dist
+
+
+def _spark_bfs(spark, edges, seeds, max_hops, **kw):
+    from ltss_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges] or [(0, 0)], "a long, b long"
+    )
+    if not edges:
+        e = e.filter(F.lit(False))
+    s = spark.createDataFrame([(int(x),) for x in seeds], "node long")
+    return {
+        r["node"]: r["dist"] for r in bfs_hops(e, s, max_hops=max_hops, **kw).collect()
+    }
+
+
+def test_bfs_chain_distances_and_bound(spark):
+    # chain 0-1-2-3-4-5: hops beyond max_hops stay unreached; a detached
+    # island is never reached; a seed outside the graph is dist 0
+    edges = [(i, i + 1) for i in range(5)] + [(10, 11)]
+    got = _spark_bfs(spark, edges, seeds=[0, 99], max_hops=3, small_graph_edges=0)
+    assert got == {0: 0, 99: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_multi_source_takes_nearest_seed(spark):
+    # two seeds at both ends of a chain: distances are min over sources
+    edges = [(i, i + 1) for i in range(6)]
+    got = _spark_bfs(spark, edges, seeds=[0, 6], max_hops=3, small_graph_edges=0)
+    assert got == {0: 0, 6: 0, 1: 1, 5: 1, 2: 2, 4: 2, 3: 3}
+
+
+def test_bfs_driver_path_equals_distributed(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(60)]
+    seeds = [0, 7, 14]
+    dist_path = _spark_bfs(spark, edges, seeds, 2, small_graph_edges=0)
+    stats = {}
+    drv_path = _spark_bfs(
+        spark, edges, seeds, 2, small_graph_edges=10_000, stats=stats
+    )
+    assert stats["path"] == "driver-bfs"
+    assert dist_path == drv_path == _py_bfs(edges, seeds, 2)
+
+
+def test_bfs_random_graphs_match_reference(spark):
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = rng.randrange(10, 40)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(5, 3 * n))
+        ]
+        seeds = rng.sample(range(n), k=min(3, n))
+        hops = rng.randrange(1, 5)
+        got = _spark_bfs(spark, edges, seeds, hops, small_graph_edges=0)
+        assert got == _py_bfs(edges, seeds, hops), (trial, edges, seeds, hops)
+
+
+def test_bfs_empty_edges_and_zero_hops(spark):
+    # no edges: only the seeds come back, at dist 0
+    got = _spark_bfs(spark, [], seeds=[3, 5], max_hops=3, small_graph_edges=0)
+    assert got == {3: 0, 5: 0}
+    # max_hops=0: seeds only, even with edges present
+    got = _spark_bfs(spark, [(1, 2)], seeds=[1], max_hops=0, small_graph_edges=0)
+    assert got == {1: 0}

@@ -2746,3 +2746,128 @@ try:
 
 except ImportError:  # hypothesis not installed — the fixed tests above run
     pass
+
+
+# ---------------------------------------------------------------------------
+# corpus drift (train/eval token-distribution shift)
+# ---------------------------------------------------------------------------
+
+
+def _mk_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_corpus_drift_identical_splits_zero(spark):
+    from ltss_spark.operators.corpus import corpus_drift
+
+    d = _mk_docs(spark, ["alpha beta gamma", "alpha beta"])
+    rows = corpus_drift(d, d).collect()
+    # identical distributions: every drift/chi2 contribution is exactly 0
+    assert rows and all(r["drift_micro"] == 0 and r["chi2_micro"] == 0 for r in rows)
+
+
+def test_corpus_drift_disjoint_vocab_and_values(spark):
+    from ltss_spark.operators.corpus import corpus_drift
+
+    tr = _mk_docs(spark, ["aa aa bb"])          # p: aa 2/3, bb 1/3
+    ev = _mk_docs(spark, ["bb cc cc cc"])       # q: bb 1/4, cc 3/4
+    got = {r["token"]: r for r in corpus_drift(tr, ev).collect()}
+    assert set(got) == {"aa", "bb", "cc"}
+    # micro-quantized: floor(c * 1e6 / N)
+    assert (got["aa"]["p_micro"], got["aa"]["q_micro"]) == (666666, 0)
+    assert (got["bb"]["p_micro"], got["bb"]["q_micro"]) == (333333, 250000)
+    assert (got["cc"]["p_micro"], got["cc"]["q_micro"]) == (0, 750000)
+    assert got["cc"]["drift_micro"] == 750000
+    assert got["bb"]["chi2_micro"] == (83333 * 83333) // 583333
+    # token absent from one side carries a zero count, not a NULL
+    assert got["aa"]["c_eval"] == 0 and got["cc"]["c_train"] == 0
+
+
+def test_corpus_drift_empty_split_guard(spark):
+    from ltss_spark.operators.corpus import corpus_drift
+
+    tr = _mk_docs(spark, ["aa bb"])
+    ev = tr.filter(F.lit(False))
+    got = {r["token"]: r for r in corpus_drift(tr, ev).collect()}
+    # empty eval split: q_micro is 0 everywhere (no division-by-zero), and
+    # the whole train mass shows as drift
+    assert all(r["q_micro"] == 0 for r in got.values())
+    assert got["aa"]["drift_micro"] == 500000
+
+
+def test_corpus_drift_top_k_cut_is_deterministic(spark):
+    from ltss_spark.operators.corpus import corpus_drift
+
+    # many tokens with the SAME drift value: the k-cut must take the
+    # lexicographically smallest tokens (tie on token asc)
+    toks = [f"t{i:02d}" for i in range(20)]
+    tr = _mk_docs(spark, [" ".join(toks)])
+    ev = _mk_docs(spark, ["zzz"])
+    rows = corpus_drift(tr, ev, k=5).collect()
+    assert [r["token"] for r in rows] == ["zzz"] + sorted(toks)[:4]
+
+
+# ---------------------------------------------------------------------------
+# skip-gram windowed co-occurrence
+# ---------------------------------------------------------------------------
+
+
+def _py_skipgrams(texts, window=3):
+    import re
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        toks = [w for w in re.sub(r"\s+", " ", t.lower()).strip().split(" ") if w]
+        for i, w1 in enumerate(toks):
+            for d in range(1, window + 1):
+                if i + d < len(toks):
+                    c[(w1, toks[i + d])] += window + 1 - d
+    return c
+
+
+def test_skipgram_weights_and_window(spark):
+    from ltss_spark.operators.text import skipgram_counts
+
+    d = _mk_docs(spark, ["a b c d e"])
+    got = {
+        (r["w1"], r["w2"]): r["weight"]
+        for r in skipgram_counts(d, min_weight=1, k=100).collect()
+    }
+    ref = _py_skipgrams(["a b c d e"])
+    assert got == dict(ref)
+    # adjacent pair weighs window (3), distance-3 pair weighs 1,
+    # distance-4 pair is out of window
+    assert got[("a", "b")] == 3 and got[("a", "d")] == 1 and ("a", "e") not in got
+
+
+def test_skipgram_empty_tokens_compact_before_windowing(spark):
+    from ltss_spark.operators.text import skipgram_counts
+
+    # the double space must NOT widen the distance: 'a  b' is adjacent
+    d = _mk_docs(spark, ["a  b"])
+    got = {
+        (r["w1"], r["w2"]): r["weight"]
+        for r in skipgram_counts(d, min_weight=1, k=10).collect()
+    }
+    assert got == {("a", "b"): 3}
+
+
+def test_skipgram_matches_reference_on_fixture(spark):
+    from ltss_spark.operators.text import skipgram_counts
+    from ltss_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    ref = _py_skipgrams(texts)
+    top = sorted(
+        ((w, pair) for pair, w in ref.items() if w >= 5),
+        key=lambda x: (-x[0], x[1]),
+    )[:100]
+    got = [
+        ((r["weight"]), (r["w1"], r["w2"]))
+        for r in skipgram_counts(docs, k=100).collect()
+    ]
+    assert got == top
