@@ -1147,6 +1147,104 @@ def main():
                 results["r11_twsooo"][str(factor)] = row
                 print(json.dumps({factor: row}))
 
+    # round-11 probe: the third-batch entries (BFS / drift / skipgram).
+    # - bfs: node-offset replicas of the sf co-purchase graph are DISJOINT
+    #   subgraphs with replicated seeds — reached rows and wall must grow
+    #   ∝ f (frontier work is per-component; no cross-replica edges exist
+    #   to couple them). Forced distributed (small_graph_edges=0): the
+    #   probe times the frontier-join loop, not the driver replay.
+    # - drift/skipgram: token-tagged replicas make replica vocabularies
+    #   disjoint, so vocab (and the skip-gram pair key space) grows ∝ f
+    #   while per-token work is flat — the expected shape is linear scan
+    #   cost + linear aggregate state, no quadratic term anywhere.
+    if want("newops"):
+        from ltss_spark.operators.corpus import corpus_drift
+        from ltss_spark.operators.graph import bfs_hops
+        from ltss_spark.operators.text import skipgram_counts
+
+        li0 = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+            "l_orderkey", "l_partkey"
+        )
+        a0, b0 = li0.alias("a"), li0.alias("b")
+        e0 = (
+            a0.join(b0, "l_orderkey")
+            .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+            .select(
+                F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
+            )
+            .distinct()
+        )
+        npart = li0.agg(F.max("l_partkey")).first()[0] + 1
+
+        def rep_graph(factor):
+            parts = [
+                e0.select(
+                    (F.col("a") + F.lit(i * npart)).alias("a"),
+                    (F.col("b") + F.lit(i * npart)).alias("b"),
+                )
+                for i in range(factor)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.union(p)
+            path = os.path.join(base, f"bfs_edges_x{factor}")
+            out.repartition(
+                spark.sparkContext.defaultParallelism
+            ).write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+
+        results["r11_newops"] = {"bfs": {}}
+        warm_e = rep_graph(1)
+        warm_seeds = warm_e.select(F.col("a").alias("node")).filter(
+            F.col("node") % 97 == 0
+        )
+        bfs_hops(warm_e, warm_seeds, max_hops=3, small_graph_edges=0).count()
+        corpus_drift(
+            warm.filter(F.col("doc_id") % 10 != 0),
+            warm.filter(F.col("doc_id") % 10 == 0),
+        ).count()
+        skipgram_counts(warm).count()
+        for factor in (1, 4):
+            edges = rep_graph(factor)
+            seeds = edges.select(F.col("a").alias("node")).filter(
+                F.col("node") % 97 == 0
+            )
+            row = {"n_edges": edges.count()}
+            row["reached"], row["sec"] = timed(
+                lambda: bfs_hops(
+                    edges, seeds, max_hops=3, small_graph_edges=0
+                ).count()
+            )
+            results["r11_newops"]["bfs"][str(factor)] = row
+            print(json.dumps({"bfs": {factor: row}}))
+        for factor in (4, 16):
+            docs = replicated_docs(spark, sf_dir, factor, base)
+            # cardinality check only — the aggregate state both ops carry
+            # is ∝ vocab (disjoint per tagged replica), so this must be
+            # exactly factor-linear; the ops themselves are timed at their
+            # registered top-k (an uncapped limit would make TakeOrdered
+            # allocate a k-sized heap: measured OOM at k=1e9)
+            row = {
+                "n_docs": docs.count(),
+                "vocab": docs.select(
+                    F.explode(F.split(F.lower("text"), " ")).alias("t")
+                )
+                .filter(F.col("t") != "")
+                .distinct()
+                .count(),
+            }
+            _, row["drift_sec"] = timed(
+                lambda: corpus_drift(
+                    docs.filter(F.col("doc_id") % 10 != 0),
+                    docs.filter(F.col("doc_id") % 10 == 0),
+                ).count()
+            )
+            _, row["skipgram_sec"] = timed(
+                lambda: skipgram_counts(docs).count()
+            )
+            results["r11_newops"][f"text_{factor}"] = row
+            print(json.dumps({"text": {factor: row}}))
+
     # partial runs merge into the existing probe file: one new operator
     # family should not require re-timing (or losing) the whole suite
     if "all" not in sections and os.path.exists(out_json):
