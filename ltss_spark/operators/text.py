@@ -686,11 +686,64 @@ def perplexity_buckets(
     )
 
 
+#: Below this many DISTINCT training words the merge loop replays
+#: driver-side over the collected dictionary instead of running
+#: n_merges argmax jobs (the operators/graph.py SMALL_GRAPH_EDGES
+#: adaptive pattern). Rationale: each distributed iteration costs two
+#: stages of fixed scheduling latency no matter how small the
+#: dictionary (~0.25 s x 8 merges at sf0.1 over a FEW-ROW dictionary,
+#: measured in BENCH_HISTORY), while 100k (word, n, sym) rows collect
+#: in ~0.1 s and a few MB. The replay is the same integer argmax
+#: (count desc, pair asc) and the same greedy left-to-right fold —
+#: bit-identical by construction, pinned by
+#: tests/test_operators.py::test_bpe_driver_path_bit_equal. At 100 TB
+#: the dictionary is millions of distinct words and the provably
+#: per-merge-bounded distributed loop runs unchanged.
+SMALL_DICT_ROWS = 100_000
+
+
+def _driver_bpe_fold(
+    rows, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], list[tuple[str, int, str]]]:
+    """Exact BPE replay for a small dictionary: ``rows`` are collected
+    (word, n, sym) records (bounded by SMALL_DICT_ROWS — vocabulary
+    metadata, not a corpus collect). Same argmax and same greedy merge
+    as the distributed loop, in plain Python integers/strings."""
+    dic: list[tuple[str, int, list[str]]] = [
+        (r["word"], int(r["n"]), r["sym"].split(" ")) for r in rows
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        counts: dict = {}
+        for _, n, syms in dic:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, int(c)))
+        nxt = []
+        for word, n, syms in dic:
+            acc = syms[:1]
+            for x in syms[1:]:
+                if x == b and acc[-1] == a:
+                    acc[-1] = a + b
+                else:
+                    acc.append(x)
+            nxt.append((word, n, acc))
+        dic = nxt
+    return merges, [(w, n, " ".join(s)) for w, n, s in dic]
+
+
 def bpe_train_merges(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_merges: int = 8,
+    small_dict_rows: int = SMALL_DICT_ROWS,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Distributed BPE merge training (Sennrich et al. 2016, "Neural
     Machine Translation of Rare Words with Subword Units") — the
@@ -720,15 +773,26 @@ def bpe_train_merges(
     or LIKE/regex metacharacters, which keeps the fold expression and
     the cross-engine oracle replay exact. Returns the learned merge
     table (step, lhs, rhs, pair_count) — the artifact a tokenizer ships.
+
+    Adaptive execution (the connected_components pattern): below
+    ``small_dict_rows`` distinct training words the collected dictionary
+    replays the SAME argmax+merge loop driver-side
+    (:func:`_driver_bpe_fold`, bit-identical by construction) instead of
+    paying ``n_merges`` rounds of fixed stage latency; pass
+    ``small_dict_rows=0`` to force the distributed loop.
     """
-    merges, _ = _bpe_train_fold(docs, text_col, n_merges)
+    merges, _ = _bpe_train_fold(docs, text_col, n_merges, small_dict_rows, stats)
     return docs.sparkSession.createDataFrame(
         merges, "step int, lhs string, rhs string, pair_count long"
     )
 
 
 def _bpe_train_fold(
-    docs: DataFrame, text_col: str, n_merges: int
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int,
+    small_dict_rows: int = SMALL_DICT_ROWS,
+    stats: dict | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Shared BPE fold: builds the [a-z]+ word-frequency dictionary, runs
     ``n_merges`` argmax+merge iterations, and returns BOTH artifacts —
@@ -736,6 +800,7 @@ def _bpe_train_fold(
     dictionary frame (word, n, sym) whose ``sym`` is each word's
     space-joined subword segmentation (what :func:`bpe_encode_stats`
     joins back to the corpus)."""
+    spark = docs.sparkSession
     words = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .filter(F.col("word").rlike("^[a-z]+$"))
@@ -750,6 +815,17 @@ def _bpe_train_fold(
             "i -> substring(word, i, 1)), ' ')"
         ).alias("sym"),
     ).localCheckpoint(eager=False)
+    if small_dict_rows:
+        probe = d.limit(small_dict_rows + 1).collect()
+        if len(probe) <= small_dict_rows:
+            if stats is not None:
+                stats["path"] = "driver-fold"
+            merges, seg = _driver_bpe_fold(probe, n_merges)
+            return merges, spark.createDataFrame(
+                seg, "word string, n long, sym string"
+            )
+    if stats is not None:
+        stats["path"] = "distributed"
     merges: list[tuple[int, str, str, int]] = []
     arr = F.col("__arr")
     for step in range(1, n_merges + 1):
@@ -811,6 +887,8 @@ def bpe_encode_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_merges: int = 8,
+    small_dict_rows: int = SMALL_DICT_ROWS,
+    stats: dict | None = None,
 ) -> DataFrame:
     """The ENCODE half of the BPE pair: train ``n_merges`` merges on the
     corpus (shared fold with :func:`bpe_train_merges`), then tokenize
@@ -825,8 +903,12 @@ def bpe_encode_stats(
     = word — Zipf-skewed, but the dictionary side is one row per word,
     so AQE's skew split suffices; no per-document iteration anywhere).
     Words outside the trained [a-z]+ alphabet count as one subword each
-    (the single-token fallback)."""
-    _, d = _bpe_train_fold(docs, text_col, n_merges)
+    (the single-token fallback). Training inherits
+    :func:`bpe_train_merges`'s adaptive small-dictionary replay; the
+    encode join is unchanged either way (the driver-path segmentation
+    comes back as a local-relation dictionary frame, which Spark
+    broadcasts outright)."""
+    _, d = _bpe_train_fold(docs, text_col, n_merges, small_dict_rows, stats)
     seg = d.select(
         "word", F.size(F.split(F.col("sym"), " ")).cast("long").alias("n_sub")
     )

@@ -149,17 +149,19 @@ _DRIVER_PRIORITY: list[str] = [
     "sql_q7",
     "sql_q8",
     "sql_q9",
-    "stream_snapshot",
-    "ts_cohort",
-    # ts_ewma + ts_funnel + ts_ohlc + ts_outliers + win_lag_lead: displaced
-    # from the r6 drain by the five round-11 NEW entries (never-verified
-    # beats stale-but-green for a window slot) — they are the r12
-    # carryover, put them first next round; they head _DRIVER_SECOND so any
-    # window wider than 50 still reaches them before fresher surface
+    # ts_ewma + ts_funnel + ts_ohlc + ts_outliers + win_lag_lead +
+    # stream_snapshot + ts_cohort: displaced from the r6 drain by the five
+    # round-11 NEW entries and the two adaptive-BPE re-verifies
+    # (never-verified/changed beats stale-but-green for a window slot) —
+    # they are the r12 carryover, put them first next round; they head
+    # _DRIVER_SECOND so any window wider than 50 still reaches them before
+    # fresher surface
     # --- materially changed in round 11 (must re-verify) ---
     "ext_lr_train",
     "ext_lr_score",
     "ext_lr_calibration",
+    "ext_bpe_train",
+    "ext_bpe_encode",
 ]
 
 #: entries with a PRE-existing driver row whose implementation or oracle
@@ -169,6 +171,10 @@ _CHANGED_ENTRIES: set[str] = {
     "ext_lr_train",
     "ext_lr_score",
     "ext_lr_calibration",
+    # r11: adaptive small-dictionary replay in the shared BPE fold —
+    # bit-identical by TESTED contract, but the execution path changed
+    "ext_bpe_train",
+    "ext_bpe_encode",
 }
 
 # Entries with an existing green driver row; least-recently-verified first
@@ -177,6 +183,8 @@ _CHANGED_ENTRIES: set[str] = {
 _DRIVER_SECOND: list[str] = [
     # --- latest driver row: round 6 (r12 carryover of the staleness
     # drain — displaced from the priority block by round-11 new entries) ---
+    "stream_snapshot",
+    "ts_cohort",
     "ts_ewma",
     "ts_funnel",
     "ts_ohlc",
@@ -327,9 +335,9 @@ _DRIVER_SECOND: list[str] = [
     "ts_lttb",
     "ts_trend",
     # --- latest driver row: round 10 ---
+    # (ext_bpe_train / ext_bpe_encode moved to the priority block: the
+    # r11 adaptive-dictionary change makes them _CHANGED_ENTRIES)
     "ext_bigram_lm",
-    "ext_bpe_encode",
-    "ext_bpe_train",
     "ext_dedup_semantic_kmeans",
     "ext_multimodal",
     "ext_nb_confusion",

@@ -2649,7 +2649,12 @@ def ext_bpe_train(spark, sf_dir):
     left-to-right, the overlapping-pair semantics a one-pass regex gets
     wrong). The oracle unrolls all 8 iterations as CTEs and the driver
     value-hashes the learned (step, lhs, rhs, pair_count) merge table —
-    training-decision-level correctness, not just a row count."""
+    training-decision-level correctness, not just a row count. Adaptive
+    (r11): below SMALL_DICT_ROWS distinct words the collected dictionary
+    replays the same loop driver-side, bit-identically (the CC/pagerank
+    pattern — 8 distributed argmax rounds over a tiny dictionary are
+    pure stage-latency); at 100 TB vocabularies the distributed loop
+    runs unchanged."""
     from ltss_spark.operators.text import bpe_train_merges
 
     return bpe_train_merges(_t(spark, sf_dir, "documents"), n_merges=8)
@@ -2672,7 +2677,10 @@ def ext_bpe_encode(spark, sf_dir):
     per-document iteration, |occurrences|-linear. Non-[a-z]+ tokens
     count as one subword (the single-token fallback). The oracle replays
     training AND encoding, so the hash pins the whole tokenizer
-    pipeline end-to-end."""
+    pipeline end-to-end. Training inherits the r11 adaptive
+    small-dictionary replay (bit-identical; the encode join is the same
+    plan either way, with the driver-path dictionary arriving as a
+    broadcast local relation)."""
     from ltss_spark.operators.text import bpe_encode_stats
 
     return bpe_encode_stats(_t(spark, sf_dir, "documents"), n_merges=8)

@@ -857,7 +857,10 @@ def main():
 
         results["r10_bpe"] = {}
         docs1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        bpe_train_merges(docs1, n_merges=2).count()  # warm
+        # small_dict_rows=0: this probe times the DISTRIBUTED merge loop
+        # (the 100 TB path) — the r11 adaptive dictionary replay would
+        # otherwise short-circuit every factor here
+        bpe_train_merges(docs1, n_merges=2, small_dict_rows=0).count()  # warm
         for factor in (1, 4, 16):
             n0 = docs1.agg(F.max("doc_id")).collect()[0][0] + 1
             parts = [
@@ -885,7 +888,9 @@ def main():
             )
             row = {"n_docs": docs.count(), "vocab": vocab}
             row["n_merges"], row["sec"] = timed(
-                lambda: bpe_train_merges(docs, n_merges=8).count()
+                lambda: bpe_train_merges(
+                    docs, n_merges=8, small_dict_rows=0
+                ).count()
             )
             results["r10_bpe"][str(factor)] = row
             print(json.dumps({factor: row}))

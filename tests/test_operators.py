@@ -2871,3 +2871,43 @@ def test_skipgram_matches_reference_on_fixture(spark):
         for r in skipgram_counts(docs, k=100).collect()
     ]
     assert got == top
+
+
+def test_bpe_driver_path_bit_equal(spark):
+    """The adaptive small-dictionary replay must be BIT-identical to the
+    distributed argmax+fold loop — merge table AND per-doc encode stats —
+    and the path pin must report which ran (the pagerank/CC contract)."""
+    from ltss_spark.operators.text import bpe_encode_stats, bpe_train_merges
+    from ltss_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(80)
+    s_drv, s_dist = {}, {}
+    drv = [tuple(r) for r in bpe_train_merges(docs, n_merges=4, stats=s_drv).collect()]
+    dist = [
+        tuple(r)
+        for r in bpe_train_merges(
+            docs, n_merges=4, small_dict_rows=0, stats=s_dist
+        ).collect()
+    ]
+    assert (s_drv["path"], s_dist["path"]) == ("driver-fold", "distributed")
+    assert drv == dist and len(drv) == 4
+    enc_drv = {
+        r["doc_id"]: (r["n_tokens"], r["n_subwords"])
+        for r in bpe_encode_stats(docs, n_merges=4).collect()
+    }
+    enc_dist = {
+        r["doc_id"]: (r["n_tokens"], r["n_subwords"])
+        for r in bpe_encode_stats(docs, n_merges=4, small_dict_rows=0).collect()
+    }
+    assert enc_drv == enc_dist
+
+
+def test_bpe_driver_path_empty_and_singleton_dict(spark):
+    from ltss_spark.operators.text import bpe_train_merges
+
+    # no [a-z]+ words at all: zero merges on both paths
+    d = _mk_docs(spark, ["123 456", "!!!"])
+    assert bpe_train_merges(d, n_merges=3).count() == 0
+    # single distinct one-char word: no adjacent pairs, loop breaks at 0
+    d = _mk_docs(spark, ["a a a"])
+    assert bpe_train_merges(d, n_merges=3).count() == 0
