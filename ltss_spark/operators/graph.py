@@ -636,16 +636,23 @@ def bfs_hops(
     )
     seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
     if small_graph_edges:
+        # BOTH frames must fit under the bound before the driver replay —
+        # a tiny graph does not bound the seed set (callers may pass a
+        # watchlist far larger than the graph), and an oversized seed
+        # probe falls through to the distributed loop instead of
+        # collecting unbounded rows
         probe = edges.limit(small_graph_edges + 1).collect()
         if len(probe) <= small_graph_edges:
-            return _driver_bfs_rows(
-                probe,
-                seed_nodes.collect(),
-                pairs.schema[src].dataType,
-                pairs.sparkSession,
-                max_hops,
-                stats,
-            )
+            seed_probe = seed_nodes.limit(small_graph_edges + 1).collect()
+            if len(seed_probe) <= small_graph_edges:
+                return _driver_bfs_rows(
+                    probe,
+                    seed_probe,
+                    pairs.schema[src].dataType,
+                    pairs.sparkSession,
+                    max_hops,
+                    stats,
+                )
     if stats is not None:
         stats["path"] = "distributed"
     sym = (
