@@ -374,3 +374,33 @@ def test_bfs_empty_edges_and_zero_hops(spark):
     # max_hops=0: seeds only, even with edges present
     got = _spark_bfs(spark, [(1, 2)], seeds=[1], max_hops=0, small_graph_edges=0)
     assert got == {1: 0}
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _BFS_EDGES = st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=0,
+        max_size=35,
+    )
+    _SEEDS = st.lists(st.integers(0, 25), min_size=1, max_size=4)
+
+    @given(edges=_BFS_EDGES, seeds=_SEEDS, hops=st.integers(0, 4))
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_bfs_property_matches_reference(spark, edges, seeds, hops):
+        """Any random multigraph (self-loops, duplicates, both orientations),
+        any seed multiset, any hop bound: the driver replay must equal the
+        level-synchronous Python reference (the distributed loop's equality
+        to the driver path is pinned separately — one Spark loop per example
+        would dominate the suite's wall)."""
+        got = _spark_bfs(spark, edges, seeds, hops)
+        assert got == _py_bfs([(a, b) for a, b in edges if a != b], set(seeds), hops)
+
+except ImportError:  # hypothesis not installed — seeded trials above still run
+    pass

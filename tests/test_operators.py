@@ -2911,3 +2911,87 @@ def test_bpe_driver_path_empty_and_singleton_dict(spark):
     # single distinct one-char word: no adjacent pairs, loop breaks at 0
     d = _mk_docs(spark, ["a a a"])
     assert bpe_train_merges(d, n_merges=3).count() == 0
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _WORDS = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "zz"])
+    _TEXTS = st.lists(
+        st.lists(_WORDS, min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+
+    @given(tr_texts=_TEXTS, ev_texts=_TEXTS)
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_corpus_drift_property_vs_python_reference(
+        spark, tr_texts, ev_texts
+    ):
+        """Property: for ANY two corpora over a tiny vocabulary (including
+        empty docs and empty splits), corpus_drift equals a direct Python
+        integer computation — micro-quantization floors, zero-count
+        coalescing, the zero-total guard, and the chi-square floor
+        division."""
+        from collections import Counter
+
+        from ltss_spark.operators.corpus import corpus_drift
+
+        def counts(texts):
+            c = Counter()
+            for t in texts:
+                c.update(w for w in t.split(" ") if w)
+            return c
+
+        c1, c2 = counts(tr_texts), counts(ev_texts)
+        n1, n2 = sum(c1.values()), sum(c2.values())
+        expect = {}
+        for tok in set(c1) | set(c2):
+            p = (c1[tok] * 10**6) // n1 if n1 else 0
+            q = (c2[tok] * 10**6) // n2 if n2 else 0
+            chi = ((p - q) * (p - q)) // (p + q) if p + q > 0 else 0
+            expect[tok] = (c1[tok], c2[tok], p, q, abs(p - q), chi)
+
+        got = {
+            r["token"]: (
+                r["c_train"], r["c_eval"], r["p_micro"], r["q_micro"],
+                r["drift_micro"], r["chi2_micro"],
+            )
+            for r in corpus_drift(
+                _mk_docs(spark, tr_texts), _mk_docs(spark, ev_texts), k=10_000
+            ).collect()
+        }
+        assert got == expect
+
+    @given(texts=_TEXTS, window=st.integers(1, 4), mw=st.integers(1, 4))
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_skipgram_property_vs_python_reference(spark, texts, window, mw):
+        """Property: for ANY corpus, window size, and weight floor, the
+        per-row pair expression + aggregate equals the Python reference —
+        weights, window clipping at doc end, and the min-weight cut."""
+        from ltss_spark.operators.text import skipgram_counts
+
+        ref = {
+            pair: w
+            for pair, w in _py_skipgrams(texts, window).items()
+            if w >= mw
+        }
+        got = {
+            (r["w1"], r["w2"]): r["weight"]
+            for r in skipgram_counts(
+                _mk_docs(spark, texts), window=window, min_weight=mw, k=10_000
+            ).collect()
+        }
+        assert got == ref
+
+except ImportError:  # hypothesis not installed — fixture differentials above still run
+    pass
