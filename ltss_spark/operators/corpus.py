@@ -696,39 +696,48 @@ def corpus_drift(
     ln adds nothing for drift TRIAGE: the per-token ordering of "who
     moved most" is what feeds the curation decision.
 
-    Plan shape: one tokenize+hash-aggregate pass per split (map-side
-    partial combine; output bounded by |vocab|, not corpus size), each
-    checkpointed so its scalar total N does NOT rescan the corpus, one
-    full-outer join of the two vocab frames on the token key (both
-    sides already unique per key — no skew possible regardless of token
-    zipfianness, the hot keys were absorbed by the aggregates), the two
-    bounded 1-row totals broadcast in, then TakeOrderedAndProject.
-    Two corpus scans total (one per split), vocab-sized state from
-    there on — at 100 TB the scans dominate and nothing else grows.
+    Plan shape: the two splits are UNION'd under a 0/1 split tag so the
+    whole comparison is ONE tokenize pass and ONE hash aggregate on the
+    token key (conditional sums produce both per-split counts in the
+    same operator — a token missing from one split gets its 0 there, so
+    no full-outer vocab join exists at all; map-side partial combine
+    absorbs zipfian hot tokens before the single exchange). The
+    vocab-sized count frame is checkpointed so the bounded 1-row totals
+    aggregate does not rescan the corpus; totals broadcast in, then
+    TakeOrderedAndProject. One corpus scan, one token-key exchange,
+    vocab-sized state from there on — at 100 TB the scan dominates and
+    nothing else grows.
     """
     zero = F.lit(0).cast("long")
-
-    def side(df: DataFrame, cnt: str) -> DataFrame:
-        return (
-            df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
-            .filter(F.col("token") != "")
-            .groupBy("token")
-            .agg(F.count(F.lit(1)).alias(cnt))
-            .localCheckpoint(eager=False)  # feeds the join AND its total
+    tagged = train.select(
+        F.col(text_col).alias("__text"), F.lit(0).alias("__split")
+    ).unionAll(
+        eval_docs.select(
+            F.col(text_col).alias("__text"), F.lit(1).alias("__split")
         )
-
-    c1, c2 = side(train, "c_train"), side(eval_docs, "c_eval")
-    n1 = c1.agg(F.coalesce(F.sum("c_train"), zero).alias("n1"))
-    n2 = c2.agg(F.coalesce(F.sum("c_eval"), zero).alias("n2"))
+    )
+    counts = (
+        tagged.select(
+            F.explode(_tokens(F.col("__text"))).alias("token"), "__split"
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("__split") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c_train"),
+            F.sum(F.when(F.col("__split") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c_eval"),
+        )
+        .localCheckpoint(eager=False)  # feeds the quantization AND totals
+    )
+    totals = counts.agg(
+        F.coalesce(F.sum("c_train"), zero).alias("n1"),
+        F.coalesce(F.sum("c_eval"), zero).alias("n2"),
+    )
     quant = (
-        c1.join(c2, "token", "full")
-        .select(
-            "token",
-            F.coalesce("c_train", zero).alias("c_train"),
-            F.coalesce("c_eval", zero).alias("c_eval"),
-        )
-        .crossJoin(F.broadcast(n1))
-        .crossJoin(F.broadcast(n2))
+        counts.crossJoin(F.broadcast(totals))
         .select(
             "token",
             "c_train",

@@ -3281,12 +3281,14 @@ def ext_graph_bfs(spark, sf_dir):
     FROM dm
     ORDER BY drift_micro DESC, token ASC LIMIT 100
     """,
-    survey="ext_text_stats agg_basic join_full topk_group fn_math "
+    survey="ext_text_stats agg_basic set_union topk_group fn_math "
     "(train/eval token-distribution drift: per-token total-variation and "
     "chi-square contributions of the micro-quantized frequencies — "
     "RATIONAL divergences only, BIGINT floor-divisions in one pinned "
-    "order, no ln() whose last ulp could flip a rank cross-engine; one "
-    "aggregate pass per split then a vocab-sized full-outer join)",
+    "order, no ln() whose last ulp could flip a rank cross-engine; both "
+    "splits union'd under a 0/1 tag so ONE conditional-sum aggregate "
+    "yields both counts per token — one corpus scan, one token exchange, "
+    "no vocab join)",
 )
 def ext_corpus_drift(spark, sf_dir):
     """Which tokens carry the distribution gap between the train split
@@ -3294,11 +3296,12 @@ def ext_corpus_drift(spark, sf_dir):
     mixture-validation drift triage run before training
     (operators/corpus.corpus_drift): top-100 tokens by total-variation
     contribution |p_micro - q_micro| with the chi-square contribution
-    alongside. Two corpus scans (one hash aggregate per split, counts
-    frames checkpointed so their scalar totals do not rescan), one
-    full-outer join of two UNIQUE-keyed vocab frames (token zipfianness
-    cannot skew it — the hot keys were absorbed by the aggregates),
-    broadcast 1-row totals, TakeOrderedAndProject."""
+    alongside. The splits ride one 0/1-tagged union into a single
+    conditional-sum hash aggregate (a token absent from one split gets
+    its 0 there — no full-outer vocab join exists; zipfian hot tokens
+    are absorbed map-side before the one exchange), the checkpointed
+    vocab frame feeds its own 1-row broadcast totals, then
+    TakeOrderedAndProject."""
     from ltss_spark.operators.corpus import corpus_drift
 
     d = _t(spark, sf_dir, "documents")

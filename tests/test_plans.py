@@ -330,9 +330,10 @@ def test_registry_wide_plan_audit(spark):
         # r10: the 1-ROW corpus-token-total aggregate crossed onto the
         # min_count-pruned bigram frame — bounded by construction
         "ext_pmi",
-        # r11: the TWO 1-row split-total aggregates (IdentityBroadcast)
-        # crossed onto the vocab-sized joined count frame
-        # (operators/corpus.corpus_drift) — bounded by construction
+        # r11: the ONE 1-row totals aggregate (both split totals from the
+        # checkpointed vocab frame, IdentityBroadcast) crossed onto that
+        # same vocab-sized count frame (operators/corpus.corpus_drift) —
+        # bounded by construction
         "ext_corpus_drift",
     }
     # streaming/sink entries run real side-effecting queries — covered by
