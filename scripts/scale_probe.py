@@ -1209,7 +1209,7 @@ def main():
             warm.filter(F.col("doc_id") % 10 == 0),
         ).count()
         skipgram_counts(warm).count()
-        for factor in (1, 4):
+        for factor in (1, 4, 16):
             edges = rep_graph(factor)
             seeds = edges.select(F.col("a").alias("node")).filter(
                 F.col("node") % 97 == 0
