@@ -39,13 +39,19 @@ RETRY_RUNS = 2  # extra runs a flagged query gets to prove the flag wrong
 QUIET_LOAD_MAX = 4.0
 
 
-def host_load() -> float:
-    """1-min load average, sampled BEFORE Spark spins up its 32 threads
-    (afterwards our own executors dominate the number)."""
+def host_load() -> tuple[float, float]:
+    """(1-min, 5-min) load averages, sampled BEFORE Spark spins up its 32
+    threads (afterwards our own executors dominate the number). The gate
+    keys on the 1-min value — its definition is frozen so the quiet
+    history stays comparable — but the 5-min value is RECORDED because
+    the r11 afternoon plateau showed load1 near 0 hiding a 5-min average
+    of 4-9 (ambient co-tenant): triage reads load5 to explain a slow
+    "quiet" run without re-litigating the gate."""
     try:
-        return round(os.getloadavg()[0], 2)
+        one, five, _ = os.getloadavg()
+        return round(one, 2), round(five, 2)
     except OSError:  # platform without getloadavg
-        return -1.0
+        return -1.0, -1.0
 
 
 def _time_query(qmap, name: str, spark, sf_dir: str, runs: int) -> float:
@@ -109,7 +115,7 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    load_avg = host_load()  # BEFORE the Spark JVM starts
+    load_avg, load5_avg = host_load()  # BEFORE the Spark JVM starts
     # unknown load (-1.0: platform without getloadavg) counts as QUIET
     # (ADVICE r9): treating it as contended would permanently degrade the
     # strict gate to advisory and no run could ever become a baseline
@@ -171,6 +177,7 @@ def main() -> None:
             "queries": timings,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "load_avg": load_avg,
+            "load5_avg": load5_avg,
             "quiet": quiet,
         }
 
