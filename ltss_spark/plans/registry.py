@@ -82,23 +82,26 @@ def register(name: str, oracle: str | None, survey: str = ""):
 # The per-round driver check covers roughly the first 50 `queries()` entries
 # in dict order. The union of CORRECTNESS_r01-r10 gives all 236 pre-r11
 # entries a green latest check, distributed r6:45 r7:49 r8:46 r9:46 r10:50.
-# Round 11 heads the window with the two never-verified round-11 entries
+# Round 11 heads the window with its SEVEN never-driver-verified entries
 # (stream_tws_ooo — the out-of-order State API v2 prefix entry, VERDICT
-# r10 item 3 — and ext_dedup_containment, the sub-document containment
-# dedup), then drains the ENTIRE r6 staleness cohort (VERDICT r10
-# item 1: all 45 entries whose latest driver row is round 6 — after this
-# window no entry's latest check is older than r7), then the three
-# entries whose implementation materially changed this round: the logreg
-# trio (the fused accuracy-in-gradient _fit, VERDICT r10 item 2 —
-# bit-identical by construction, but the loop was rewritten). The r11
-# skew-guard pre-flight change (measured string widths + stats_of cache
-# key, ADVICE r10) touches ext_tfidf / ext_unigram_lm / ext_bigram_lm /
-# ext_nb_score / ext_nb_confusion but is value-preserving by TESTED
-# contract (salted/broadcast/merge all produce identical rows; all five
-# were re-verified hash-green at sf0.01 in-session), so those keep their
+# r10 item 3; ext_dedup_containment; ext_setsim_join; ext_triangle_count;
+# and the third batch: ext_graph_bfs / ext_corpus_drift / ext_skipgram),
+# then drains the r6 staleness cohort (VERDICT r10 item 1: 45 entries
+# whose latest driver row is round 6 — 38 fit; the seven displaced to
+# the r12 carryover at the head of _DRIVER_SECOND are named there), then
+# the five entries whose implementation materially changed this round:
+# the logreg trio (fused accuracy-in-gradient _fit, VERDICT r10 item 2)
+# and the BPE pair (adaptive small-dictionary replay — bit-identical by
+# TESTED contract, but the execution path changed). The r11 skew-guard
+# pre-flight change (measured string widths + stats_of cache key, ADVICE
+# r10) touches ext_tfidf / ext_unigram_lm / ext_bigram_lm / ext_nb_score
+# / ext_nb_confusion but is value-preserving by TESTED contract
+# (salted/broadcast/merge all produce identical rows; all five were
+# re-verified hash-green at sf0.01 in-session), so those keep their
 # r10 rows rather than displacing the staleness drain. _DRIVER_SECOND
-# continues strictly least-recently-verified-first (r7 cohort next), so
-# the window never re-checks fresh surface while stale surface waits.
+# continues strictly least-recently-verified-first (the r12 carryover,
+# then the r7 cohort), so the window never re-checks fresh surface while
+# stale surface waits.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY: list[str] = [
