@@ -441,6 +441,156 @@ def pagerank(
     )
 
 
+def _driver_lpa_rows(
+    rows, id_type, spark, max_iter: int, stats: dict | None
+) -> DataFrame:
+    """Exact synchronous label propagation for a small edge set (caller
+    collected it under SMALL_GRAPH_EDGES): the distributed loop is pure
+    integer counting with a (max count, min label) tie-break, so a Python
+    replay over the collected edges is bit-identical at a fraction of the
+    per-round scheduling cost."""
+    adj: dict = {}
+    for r in rows:
+        a, b = r["a"], r["b"]
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(max_iter):
+        nxt = {}
+        for v, neigh in adj.items():
+            counts: dict = {}
+            for u in neigh:
+                lu = labels[u]
+                counts[lu] = counts.get(lu, 0) + 1
+            # max count, ties to the MINIMUM label — the deterministic
+            # tie-break every execution path and the oracle share
+            nxt[v] = min(counts, key=lambda L: (-counts[L], L))
+        if nxt == labels:
+            break
+        labels = nxt
+    if stats is not None:
+        stats["path"] = "driver-lpa"
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("label", id_type)]
+    )
+    return spark.createDataFrame(sorted(labels.items()), schema)
+
+
+def label_propagation(
+    pairs: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 4,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Community detection over an undirected pair graph via SYNCHRONOUS
+    label propagation (Raghavan et al. 2007, made deterministic): every
+    node starts labeled with its own id; each round, every node adopts
+    the label held by the MOST of its neighbors, ties broken to the
+    MINIMUM label; after ``max_iter`` rounds (or an exact fixed point,
+    whichever first) nodes sharing a label form a community. The
+    soft-clustering complement to :func:`connected_components`: CC fuses
+    everything reachable (one chained near-dup bridges two corpora), LPA
+    keeps densely-linked groups separate across sparse bridges — the
+    "which co-purchase clique / template family does this belong to"
+    query.
+
+    Determinism (vanilla LPA is famously order-dependent — random vertex
+    order, random tie-breaks): this variant is fully synchronous (all
+    nodes update from the SAME previous-round labels) with an integer
+    (max count, min label) tie-break, a FIXED round budget, and an exact
+    fixed-point early-stop — stopping early at a fixed point is
+    indistinguishable from running the full budget, so the result is
+    hash-exact against an unrolled per-round SQL oracle. Synchronous LPA
+    can oscillate with period 2 on bipartite structure; the fixed budget
+    bounds that too (both engines then run exactly ``max_iter`` rounds).
+
+    Scale shape per round: contributions flow along the symmetrized edge
+    list — ONE equi-join of the label frame on the neighbor key, then a
+    (node, label) count aggregate and a (node) arg-min aggregate, both
+    map-side combinable; no window over an unbounded partition, no
+    join-back. Labels are checkpointed per round so the iterated plan
+    stays constant-size, and the fixed-point check is one left-anti
+    ``isEmpty`` (exact — a checksum collision here would END the loop on
+    wrong labels, unlike CC where an extra round is idempotent, so LPA
+    pays the exact check).
+
+    Adaptive execution (the connected_components pattern): below
+    ``small_graph_edges`` the collected edge set replays the same
+    synchronous recurrence driver-side (:func:`_driver_lpa_rows`); pass
+    ``small_graph_edges=0`` to force the distributed loop.
+
+    Returns (node, label) for every node appearing in ``pairs`` after
+    self-loop/null removal; label is a node id, so communities are
+    named by a member (not necessarily their minimum member — a label
+    can win a neighborhood vote anywhere in the graph).
+    """
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    if small_graph_edges:
+        probe = edges.limit(small_graph_edges + 1).collect()
+        if len(probe) <= small_graph_edges:
+            return _driver_lpa_rows(
+                probe,
+                pairs.schema[src].dataType,
+                pairs.sparkSession,
+                max_iter,
+                stats,
+            )
+    if stats is not None:
+        stats["path"] = "distributed"
+    sym = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        nxt = (
+            sym.join(
+                labels.select(F.col("node").alias("u"), "label"), "u"
+            )
+            .select(F.col("v").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg_cnt"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("s")
+            )
+            .select("node", F.col("s.label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        rounds += 1
+        # exact fixed-point test: any (node, label) row that changed?
+        # (left-anti on both columns; the isEmpty materializes the lazy
+        # checkpoint blocks — one action per round, no data collect)
+        changed = not nxt.join(labels, ["node", "label"], "left_anti").isEmpty()
+        labels = nxt
+        if not changed:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    return labels
+
+
 def triangle_counts(
     pairs: DataFrame, src: str = "a", dst: str = "b"
 ) -> DataFrame:
@@ -629,12 +779,29 @@ def bfs_hops(
 
     Returns (node, dist) with dist in [0, max_hops]; seeds not present
     in the edge list still appear at dist 0 (a seed is trivially within
-    0 hops of itself).
+    0 hops of itself). NULL seeds are dropped before the path split (a
+    null id names no node), so the driver replay and the distributed
+    loop agree on the same input. Seed and edge id types must match:
+    seed-only nodes originate from the seeds frame while reached nodes
+    carry the edge type, so a mismatch would make the output schema
+    depend on which execution path the input lands on (ADVICE r11).
     """
+    id_type = seeds.schema[seed_col].dataType
+    edge_type = pairs.schema[src].dataType
+    if id_type != edge_type:
+        raise ValueError(
+            f"bfs_hops: seed column {seed_col!r} type {id_type.simpleString()} "
+            f"!= edge column {src!r} type {edge_type.simpleString()}; both "
+            "paths require matching node id types"
+        )
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
-    seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
+    seed_nodes = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+    )
     if small_graph_edges:
         # BOTH frames must fit under the bound before the driver replay —
         # a tiny graph does not bound the seed set (callers may pass a
@@ -648,7 +815,7 @@ def bfs_hops(
                 return _driver_bfs_rows(
                     probe,
                     seed_probe,
-                    pairs.schema[src].dataType,
+                    id_type,
                     pairs.sparkSession,
                     max_hops,
                     stats,

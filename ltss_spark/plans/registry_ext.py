@@ -3251,6 +3251,76 @@ def ext_graph_bfs(spark, sf_dir):
     return bfs_hops(edges, seeds, max_hops=3)
 
 
+def _lpa_oracle(max_iter: int) -> str:
+    """Unrolled synchronous label propagation mirroring operators/graph.
+    label_propagation: l_h(v) = the label with the MAX count among v's
+    neighbors' l_{h-1} labels, ties to the MIN label (ROW_NUMBER over
+    (count DESC, label ASC)). The engine's exact fixed-point early stop
+    is invisible to a fixed-round oracle — a fixed point stays fixed."""
+    its, prev = [], "l0"
+    for h in range(1, max_iter + 1):
+        its.append(f"""
+    l{h} AS (
+      SELECT node, label FROM (
+        SELECT s.v AS node, p.label AS label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.v ORDER BY COUNT(*) DESC, p.label ASC
+               ) AS rn
+        FROM {prev} p JOIN lsym s ON s.u = p.node
+        GROUP BY s.v, p.label
+      ) WHERE rn = 1
+    )""")
+        prev = f"l{h}"
+    return f"""
+    WITH lli AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    le AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lli a JOIN lli b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    lsym AS (SELECT a AS u, b AS v FROM le UNION SELECT b AS u, a AS v FROM le),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM lsym),{",".join(its)}
+    SELECT node, CAST(label AS BIGINT) AS label FROM {prev}
+    """
+
+
+@register(
+    "ext_graph_lpa",
+    _lpa_oracle(4),
+    survey="join_inner agg_basic agg_minmax_by (synchronous label-"
+    "propagation communities over the co-purchase graph — the soft-"
+    "clustering complement to ext_dedup_cluster's connected components: "
+    "dense cliques keep separate labels across sparse bridges; "
+    "deterministic by construction — synchronous update, (max count, min "
+    "label) tie-break, fixed round budget, exact fixed-point early stop — "
+    "so it is hash-exact against the unrolled per-round oracle)",
+)
+def ext_graph_lpa(spark, sf_dir):
+    """Community labels over the co-purchase graph (operators/graph.
+    label_propagation, 4 synchronous rounds): "which co-purchase clique
+    does this part belong to" — unlike connected components (which fuse
+    everything reachable, so one chained co-order bridges two cliques),
+    LPA lets densely-linked groups outvote sparse bridges. Per round:
+    ONE label-frame equi-join along the symmetrized edges, a
+    (node, label) count aggregate, and a (node) arg-min aggregate via
+    min(struct(-cnt, label)) — all map-side combinable, no unbounded
+    window; labels checkpoint per round so the iterated plan stays
+    constant-size. Adaptive small-graph short-circuit replays the same
+    recurrence driver-side under SMALL_GRAPH_EDGES."""
+    from ltss_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
+        )
+    )
+    return label_propagation(edges, max_iter=4)
+
+
 @register(
     "ext_corpus_drift",
     f"""

@@ -367,6 +367,37 @@ def test_bfs_random_graphs_match_reference(spark):
         assert got == _py_bfs(edges, seeds, hops), (trial, edges, seeds, hops)
 
 
+def test_bfs_null_seed_dropped_on_both_paths(spark):
+    # ADVICE r11: a NULL seed crashed the driver replay (sorted() over
+    # None) while the distributed path returned it as a dist-0 row — the
+    # two paths disagreed on the same input. Now the null is dropped
+    # before the path split, so both agree.
+    from ltss_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    s = spark.createDataFrame([(1,), (None,)], "node long")
+    for kw in ({"small_graph_edges": 10}, {"small_graph_edges": 0}):
+        got = {
+            r["node"]: r["dist"]
+            for r in bfs_hops(e, s, max_hops=2, **kw).collect()
+        }
+        assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_seed_edge_type_mismatch_rejected(spark):
+    # ADVICE r11: heterogeneous seed/edge id types made the output schema
+    # depend on which side of the small_graph_edges heuristic the input
+    # landed; both paths now reject the mismatch up front.
+    import pytest
+
+    from ltss_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame([(1, 2)], "a long, b long")
+    s = spark.createDataFrame([(1,)], "node int")
+    with pytest.raises(ValueError, match="matching node id types"):
+        bfs_hops(e, s, max_hops=1)
+
+
 def test_bfs_empty_edges_and_zero_hops(spark):
     # no edges: only the seeds come back, at dist 0
     got = _spark_bfs(spark, [], seeds=[3, 5], max_hops=3, small_graph_edges=0)
@@ -404,3 +435,110 @@ try:
 
 except ImportError:  # hypothesis not installed — seeded trials above still run
     pass
+
+
+# ---------------------------------------------------------------------------
+# label propagation (communities)
+# ---------------------------------------------------------------------------
+
+
+def _py_lpa(edges, max_iter):
+    """Independent synchronous-LPA reference: max-count neighbor label,
+    ties to the minimum label, fixed round budget with exact fixed-point
+    early stop."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(max_iter):
+        nxt = {}
+        for v, neigh in adj.items():
+            counts = {}
+            for u in neigh:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            best = None
+            for lab, c in counts.items():
+                if best is None or (-c, lab) < best:
+                    best = (-c, lab)
+            nxt[v] = best[1]
+        if nxt == labels:
+            break
+        labels = nxt
+    return labels
+
+
+def _spark_lpa(spark, edges, max_iter, **kw):
+    from ltss_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges] or [(0, 0)], "a long, b long"
+    )
+    if not edges:
+        e = e.filter(F.lit(False))
+    return {
+        r["node"]: r["label"]
+        for r in label_propagation(e, max_iter=max_iter, **kw).collect()
+    }
+
+
+def test_lpa_two_cliques_with_bridge_stay_separate(spark):
+    # two 4-cliques joined by ONE bridge edge: CC would fuse them; LPA
+    # keeps two communities (the bridge is outvoted by each clique)
+    k1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14) if b >= 10]
+    edges = k1 + k2 + [(3, 10)]
+    got = _spark_lpa(spark, edges, max_iter=4, small_graph_edges=0)
+    assert got == _py_lpa(edges, 4)
+    assert len({got[v] for v in range(4)}) == 1
+    assert len({got[v] for v in range(10, 14)}) == 1
+    assert got[0] != got[10]
+
+
+def test_lpa_driver_path_equals_distributed(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3), (7, 8)]
+    stats = {}
+    drv = _spark_lpa(spark, edges, 4, small_graph_edges=1000, stats=stats)
+    assert stats["path"] == "driver-lpa"
+    stats2 = {}
+    dist = _spark_lpa(spark, edges, 4, small_graph_edges=0, stats=stats2)
+    assert stats2["path"] == "distributed"
+    assert drv == dist == _py_lpa(edges, 4)
+
+
+def test_lpa_oscillation_is_bounded_and_deterministic(spark):
+    # a single edge (bipartite K1,1) oscillates under synchronous LPA:
+    # round 1 swaps the labels, round 2 swaps back — the fixed budget
+    # bounds it and both paths land on the same round-parity answer
+    for iters, expect in [(1, {1: 2, 2: 1}), (2, {1: 1, 2: 2})]:
+        for kw in ({"small_graph_edges": 100}, {"small_graph_edges": 0}):
+            got = _spark_lpa(spark, [(1, 2)], iters, **kw)
+            assert got == expect == _py_lpa([(1, 2)], iters)
+
+
+def test_lpa_empty_nulls_and_self_loops(spark):
+    from ltss_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame(
+        [(1, 1), (None, 2), (3, None)], "a long, b long"
+    )
+    for kw in ({"small_graph_edges": 100}, {"small_graph_edges": 0}):
+        assert label_propagation(e, **kw).count() == 0
+
+
+def test_lpa_random_graphs_match_reference(spark):
+    import random
+
+    rng = random.Random(4127)
+    for trial in range(6):
+        n = rng.randint(2, 18)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n))
+            for _ in range(rng.randint(1, 40))
+        ]
+        iters = rng.randint(1, 4)
+        kw = {"small_graph_edges": 0} if trial % 2 else {"small_graph_edges": 10**4}
+        got = _spark_lpa(spark, edges, iters, **kw)
+        assert got == _py_lpa(edges, iters), (trial, edges, iters)
