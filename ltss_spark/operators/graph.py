@@ -558,7 +558,7 @@ def label_propagation(
         .localCheckpoint()
     )
     rounds = 0
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nxt = (
             sym.join(
                 labels.select(F.col("node").alias("u"), "label"), "u"
@@ -579,6 +579,12 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
         rounds += 1
+        if it == max_iter - 1:
+            # final budgeted round: nothing left to early-stop, so skip
+            # the fixed-point action (the caller's action materializes
+            # the lazy checkpoint)
+            labels = nxt
+            break
         # exact fixed-point test: any (node, label) row that changed?
         # (left-anti on both columns; the isEmpty materializes the lazy
         # checkpoint blocks — one action per round, no data collect)

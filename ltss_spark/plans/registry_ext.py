@@ -3121,14 +3121,74 @@ def ext_setsim_join(spark, sf_dir):
 
 
 @register(
-    "ext_triangle_count",
-    """
-    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-    e AS (
+    "ext_dedup_suffix",
+    f"""
+    WITH sst AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    ssp AS (
+      SELECT doc_id, array_to_string(t[i.i : i.i + 7], ' ') AS span
+      FROM sst, UNNEST(generate_series(1, len(t) - 7)) AS i(i)
+    )
+    SELECT span, CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM ssp GROUP BY span HAVING COUNT(*) >= 2
+    """,
+    survey="join_inner win_frame agg_basic (suffix-array-grade exact "
+    "duplicated-substring inventory — prefix-doubling suffix groups: "
+    "positions carry (min doc_id, pos) group ids, never substrings; each "
+    "of ceil(log2 L) rounds is one co-partitioned positional self-join + "
+    "one window-min exchange of 2 ids per position, vs O(L) characters "
+    "per position for direct L-gram grouping; the oracle IS that direct "
+    "grouping, so the doubling must reproduce it span-for-span)",
+)
+def ext_dedup_suffix(spark, sf_dir):
+    """Every exact 8-token span duplicated anywhere in the corpus
+    (operators/dedup.suffix_span_groups): the Lee et al. 2022 repeated-
+    substring inventory — the boilerplate a model would memorize —
+    computed by distributed prefix doubling (3 rounds for width 8)
+    rather than shuffling the spans themselves. duplicate_span_stats
+    audits which DOCS carry duplicates; this names the SPANS, with
+    occurrence and distinct-doc counts; only the duplicated groups'
+    representatives are ever rendered back to text."""
+    from ltss_spark.operators.dedup import suffix_span_groups
+
+    return suffix_span_groups(
+        _t(spark, sf_dir, "documents"), span_tokens=8, min_occ=2
+    )
+
+
+def _co_edges_sql(li: str, e: str) -> str:
+    """Shared co-purchase edge CTEs (parts co-ordered in one order) for the
+    graph-family oracles — ONE definition so the three entries that ride
+    this graph (triangles / BFS / LPA) can never desynchronize from their
+    oracles; alias names are parameterized so each entry keeps its
+    historical CTE names."""
+    return f"""{li} AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    {e} AS (
       SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-      FROM li a JOIN li b
+      FROM {li} a JOIN {li} b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ),
+    )"""
+
+
+def _co_purchase_edges(spark, sf_dir):
+    """DataFrame side of :func:`_co_edges_sql`: parts adjacent when they
+    appear in the same order — lineitem self-equi-join on l_orderkey
+    (fan-out bounded by order size), canonicalized a < b."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
+        )
+    )
+
+
+@register(
+    "ext_triangle_count",
+    f"""
+    WITH {_co_edges_sql("li", "e")},
     symn AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
     deg AS (SELECT node, COUNT(*) AS degree FROM symn GROUP BY node),
     tri AS (
@@ -3156,26 +3216,17 @@ def ext_setsim_join(spark, sf_dir):
 )
 def ext_triangle_count(spark, sf_dir):
     """Per-part triangle counts on the co-purchase graph
-    (operators/graph.triangle_counts): parts are adjacent when they
-    appear in the same order (lineitem self-equi-join on l_orderkey —
-    fan-out bounded by order size), triangles = cliques of 3 mutually
-    co-ordered parts, the affinity-group signal. Degree orientation
-    kills the hub-wedge blowup ("the curse of the last reducer"): the
-    wedge join fires only at each edge's LOW-degree end, closing edges
-    resolve via one LEFT SEMI equi-join. Output (node, degree,
-    n_triangles) is all-BIGINT — hash-exact with zero rounding rules."""
+    (operators/graph.triangle_counts over :func:`_co_purchase_edges` —
+    parts adjacent when they appear in the same order): triangles =
+    cliques of 3 mutually co-ordered parts, the affinity-group signal.
+    Degree orientation kills the hub-wedge blowup ("the curse of the
+    last reducer"): the wedge join fires only at each edge's LOW-degree
+    end, closing edges resolve via one LEFT SEMI equi-join. Output
+    (node, degree, n_triangles) is all-BIGINT — hash-exact with zero
+    rounding rules."""
     from ltss_spark.operators.graph import triangle_counts
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
-        )
-    )
-    return triangle_counts(edges)
+    return triangle_counts(_co_purchase_edges(spark, sf_dir))
 
 
 def _bfs_oracle(max_hops: int, seed_mod: int) -> str:
@@ -3197,12 +3248,7 @@ def _bfs_oracle(max_hops: int, seed_mod: int) -> str:
     )""")
         prev = f"d{h}"
     return f"""
-    WITH bli AS (SELECT l_orderkey, l_partkey FROM lineitem),
-    be AS (
-      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-      FROM bli a JOIN bli b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ),
+    WITH {_co_edges_sql("bli", "be")},
     bsym AS (SELECT a AS u, b AS v FROM be UNION SELECT b AS u, a AS v FROM be),
     d0 AS (
       SELECT DISTINCT l_partkey AS node, 0 AS dist FROM bli
@@ -3236,19 +3282,12 @@ def ext_graph_bfs(spark, sf_dir):
     expansion driver-side under the SMALL_GRAPH_EDGES bound."""
     from ltss_spark.operators.graph import bfs_hops
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
-        )
+    seeds = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 97 == 0)
+        .select(F.col("l_partkey").alias("node"))
     )
-    seeds = li.filter(F.col("l_partkey") % 97 == 0).select(
-        F.col("l_partkey").alias("node")
-    )
-    return bfs_hops(edges, seeds, max_hops=3)
+    return bfs_hops(_co_purchase_edges(spark, sf_dir), seeds, max_hops=3)
 
 
 def _lpa_oracle(max_iter: int) -> str:
@@ -3272,12 +3311,7 @@ def _lpa_oracle(max_iter: int) -> str:
     )""")
         prev = f"l{h}"
     return f"""
-    WITH lli AS (SELECT l_orderkey, l_partkey FROM lineitem),
-    le AS (
-      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-      FROM lli a JOIN lli b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ),
+    WITH {_co_edges_sql("lli", "le")},
     lsym AS (SELECT a AS u, b AS v FROM le UNION SELECT b AS u, a AS v FROM le),
     l0 AS (SELECT DISTINCT u AS node, u AS label FROM lsym),{",".join(its)}
     SELECT node, CAST(label AS BIGINT) AS label FROM {prev}
@@ -3309,16 +3343,7 @@ def ext_graph_lpa(spark, sf_dir):
     recurrence driver-side under SMALL_GRAPH_EDGES."""
     from ltss_spark.operators.graph import label_propagation
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
-        )
-    )
-    return label_propagation(edges, max_iter=4)
+    return label_propagation(_co_purchase_edges(spark, sf_dir), max_iter=4)
 
 
 @register(

@@ -1317,6 +1317,103 @@ def test_remove_duplicate_spans_rewrites_exactly(spark):
         assert out[d]["n_kept"] == 0 and out[d]["n_removed"] == 0
 
 
+def _py_span_groups(docs, L, min_occ=2):
+    """Direct L-token-window reference for suffix_span_groups."""
+    import collections
+
+    cnt = collections.Counter()
+    dc = collections.defaultdict(set)
+    for d, t in docs:
+        if t is None:
+            continue
+        toks = " ".join(t.lower().split()).split(" ")
+        for i in range(len(toks) - L + 1):
+            sp = " ".join(toks[i : i + L])
+            cnt[sp] += 1
+            dc[sp].add(d)
+    return {s: (c, len(dc[s])) for s, c in cnt.items() if c >= min_occ}
+
+
+def test_suffix_span_groups_both_paths_match_reference(spark):
+    """Prefix-doubling suffix groups must equal the direct L-gram
+    grouping (its own oracle) on handmade docs covering cross-doc
+    duplicates, exact-dup docs, intra-doc repeats, short/empty/NULL
+    texts — on BOTH the adaptive direct path and the forced doubling
+    path, including a non-power-of-2 width (overlapping final combine)."""
+    from ltss_spark.operators.dedup import suffix_span_groups
+
+    docs = [
+        (1, "a b c d e f g h i j"),
+        (2, "x a b c d e f g h k"),
+        (3, "one two three"),
+        (4, "a b c d e f g h i j"),   # exact dup of 1
+        (5, ""),
+        (6, None),
+        (7, "p p p p p p p p p p p"),  # intra-doc repeats only
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for L in (3, 8):
+        expect = _py_span_groups(docs, L)
+        s_dir, s_dbl = {}, {}
+        direct = {
+            r["span"]: (r["n_occ"], r["n_docs"])
+            for r in suffix_span_groups(df, span_tokens=L, stats=s_dir).collect()
+        }
+        doubled = {
+            r["span"]: (r["n_occ"], r["n_docs"])
+            for r in suffix_span_groups(
+                df, span_tokens=L, direct_positions=0, stats=s_dbl
+            ).collect()
+        }
+        assert s_dir["path"] == "direct" and s_dbl["path"] == "doubling"
+        assert direct == doubled == expect, (L, direct, doubled, expect)
+    # width 8 = 3 doubling rounds (1->2->4->8); width 3 = 2 rounds with an
+    # overlapping final combine (1->2->3)
+    assert s_dbl["rounds"] == 3 and s_dbl["width"] == 8
+
+
+def test_suffix_span_groups_random_docs(spark):
+    """Seeded random corpora with a tiny vocabulary (forcing collisions):
+    doubling path vs the Python direct reference, widths 2/5/8."""
+    from ltss_spark.operators.dedup import suffix_span_groups
+
+    rng = random.Random(314)
+    vocab = ["w%d" % i for i in range(8)]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for d in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for L in (2, 5, 8):
+        got = {
+            r["span"]: (r["n_occ"], r["n_docs"])
+            for r in suffix_span_groups(
+                df, span_tokens=L, direct_positions=0
+            ).collect()
+        }
+        assert got == _py_span_groups(docs, L), L
+
+
+def test_suffix_span_groups_min_occ_filter(spark):
+    """min_occ raises the floor: a span occurring exactly twice drops out
+    at min_occ=3 while a three-time span survives."""
+    from ltss_spark.operators.dedup import suffix_span_groups
+
+    docs = [
+        (1, "a b c d"),
+        (2, "a b c d"),
+        (3, "a b c d"),
+        (4, "x y z w"),
+        (5, "x y z w"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["span"]: r["n_occ"]
+        for r in suffix_span_groups(df, span_tokens=4, min_occ=3).collect()
+    }
+    assert got == {"a b c d": 3}
+
+
 def test_ivf_and_lsh_infer_dim_from_corpus(spark):
     """Review regression: ANN entry points must not assume 64-dim vectors —
     an 8-dim corpus gets its dimension inferred and returns real top-k
