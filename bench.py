@@ -110,12 +110,50 @@ HEADLINE = [
     # histories; totals across rounds compare on the shared 25 (the same
     # convention as the r8/r9 extensions).
     "ext_bpe_train",
+    # round 12: ONE representative again — ext_dedup_suffix, the
+    # substring-dedup family's new suffix-group construction: at sf0.1 it
+    # exercises the adaptive direct path + the positions probe, so its
+    # history tracks both the gate and the grouping. Totals across rounds
+    # compare on the shared sets as before.
+    "ext_dedup_suffix",
 ]
+
+
+#: bounded quiet-window wait (VERDICT r11 items 2+8): the r11 driver
+#: artifact was captured at load 6.28 even though quiet windows existed the
+#: same session — procedural discipline failed, so make it mechanical. If
+#: the PRE-Spark load gate fails, sleep and resample up to
+#: QUIET_WAIT_ATTEMPTS times before running anyway (the driver's contract —
+#: one JSON line — is never broken, and a permanently contended host only
+#: costs a bounded delay). Opt out with LTSS_BENCH_REQUIRE_QUIET=0.
+QUIET_WAIT_ATTEMPTS = 3
+QUIET_WAIT_SLEEP_S = 45
+
+
+def wait_for_quiet_window() -> tuple[float, float]:
+    """Sample the pre-Spark load; on a contended reading, retry up to
+    QUIET_WAIT_ATTEMPTS times with a sleep between samples. Returns the
+    final (load1, load5) — the run proceeds either way."""
+    load_avg, load5_avg = host_load()
+    if os.environ.get("LTSS_BENCH_REQUIRE_QUIET", "1") == "0":
+        return load_avg, load5_avg
+    for attempt in range(QUIET_WAIT_ATTEMPTS):
+        if load_avg < 0.0 or load_avg <= QUIET_LOAD_MAX:
+            break
+        print(
+            f"bench: window contended (load_avg={load_avg} > "
+            f"{QUIET_LOAD_MAX}); waiting {QUIET_WAIT_SLEEP_S}s for quiet "
+            f"({attempt + 1}/{QUIET_WAIT_ATTEMPTS})",
+            file=sys.stderr,
+        )
+        time.sleep(QUIET_WAIT_SLEEP_S)
+        load_avg, load5_avg = host_load()
+    return load_avg, load5_avg
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    load_avg, load5_avg = host_load()  # BEFORE the Spark JVM starts
+    load_avg, load5_avg = wait_for_quiet_window()  # BEFORE the Spark JVM starts
     # unknown load (-1.0: platform without getloadavg) counts as QUIET
     # (ADVICE r9): treating it as contended would permanently degrade the
     # strict gate to advisory and no run could ever become a baseline

@@ -80,112 +80,29 @@ def register(name: str, oracle: str | None, survey: str = ""):
 # Driver CORRECTNESS-window priority.
 #
 # The per-round driver check covers roughly the first 50 `queries()` entries
-# in dict order. The union of CORRECTNESS_r01-r10 gives all 236 pre-r11
-# entries a green latest check, distributed r6:45 r7:49 r8:46 r9:46 r10:50.
-# Round 11 heads the window with its SEVEN never-driver-verified entries
-# (stream_tws_ooo — the out-of-order State API v2 prefix entry, VERDICT
-# r10 item 3; ext_dedup_containment; ext_setsim_join; ext_triangle_count;
-# and the third batch: ext_graph_bfs / ext_corpus_drift / ext_skipgram),
-# then drains the r6 staleness cohort (VERDICT r10 item 1: 45 entries
-# whose latest driver row is round 6 — 38 fit; the seven displaced to
-# the r12 carryover at the head of _DRIVER_SECOND are named there), then
-# the five entries whose implementation materially changed this round:
-# the logreg trio (fused accuracy-in-gradient _fit, VERDICT r10 item 2)
-# and the BPE pair (adaptive small-dictionary replay — bit-identical by
-# TESTED contract, but the execution path changed). The r11 skew-guard
-# pre-flight change (measured string widths + stats_of cache key, ADVICE
-# r10) touches ext_tfidf / ext_unigram_lm / ext_bigram_lm / ext_nb_score
-# / ext_nb_confusion but is value-preserving by TESTED contract
-# (salted/broadcast/merge all produce identical rows; all five were
-# re-verified hash-green at sf0.01 in-session), so those keep their
-# r10 rows rather than displacing the staleness drain. _DRIVER_SECOND
-# continues strictly least-recently-verified-first (the r12 carryover,
-# then the r7 cohort), so the window never re-checks fresh surface while
-# stale surface waits.
+# in dict order. After the r11 window, every entry's latest check is green
+# with staleness distribution r6:7 r7:49 r8:46 r9:46 r10:45 r11:50.
+# Round 12 heads the window with its TWO never-driver-verified entries
+# (ext_graph_lpa — label-propagation communities, VERDICT r11 item 4;
+# ext_dedup_suffix — prefix-doubling duplicated-substring groups, VERDICT
+# r11 item 3), then drains the staleness cohort oldest-first (VERDICT r11
+# item 1): the seven r6 carryover entries displaced last round, then 41 of
+# the 49-entry r7 cohort — the remaining 8 are the r13 carryover at the
+# head of _DRIVER_SECOND. The r12 BFS edge-case fix (null-seed drop +
+# seed/edge type assertion, ADVICE r11) touches ext_graph_bfs but is
+# value-preserving for every driver input by TESTED contract (the entry's
+# seeds are non-null longs matching the edge type; re-verified hash-green
+# at sf0.01 in-session), so it keeps its r11 row rather than displacing
+# the drain. _DRIVER_SECOND continues strictly least-recently-verified-
+# first, so the window never re-checks fresh surface while stale surface
+# waits.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY: list[str] = [
-    # --- new in round 11 (never driver-verified) ---
-    "stream_tws_ooo",
-    "ext_dedup_containment",
-    "ext_setsim_join",
-    "ext_triangle_count",
-    "ext_graph_bfs",
-    "ext_corpus_drift",
-    "ext_skipgram",
-    # --- staleness drain (VERDICT r10 item 1): the ENTIRE r6 cohort ---
-    "agg_theta_overlap",
-    "diag_skew",
-    "ext_dedup_cdf",
-    "ext_dedup_embed_capped",
-    "ext_dedup_spans",
-    "ext_knn_join",
-    "ext_knn_join_ivf",
-    "ext_mixture_sample",
-    "ext_repetition",
-    "ext_sample_group",
-    "ext_shuffle_shard",
-    "ext_sim_search_ivfpq",
-    "ext_sim_search_pq",
-    "ext_token_topk_approx",
-    "fn_date",
-    "join_bloom",
-    "join_full",
-    "join_left",
-    "join_range",
-    "join_right",
-    "ltss_cagg_ivm",
-    "ltss_cagg_refresh",
-    "ltss_cagg_stats_refresh",
-    "ltss_timeinstate",
-    "ltss_uptime",
-    "project",
-    "scan_corrupt_tolerant",
-    "scan_csv",
-    "scan_json",
-    "scan_orc",
-    "scan_parquet",
-    "sink_pruned_read",
-    "sink_version_diff",
-    "sink_versioned",
-    "sql_q12",
-    "sql_q7",
-    "sql_q8",
-    "sql_q9",
-    # ts_ewma + ts_funnel + ts_ohlc + ts_outliers + win_lag_lead +
-    # stream_snapshot + ts_cohort: displaced from the r6 drain by the five
-    # round-11 NEW entries and the two adaptive-BPE re-verifies
-    # (never-verified/changed beats stale-but-green for a window slot) —
-    # they are the r12 carryover, put them first next round; they head
-    # _DRIVER_SECOND so any window wider than 50 still reaches them before
-    # fresher surface
-    # --- materially changed in round 11 (must re-verify) ---
-    "ext_lr_train",
-    "ext_lr_score",
-    "ext_lr_calibration",
-    "ext_bpe_train",
-    "ext_bpe_encode",
-]
-
-#: entries with a PRE-existing driver row whose implementation or oracle
-#: changed materially this round — they justify a window slot exactly like a
-#: never-verified entry (tests/test_plans.py window-packing guard).
-_CHANGED_ENTRIES: set[str] = {
-    "ext_lr_train",
-    "ext_lr_score",
-    "ext_lr_calibration",
-    # r11: adaptive small-dictionary replay in the shared BPE fold —
-    # bit-identical by TESTED contract, but the execution path changed
-    "ext_bpe_train",
-    "ext_bpe_encode",
-}
-
-# Entries with an existing green driver row; least-recently-verified first
-# (r7 cohort, then r8, r9, r10) — any window wider than the priority block
-# re-confirms the stalest surface next.
-_DRIVER_SECOND: list[str] = [
-    # --- latest driver row: round 6 (r12 carryover of the staleness
-    # drain — displaced from the priority block by round-11 new entries) ---
+    # --- new in round 12 (never driver-verified) ---
+    "ext_graph_lpa",
+    "ext_dedup_suffix",
+    # --- staleness drain (VERDICT r11 item 1): the r6 carryover first ---
     "stream_snapshot",
     "ts_cohort",
     "ts_ewma",
@@ -193,7 +110,7 @@ _DRIVER_SECOND: list[str] = [
     "ts_ohlc",
     "ts_outliers",
     "win_lag_lead",
-    # --- latest driver row: round 7 ---
+    # --- then the r7 cohort, oldest 41 that fit ---
     "agg_basic",
     "agg_collect",
     "agg_distinct",
@@ -235,6 +152,22 @@ _DRIVER_SECOND: list[str] = [
     "set_intersect",
     "set_union",
     "sort",
+]
+
+#: entries with a PRE-existing driver row whose implementation or oracle
+#: changed materially this round — they justify a window slot exactly like a
+#: never-verified entry (tests/test_plans.py window-packing guard). Round
+#: 12 has none: the BFS edge-case fix is value-preserving for the
+#: registered entry's inputs (see the packing comment above).
+_CHANGED_ENTRIES: set[str] = set()
+
+# Entries with an existing green driver row; least-recently-verified first
+# (r7 remainder, then r8, r9, r10, r11) — any window wider than the
+# priority block re-confirms the stalest surface next.
+_DRIVER_SECOND: list[str] = [
+    # --- latest driver row: round 7 (r13 carryover of the staleness
+    # drain — the 8 displaced from the priority block by round-12 new
+    # entries; put them first next round) ---
     "sort_nulls",
     "sql_subquery",
     "stream_cdc",
@@ -385,6 +318,59 @@ _DRIVER_SECOND: list[str] = [
     "udf_scalar",
     "udtf",
     "win_time_range",
+    # --- latest driver row: round 11 (the freshest cohort: the r11-new
+    # entries, the r6 cohort drained that round, and the r11 changed
+    # re-verifies) ---
+    "stream_tws_ooo",
+    "ext_dedup_containment",
+    "ext_setsim_join",
+    "ext_triangle_count",
+    "ext_graph_bfs",
+    "ext_corpus_drift",
+    "ext_skipgram",
+    "agg_theta_overlap",
+    "diag_skew",
+    "ext_dedup_cdf",
+    "ext_dedup_embed_capped",
+    "ext_dedup_spans",
+    "ext_knn_join",
+    "ext_knn_join_ivf",
+    "ext_mixture_sample",
+    "ext_repetition",
+    "ext_sample_group",
+    "ext_shuffle_shard",
+    "ext_sim_search_ivfpq",
+    "ext_sim_search_pq",
+    "ext_token_topk_approx",
+    "fn_date",
+    "join_bloom",
+    "join_full",
+    "join_left",
+    "join_range",
+    "join_right",
+    "ltss_cagg_ivm",
+    "ltss_cagg_refresh",
+    "ltss_cagg_stats_refresh",
+    "ltss_timeinstate",
+    "ltss_uptime",
+    "project",
+    "scan_corrupt_tolerant",
+    "scan_csv",
+    "scan_json",
+    "scan_orc",
+    "scan_parquet",
+    "sink_pruned_read",
+    "sink_version_diff",
+    "sink_versioned",
+    "sql_q12",
+    "sql_q7",
+    "sql_q8",
+    "sql_q9",
+    "ext_lr_train",
+    "ext_lr_score",
+    "ext_lr_calibration",
+    "ext_bpe_train",
+    "ext_bpe_encode",
 ]
 
 

@@ -1250,6 +1250,94 @@ def main():
             results["r11_newops"][f"text_{factor}"] = row
             print(json.dumps({"text": {factor: row}}))
 
+    # round-12 probe: LPA communities + suffix-group substring dedup.
+    # - lpa: node-offset replicas are DISJOINT subgraphs, so labels never
+    #   cross replicas — rows and wall must grow ∝ f at a FIXED round
+    #   count (4 budgeted rounds regardless of size: per-round work is one
+    #   join + two hash aggs over the edge list). Forced distributed.
+    # - suffix: token-tagged replicas share no spans, so positions,
+    #   duplicated groups, and every round's relabel state all grow ∝ f
+    #   at a FIXED round count (3 doublings for width 8) — the
+    #   vocab-linear-state shape VERDICT r11 item 3 asks to receipt.
+    #   Forced doubling (direct_positions=0); the adaptive direct path is
+    #   timed alongside for the crossover picture.
+    if want("r12ops"):
+        from ltss_spark.operators.dedup import suffix_span_groups
+        from ltss_spark.operators.graph import label_propagation
+
+        li0 = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+            "l_orderkey", "l_partkey"
+        )
+        a0, b0 = li0.alias("a"), li0.alias("b")
+        e0 = (
+            a0.join(b0, "l_orderkey")
+            .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+            .select(
+                F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
+            )
+            .distinct()
+        )
+        npart = li0.agg(F.max("l_partkey")).first()[0] + 1
+
+        def rep_graph12(factor):
+            parts = [
+                e0.select(
+                    (F.col("a") + F.lit(i * npart)).alias("a"),
+                    (F.col("b") + F.lit(i * npart)).alias("b"),
+                )
+                for i in range(factor)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.union(p)
+            path = os.path.join(base, f"lpa_edges_x{factor}")
+            out.repartition(
+                spark.sparkContext.defaultParallelism
+            ).write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+
+        results["r12ops"] = {"lpa": {}, "suffix": {}}
+        warm_e = rep_graph12(1)
+        label_propagation(warm_e, max_iter=4, small_graph_edges=0).count()
+        for factor in (1, 4, 16):
+            edges = rep_graph12(factor)
+            st = {}
+            row = {"n_edges": edges.count()}
+            row["nodes"], row["sec"] = timed(
+                lambda: label_propagation(
+                    edges, max_iter=4, small_graph_edges=0, stats=st
+                ).count()
+            )
+            row["rounds"] = st.get("rounds")
+            results["r12ops"]["lpa"][str(factor)] = row
+            print(json.dumps({"lpa": {factor: row}}))
+        warm_docs = replicated_docs(spark, sf_dir, 1, base, tag="sfx")
+        suffix_span_groups(warm_docs, direct_positions=0).count()
+        for factor in (1, 4, 16):
+            docs = replicated_docs(spark, sf_dir, factor, base, tag="sfx")
+            row = {
+                "n_docs": docs.count(),
+                "n_positions": docs.select(
+                    F.sum(
+                        F.size(F.split(F.lower(F.trim("text")), r"\s+"))
+                    )
+                ).first()[0],
+            }
+            row["n_groups"], row["doubling_sec"] = timed(
+                lambda: suffix_span_groups(docs, direct_positions=0).count()
+            )
+            # adaptive DEFAULT run: below the direct_positions bound this
+            # times the direct single-exchange grouping; above it the
+            # default itself takes the doubling path — record which, so
+            # the artifact never reads doubling-vs-doubling as a crossover
+            ast = {}
+            _, row["adaptive_sec"] = timed(
+                lambda: suffix_span_groups(docs, stats=ast).count()
+            )
+            row["adaptive_path"] = ast.get("path")
+            results["r12ops"]["suffix"][str(factor)] = row
+            print(json.dumps({"suffix": {factor: row}}))
+
     # partial runs merge into the existing probe file: one new operator
     # family should not require re-timing (or losing) the whole suite
     if "all" not in sections and os.path.exists(out_json):

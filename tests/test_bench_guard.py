@@ -127,3 +127,37 @@ def test_pre_load_tag_history_grandfathered_as_quiet(tmp_path, monkeypatch):
     bench.append_history(_run({"q1": 1.0}))  # legacy record, no tag
     got = bench.check_regressions(_quiet_run({"q1": 9.0}))
     assert got == {"q1": (9.0, 1.0)}
+
+
+def test_wait_for_quiet_window_retries_then_gives_up(monkeypatch):
+    """VERDICT r11 items 2+8: a contended pre-Spark load sample sleeps and
+    resamples (bounded), returns early the moment a quiet sample lands,
+    and proceeds anyway after the attempt budget."""
+    samples = iter([(9.0, 8.0), (7.5, 7.0), (0.8, 1.1)])
+    slept = []
+    monkeypatch.setattr(bench, "host_load", lambda: next(samples))
+    monkeypatch.setattr(bench.time, "sleep", slept.append)
+    monkeypatch.delenv("LTSS_BENCH_REQUIRE_QUIET", raising=False)
+    assert bench.wait_for_quiet_window() == (0.8, 1.1)
+    assert slept == [bench.QUIET_WAIT_SLEEP_S] * 2
+
+    # never goes quiet: bounded attempts, then run with the contended value
+    monkeypatch.setattr(bench, "host_load", lambda: (9.9, 9.9))
+    slept.clear()
+    assert bench.wait_for_quiet_window() == (9.9, 9.9)
+    assert slept == [bench.QUIET_WAIT_SLEEP_S] * bench.QUIET_WAIT_ATTEMPTS
+
+
+def test_wait_for_quiet_window_respects_opt_out_and_unknown_load(monkeypatch):
+    """LTSS_BENCH_REQUIRE_QUIET=0 skips the wait entirely; an unmeasurable
+    load (-1.0) counts as quiet (the ADVICE r9 grandfathering rationale)."""
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", slept.append)
+    monkeypatch.setattr(bench, "host_load", lambda: (9.9, 9.9))
+    monkeypatch.setenv("LTSS_BENCH_REQUIRE_QUIET", "0")
+    assert bench.wait_for_quiet_window() == (9.9, 9.9)
+    assert slept == []
+    monkeypatch.delenv("LTSS_BENCH_REQUIRE_QUIET", raising=False)
+    monkeypatch.setattr(bench, "host_load", lambda: (-1.0, -1.0))
+    assert bench.wait_for_quiet_window() == (-1.0, -1.0)
+    assert slept == []
