@@ -133,16 +133,27 @@ QUIET_WAIT_SLEEP_S = 45
 def wait_for_quiet_window() -> tuple[float, float]:
     """Sample the pre-Spark load; on a contended reading, retry up to
     QUIET_WAIT_ATTEMPTS times with a sleep between samples. Returns the
-    final (load1, load5) — the run proceeds either way."""
+    final (load1, load5) — the run proceeds either way.
+
+    The WAIT condition checks BOTH load averages: the r11 afternoon
+    plateau (and this session's post-sweep shadow — load1 1.25 with
+    load5 9.73 measured a 26.1 s run vs 22.3 s calm) showed load5
+    revealing ambient contention that load1 misses. The recorded
+    ``quiet`` TAG stays keyed on load1 only — its definition is frozen
+    for history comparability; the wait just improves the odds the
+    frozen gate's tag means what it says."""
     load_avg, load5_avg = host_load()
     if os.environ.get("LTSS_BENCH_REQUIRE_QUIET", "1") == "0":
         return load_avg, load5_avg
     for attempt in range(QUIET_WAIT_ATTEMPTS):
-        if load_avg < 0.0 or load_avg <= QUIET_LOAD_MAX:
+        if load_avg < 0.0 or (
+            load_avg <= QUIET_LOAD_MAX and load5_avg <= QUIET_LOAD_MAX
+        ):
             break
         print(
-            f"bench: window contended (load_avg={load_avg} > "
-            f"{QUIET_LOAD_MAX}); waiting {QUIET_WAIT_SLEEP_S}s for quiet "
+            f"bench: window contended (load_avg={load_avg}, "
+            f"load5={load5_avg}, gate {QUIET_LOAD_MAX}); waiting "
+            f"{QUIET_WAIT_SLEEP_S}s for quiet "
             f"({attempt + 1}/{QUIET_WAIT_ATTEMPTS})",
             file=sys.stderr,
         )

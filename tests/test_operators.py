@@ -1414,6 +1414,27 @@ def test_suffix_span_groups_min_occ_filter(spark):
     assert got == {"a b c d": 3}
 
 
+def test_suffix_span_groups_paths_agree_on_real_corpus(spark):
+    """On the REAL sf0.001 documents table (whitespace quirks, casing,
+    genuine boilerplate — not synthetic token streams) the forced doubling
+    path must reproduce the direct grouping row-for-row; catches
+    tokenization drift between the two paths that handmade docs miss."""
+    from ltss_spark.operators.dedup import suffix_span_groups
+    from ltss_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    direct = {
+        (r["span"], r["n_occ"], r["n_docs"])
+        for r in suffix_span_groups(docs).collect()
+    }
+    doubled = {
+        (r["span"], r["n_occ"], r["n_docs"])
+        for r in suffix_span_groups(docs, direct_positions=0).collect()
+    }
+    assert len(direct) > 100  # the fixture plants real duplicated spans
+    assert direct == doubled
+
+
 def test_ivf_and_lsh_infer_dim_from_corpus(spark):
     """Review regression: ANN entry points must not assume 64-dim vectors —
     an 8-dim corpus gets its dimension inferred and returns real top-k
