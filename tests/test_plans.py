@@ -575,6 +575,20 @@ def test_corpus_op_plan_shapes(spark):
     assert "CartesianProduct" not in ct and "NestedLoop" not in ct
 
 
+def test_suffix_reconstruct_join_never_broadcasts_the_corpus(spark):
+    """suffix_span_groups' span-reconstruct join is pinned to a shuffled
+    hash join building on the (smaller) rep side: unhinted, the planner
+    broadcast the TOKEN-ARRAY corpus side (checkpointed inputs carry no
+    stats), which at 100 TB is the whole dataset. A Spark upgrade or
+    refactor that reverts to the broadcast must fail here."""
+    from ltss_spark.operators.dedup import suffix_span_groups
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(suffix_span_groups(docs, direct_positions=0))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_driver_priority_lists_resolve_and_cover():
     """Every name in the driver-ordering lists must resolve to a registered
     entry (a typo would silently fall out of the correctness window), no
