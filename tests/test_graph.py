@@ -542,3 +542,31 @@ def test_lpa_random_graphs_match_reference(spark):
         kw = {"small_graph_edges": 0} if trial % 2 else {"small_graph_edges": 10**4}
         got = _spark_lpa(spark, edges, iters, **kw)
         assert got == _py_lpa(edges, iters), (trial, edges, iters)
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _LPA_EDGES = st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1,
+        max_size=30,
+    )
+
+    @given(edges=_LPA_EDGES, iters=st.integers(1, 4))
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_lpa_property_matches_reference(spark, edges, iters):
+        """Any random multigraph (self-loops, duplicates, both
+        orientations), any round budget: the driver replay must equal the
+        synchronous Python reference including oscillation parity (the
+        distributed loop's equality to the driver path is pinned
+        separately — one Spark loop per example would dominate wall)."""
+        assert _spark_lpa(spark, edges, iters) == _py_lpa(edges, iters)
+
+except ImportError:  # hypothesis not installed — seeded trials above still run
+    pass

@@ -1414,6 +1414,43 @@ def test_suffix_span_groups_min_occ_filter(spark):
     assert got == {"a b c d": 3}
 
 
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as _hst
+
+    _SPAN_TEXTS = _hst.lists(
+        _hst.text(alphabet="ab \t\nX", max_size=40), min_size=1, max_size=12
+    )
+
+    @given(texts=_SPAN_TEXTS, width=_hst.integers(1, 4))
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_suffix_span_groups_property(spark, texts, width):
+        """Hostile whitespace (tabs, newlines, runs, whitespace-only and
+        empty texts), tiny alphabet forcing collisions, any width: the
+        adaptive path must equal the Python direct reference (the
+        doubling path's equality to the direct path is pinned
+        separately)."""
+        from ltss_spark.operators.dedup import suffix_span_groups
+
+        docs = list(enumerate(texts))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["span"], r["n_occ"], r["n_docs"])
+            for r in suffix_span_groups(df, span_tokens=width).collect()
+        }
+        expect = {
+            (s, c, d) for s, (c, d) in _py_span_groups(docs, width).items()
+        }
+        assert got == expect
+
+except ImportError:  # hypothesis not installed — seeded trials above still run
+    pass
+
+
 def test_suffix_span_groups_paths_agree_on_real_corpus(spark):
     """On the REAL sf0.001 documents table (whitespace quirks, casing,
     genuine boilerplate — not synthetic token streams) the forced doubling
