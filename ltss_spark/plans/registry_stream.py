@@ -197,7 +197,9 @@ def stream_dedup_near_q(spark, sf_dir):
         shutil.rmtree(f"{src}/__tmp")
         os.utime(f"{src}/{fname}", (now + 600 * i, now + 600 * i))
     run_streaming_near_dup(spark, src, store, out, ckpt, n_buckets=16)
-    return spark.read.parquet(out)
+    # drop the __epoch replay-idempotency partition column — the entry's
+    # contract (and oracle) is (doc_id, dup_of_earlier)
+    return spark.read.parquet(out).select("doc_id", "dup_of_earlier")
 
 
 @register(

@@ -37,12 +37,23 @@ sink's staging dedup.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 #: partition column of the signature store: hash bucket of the full
 #: signature key. Both the seed and every stream append must use the same
 #: bucket count — it is baked into the directory layout.
 SIG_BUCKET_COL = "__sig_bucket"
+
+#: outer partition column of the store AND the verdict output: the
+#: foreachBatch epoch that wrote the rows (-1 = the seeded corpus). The
+#: epoch level is what makes a crash-restart replay IDEMPOTENT: both
+#: writes are dynamic partition OVERWRITES of their own epoch partition
+#: (a replayed batch rewrites the same directories instead of appending
+#: duplicates), and the probe filters ``__epoch < current`` so a replay
+#: whose signatures already landed before the crash cannot match the
+#: batch against itself.
+EPOCH_COL = "__epoch"
 
 
 def _with_sig_bucket(sigs: DataFrame, n_buckets: int) -> DataFrame:
@@ -59,26 +70,38 @@ def seed_signature_store(
     sigs: DataFrame, store_path: str, n_buckets: int = 64
 ) -> None:
     """Write a pre-existing corpus's band signatures as the initial store
-    in the bucketed layout the stream probe prunes on. Repartitioned on
-    the bucket column first: partitionBy alone writes one file per
-    (task x bucket) — up to cores x N tiny files — where clustering
-    buckets into tasks bounds the file count by the touched buckets."""
-    bucketed = _with_sig_bucket(sigs, n_buckets)
+    in the bucketed layout the stream probe prunes on (under
+    ``__epoch=-1`` — strictly earlier than any stream batch).
+    Repartitioned on the bucket column first: partitionBy alone writes
+    one file per (task x bucket) — up to cores x N tiny files — where
+    clustering buckets into tasks bounds the file count by the touched
+    buckets."""
+    bucketed = _with_sig_bucket(sigs, n_buckets).withColumn(
+        EPOCH_COL, F.lit(-1).cast("long")
+    )
     bucketed.repartition(F.col(SIG_BUCKET_COL)).write.mode(
         "error"
-    ).partitionBy(SIG_BUCKET_COL).parquet(store_path)
+    ).partitionBy(EPOCH_COL, SIG_BUCKET_COL).parquet(store_path)
 
 
 def _pruned_store(
-    spark: SparkSession, store_path: str, buckets: list[int]
+    spark: SparkSession,
+    store_path: str,
+    buckets: list[int],
+    before_epoch: int | None = None,
 ) -> DataFrame:
-    """The store slice a probe actually reads: an `isin` over the
+    """The store slice a probe actually reads: an `isin` over the bucket
     partition column, pruned at the manifest/directory level (shows as
     PartitionFilters on the scan — zero data files outside the batch's
-    own buckets are opened)."""
-    return spark.read.parquet(store_path).filter(
+    own buckets are opened). ``before_epoch`` additionally prunes to
+    strictly earlier epochs, which is what keeps a crash-restart replay
+    from matching a batch against its own already-landed signatures."""
+    out = spark.read.parquet(store_path).filter(
         F.col(SIG_BUCKET_COL).isin(buckets)
     )
+    if before_epoch is not None:
+        out = out.filter(F.col(EPOCH_COL) < before_epoch)
+    return out
 
 
 def run_streaming_near_dup(
@@ -120,14 +143,23 @@ def run_streaming_near_dup(
         )
         bspark = batch.sparkSession
         try:
-            store = _pruned_store(bspark, store_path, buckets)
+            # epoch filter: strictly earlier epochs only, so a replayed
+            # batch whose signatures already landed before a crash never
+            # matches itself (ADVICE-grade r12 self-review fix)
+            store = _pruned_store(bspark, store_path, buckets, epoch_id)
             hit = (
                 sigs.join(store, ["band", "band_sig"], "left_semi")
                 .select("doc_id")
                 .distinct()
                 .withColumn("__dup", F.lit(True))
             )
-        except Exception:  # first batch, no store yet
+        except AnalysisException as e:
+            # ONLY the unseeded-store case (path missing) means "no prior
+            # corpus"; any other analysis failure (corrupt store, schema
+            # drift) must fail the batch loudly — a swallowed error here
+            # would silently record every doc as clean
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             hit = None
         out = batch.select(F.col(id_col).alias("doc_id"))
         if hit is not None:
@@ -136,15 +168,25 @@ def run_streaming_near_dup(
             )
         else:
             out = out.select("doc_id", F.lit(False).alias("dup_of_earlier"))
-        out.write.mode("append").parquet(out_path)
+        # idempotent replay: both writes are dynamic partition OVERWRITES
+        # of this epoch's own partition — a crash between the two writes
+        # (or after both, before the checkpoint commit) replays into the
+        # same directories instead of appending duplicate rows
+        out.withColumn(EPOCH_COL, F.lit(epoch_id).cast("long")).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            EPOCH_COL
+        ).parquet(out_path)
         # visibility boundary: the batch's own signatures enter the store
         # AFTER its verdicts are written. Repartition on the bucket column
-        # so the append lands ONE file per touched bucket, not one per
+        # so the write lands ONE file per touched bucket, not one per
         # (task x bucket) — micro-batches are small and frequent, and
         # uncontrolled file counts are their own 100 TB failure mode.
-        sigs.repartition(F.col(SIG_BUCKET_COL)).write.mode("append").partitionBy(
-            SIG_BUCKET_COL
-        ).parquet(store_path)
+        sigs.withColumn(EPOCH_COL, F.lit(epoch_id).cast("long")).repartition(
+            F.col(SIG_BUCKET_COL)
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(EPOCH_COL, SIG_BUCKET_COL).parquet(store_path)
 
     q = (
         spark.readStream.schema(schema)

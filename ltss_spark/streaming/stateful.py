@@ -98,29 +98,43 @@ _PROTOBUF_FALLBACK_DIRS = (
 )
 
 
+#: per-process private root for protobuf shim dirs: created 0700 by
+#: mkdtemp (no other local user can pre-create or swap the symlinks — a
+#: fixed world-writable /tmp path was a symlink-TOCTOU code-injection
+#: surface into every Python child, r12 self-review), removed at exit.
+_SHIM_ROOT: str | None = None
+
+
 def _shim_dir_for(d: str) -> str | None:
-    """Build (or reuse) a shim directory exposing ONLY ``google/protobuf``
-    from the vendored tree ``d`` (ADVICE r9): the Cloud-SDK dirs vendor
-    many top-level modules (api_server, dev_appserver, a whole ``lib/``)
-    and ``google/`` siblings (appengine, auth, oauth2, pyglib) — putting
-    the raw dir on sys.path/$PYTHONPATH would leak all of them into every
-    Python child. The shim is ``<tmp>/ltss_pb_shim_<md5(d)>/google/
-    protobuf -> <d>/google/protobuf``: ``google`` stays a namespace
-    package holding exactly one portion, so nothing else resolves.
-    Returns None when the shim cannot be built (exotic tmp/filesystem) —
-    the caller skips the candidate rather than falling back to the leaky
-    whole-dir append."""
+    """Build (or reuse, within this process) a shim directory exposing
+    ONLY ``google/protobuf`` from the vendored tree ``d`` (ADVICE r9):
+    the Cloud-SDK dirs vendor many top-level modules (api_server,
+    dev_appserver, a whole ``lib/``) and ``google/`` siblings (appengine,
+    auth, oauth2, pyglib) — putting the raw dir on sys.path/$PYTHONPATH
+    would leak all of them into every Python child. The shim is
+    ``<private mkdtemp root>/<md5(d)>/google/protobuf ->
+    <d>/google/protobuf``: ``google`` stays a namespace package holding
+    exactly one portion, so nothing else resolves; the root is
+    owner-only (0700) and process-scoped, so no other local user can
+    plant or swap the link. Returns None when the shim cannot be built
+    (exotic tmp/filesystem) — the caller skips the candidate rather than
+    falling back to the leaky whole-dir append."""
+    import atexit
     import hashlib
     import os as _os
+    import shutil
     import tempfile
 
+    global _SHIM_ROOT
     target = _os.path.join(d, "google", "protobuf")
-    shim = _os.path.join(
-        tempfile.gettempdir(),
-        f"ltss_pb_shim_{hashlib.md5(d.encode()).hexdigest()[:12]}",
-    )
-    link = _os.path.join(shim, "google", "protobuf")
     try:
+        if _SHIM_ROOT is None or not _os.path.isdir(_SHIM_ROOT):
+            _SHIM_ROOT = tempfile.mkdtemp(prefix="ltss_pb_shim_")
+            atexit.register(shutil.rmtree, _SHIM_ROOT, ignore_errors=True)
+        shim = _os.path.join(
+            _SHIM_ROOT, hashlib.md5(d.encode()).hexdigest()[:12]
+        )
+        link = _os.path.join(shim, "google", "protobuf")
         _os.makedirs(_os.path.join(shim, "google"), exist_ok=True)
         if _os.path.islink(link) and _os.readlink(link) != target:
             _os.unlink(link)  # stale shim from a different layout
@@ -194,6 +208,13 @@ def enable_state_api_v2_runtime() -> bool:
             "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
         )
         importlib.invalidate_caches()
+        # snapshot BEFORE the probe: the rollback may purge only modules
+        # the probe itself pulled in — deleting a pre-existing
+        # google.auth/google.cloud would split its module identity on the
+        # next import (r12 self-review)
+        pre_google = {
+            m for m in _sys.modules if m == "google" or m.startswith("google.")
+        }
         try:
             from google.protobuf import descriptor  # noqa: F401
 
@@ -216,7 +237,8 @@ def enable_state_api_v2_runtime() -> bool:
             for m in [
                 m
                 for m in _sys.modules
-                if m == "google" or m.startswith("google.")
+                if (m == "google" or m.startswith("google."))
+                and m not in pre_google
             ]:
                 del _sys.modules[m]
             continue
@@ -754,12 +776,25 @@ def streaming_recent_k_tws(
             self._n = handle.getValueState("n", "n BIGINT")
 
         def handleInputRows(self, key, rows, timerValues):
+            # per-chunk top-k in pandas BEFORE crossing to Python tuples
+            # (r12 self-review): only O(k) rows per chunk pay the
+            # pandas->Python boundary, not the whole micro-batch — any
+            # row in the global top-k is in its own chunk's top-k, so
+            # nothing is lost
             fresh: list[tuple] = []
+            n_new = 0
             for pdf in rows:
                 if not len(pdf):
                     continue
-                ts_us = pdf["ts"].astype("int64") // 1000
-                for t, e, v in zip(ts_us, pdf["event_id"], pdf["value"]):
+                n_new += len(pdf)
+                top = pdf.assign(
+                    __ts_us=pdf["ts"].astype("int64") // 1000
+                ).sort_values(
+                    ["__ts_us", "event_id"], ascending=False
+                ).head(k)
+                for t, e, v in zip(
+                    top["__ts_us"], top["event_id"], top["value"]
+                ):
                     fresh.append((int(t), int(e), str(v)))
             if not fresh:
                 return
@@ -768,7 +803,7 @@ def streaming_recent_k_tws(
             kept = merged[:k]
             self._recent.put(kept)
             prev = self._n.get()
-            n = (0 if prev is None else int(prev[0])) + len(fresh)
+            n = (0 if prev is None else int(prev[0])) + n_new
             self._n.update((n,))
             s = sum((Decimal(r[2]) for r in kept), Decimal(0))
             yield pd.DataFrame(
@@ -1239,59 +1274,73 @@ def _make_cusum_fn(limits: dict):
 
     def fold(key, pdfs, state):
         user = key[0]
-        mu, sigma, thr = limits.get(user, (0.0, 0.0, 0))
+        if user not in limits:
+            # fail LOUDLY (the same discipline as the order guard): a
+            # series with no trained control limits folded with
+            # (mu=0, sigma=0, thr=0) would flag essentially every event —
+            # silently wrong SPC output (r12 self-review)
+            raise ValueError(
+                f"streaming_cusum: no trained control limits for series "
+                f"{user!r}; train limits for every monitored series (or "
+                "filter the stream to the trained set) — folding with "
+                "zeros would emit garbage monitoring values."
+            )
+        mu, sigma, thr = limits[user]
         sp0, sn0, last_ns, last_eid = (
             state.get if state.exists else (0, 0, _SENTINEL, _SENTINEL)
         )
-        outs = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-            first_ns = int(pdf["ts"].astype("int64").iloc[0])
-            first_eid = int(pdf["event_id"].iloc[0])
-            if (first_ns, first_eid) <= (last_ns, last_eid):
-                raise ValueError(
-                    f"streaming_cusum: out-of-order batch for key {user}: "
-                    f"first row (ts_ns={first_ns}, event_id={first_eid}) is "
-                    f"at-or-before the last folded row (ts_ns={last_ns}, "
-                    f"event_id={last_eid}); folding it would corrupt the "
-                    "walk. Deliver per-key batches in event-time order "
-                    "(sort upstream by watermark) or rebuild state."
-                )
-            last_ns = int(pdf["ts"].astype("int64").iloc[-1])
-            last_eid = int(pdf["event_id"].iloc[-1])
-            x = pdf["value"].to_numpy(dtype="float64")
-
-            # HALF-AWAY-FROM-ZERO to match Spark/DuckDB round(x, 0) —
-            # np.rint would round half-to-even and flip exact .5 ties
-            def r0(v):
-                return np.where(
-                    v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)
-                ).astype("int64")
-
-            yp = r0((x - mu - 0.5 * sigma) * 1e6)
-            yn = r0(-(x - mu + 0.5 * sigma) * 1e6)
-            cp = sp0 + np.cumsum(yp)
-            cn = sn0 + np.cumsum(yn)
-            sp = cp - np.minimum(np.minimum.accumulate(cp), 0)
-            sn = cn - np.minimum(np.minimum.accumulate(cn), 0)
-            sp0, sn0 = int(sp[-1]), int(sn[-1])
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "event_id": pdf["event_id"],
-                        "user_id": user,
-                        "x": x,
-                        "s_pos": np.round(sp / 1e6, 6),
-                        "s_neg": np.round(sn / 1e6, 6),
-                        "is_change": (sp > thr) | (sn > thr),
-                    }
-                )
+        # ONE concat+sort across ALL Arrow chunks: a key whose micro-batch
+        # exceeds arrow.maxRecordsPerBatch arrives as several chunks in
+        # arbitrary post-shuffle order, so sorting each chunk
+        # independently would trip the order guard on perfectly valid
+        # input (r12 self-review; RunningTotals set the pattern)
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            state.update((sp0, sn0, last_ns, last_eid))
+            return
+        pdf = (
+            pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        )
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        first_ns = int(pdf["ts"].astype("int64").iloc[0])
+        first_eid = int(pdf["event_id"].iloc[0])
+        if (first_ns, first_eid) <= (last_ns, last_eid):
+            raise ValueError(
+                f"streaming_cusum: out-of-order batch for key {user}: "
+                f"first row (ts_ns={first_ns}, event_id={first_eid}) is "
+                f"at-or-before the last folded row (ts_ns={last_ns}, "
+                f"event_id={last_eid}); folding it would corrupt the "
+                "walk. Deliver per-key batches in event-time order "
+                "(sort upstream by watermark) or rebuild state."
             )
-        state.update((sp0, sn0, last_ns, last_eid))
-        for o in outs:
-            yield o
+        last_ns = int(pdf["ts"].astype("int64").iloc[-1])
+        last_eid = int(pdf["event_id"].iloc[-1])
+        x = pdf["value"].to_numpy(dtype="float64")
+
+        # HALF-AWAY-FROM-ZERO to match Spark/DuckDB round(x, 0) —
+        # np.rint would round half-to-even and flip exact .5 ties
+        def r0(v):
+            return np.where(
+                v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)
+            ).astype("int64")
+
+        yp = r0((x - mu - 0.5 * sigma) * 1e6)
+        yn = r0(-(x - mu + 0.5 * sigma) * 1e6)
+        cp = sp0 + np.cumsum(yp)
+        cn = sn0 + np.cumsum(yn)
+        sp = cp - np.minimum(np.minimum.accumulate(cp), 0)
+        sn = cn - np.minimum(np.minimum.accumulate(cn), 0)
+        state.update((int(sp[-1]), int(sn[-1]), last_ns, last_eid))
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": user,
+                "x": x,
+                "s_pos": np.round(sp / 1e6, 6),
+                "s_neg": np.round(sn / 1e6, 6),
+                "is_change": (sp > thr) | (sn > thr),
+            }
+        )
 
     return fold
 

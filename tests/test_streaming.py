@@ -1323,3 +1323,164 @@ def test_state_bootstrap_stream_equals_replay(spark):
     replay = {tuple(r) for r in bootstrap_totals_replay(e, cut1).collect()}
     assert streamed, "fixture must produce per-user rows"
     assert streamed == replay
+
+
+def test_near_dup_replayed_batch_is_idempotent(spark, tmp_path):
+    """Crash-restart replay contract (r12 self-review): re-running the
+    SAME micro-batch body after its signatures already landed must (a)
+    not flag the batch against itself — the probe excludes the current
+    epoch — and (b) not duplicate verdict rows — both writes are dynamic
+    partition overwrites of the epoch's own partition."""
+    import pyspark.sql.functions as F
+
+    from ltss_spark.operators.dedup import band_signatures
+    from ltss_spark.streaming.neardup import (
+        EPOCH_COL,
+        _pruned_store,
+        _with_sig_bucket,
+        seed_signature_store,
+    )
+
+    store = str(tmp_path / "store")
+    seed = spark.createDataFrame(
+        [(0, "a b c d e f g h i j " * 6)], "doc_id long, text string"
+    )
+    seed_signature_store(band_signatures(seed), store, n_buckets=8)
+
+    batch = spark.createDataFrame(
+        [(10, "z y x w v u t s r q " * 6)], "doc_id long, text string"
+    )
+    sigs = _with_sig_bucket(band_signatures(batch), 8)
+    # simulate the epoch-5 signature write landing (the pre-crash state)
+    sigs.withColumn(EPOCH_COL, F.lit(5).cast("long")).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        EPOCH_COL, "__sig_bucket"
+    ).parquet(store)
+    buckets = [r["__sig_bucket"] for r in sigs.select("__sig_bucket").distinct().collect()]
+
+    # replayed probe at the SAME epoch: must not see its own signatures
+    replay_probe = _pruned_store(spark, store, buckets, before_epoch=5)
+    hits = sigs.join(replay_probe, ["band", "band_sig"], "left_semi").count()
+    assert hits == 0, "replayed batch matched its own pre-crash signatures"
+    # a later epoch DOES see them (visibility boundary intact)
+    later_probe = _pruned_store(spark, store, buckets, before_epoch=6)
+    assert sigs.join(later_probe, ["band", "band_sig"], "left_semi").count() > 0
+
+    # re-writing the same epoch partition replaces, never appends
+    n_before = spark.read.parquet(store).filter(F.col(EPOCH_COL) == 5).count()
+    sigs.withColumn(EPOCH_COL, F.lit(5).cast("long")).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        EPOCH_COL, "__sig_bucket"
+    ).parquet(store)
+    n_after = spark.read.parquet(store).filter(F.col(EPOCH_COL) == 5).count()
+    assert n_before == n_after
+
+
+def test_near_dup_probe_raises_on_corrupt_store(spark, tmp_path):
+    """A real probe failure (store exists but is unreadable) must FAIL
+    the batch, not silently record every doc as clean: only the
+    path-missing case may fall back to the no-store branch."""
+    import os
+
+    import pytest as _pt
+    from pyspark.errors import AnalysisException
+
+    from ltss_spark.streaming.neardup import _pruned_store
+
+    bad = str(tmp_path / "store")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-000.parquet"), "w") as f:
+        f.write("this is not parquet")
+    with _pt.raises(Exception):
+        _pruned_store(spark, bad, [0]).count()
+    # missing path still raises AnalysisException for the caller's
+    # narrow catch to classify
+    with _pt.raises(AnalysisException):
+        _pruned_store(spark, str(tmp_path / "nope"), [0]).count()
+
+
+class _FakeGroupState:
+    """Minimal stand-in for applyInPandasWithState's GroupState: just
+    enough for driving the pure CUSUM fold directly."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def test_cusum_fold_concats_chunks_before_order_guard():
+    """r12 self-review: a key whose micro-batch arrives as MULTIPLE Arrow
+    chunks (post-shuffle order arbitrary) must be concat+sorted ONCE —
+    per-chunk sorting tripped the order guard on valid in-order input.
+    Driven directly through the pure fold with a fake state."""
+    import pandas as pd
+
+    from ltss_spark.streaming.stateful import _make_cusum_fn
+
+    limits = {7: (10.0, 2.0, 8_000_000)}
+    fold = _make_cusum_fn(limits)
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "user_id": 7,
+                "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+                "value": [r[2] for r in rows],
+            }
+        )
+
+    # chunk 2's rows PRECEDE chunk 1's in event time — exactly the
+    # arbitrary chunking the runtime delivers for a >maxRecordsPerBatch key
+    chunk1 = mk([(3, 300, 11.0), (4, 400, 12.0)])
+    chunk2 = mk([(1, 100, 9.0), (2, 200, 10.0)])
+    state = _FakeGroupState()
+    outs = list(fold((7,), iter([chunk1, chunk2]), state))
+    assert len(outs) == 1
+    assert list(outs[0]["event_id"]) == [1, 2, 3, 4]  # globally sorted
+
+    # single-chunk reference fold must produce identical values
+    ref_state = _FakeGroupState()
+    ref = list(_make_cusum_fn(limits)((7,), iter([mk(
+        [(1, 100, 9.0), (2, 200, 10.0), (3, 300, 11.0), (4, 400, 12.0)]
+    )]), ref_state))[0]
+    assert outs[0].equals(ref)
+    assert state._v == ref_state._v
+
+    # the cross-BATCH guard still fires: a later batch behind the
+    # high-water mark fails loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="out-of-order batch"):
+        list(fold((7,), iter([mk([(0, 50, 10.0)])]), state))
+
+
+def test_cusum_fold_rejects_untrained_series():
+    """r12 self-review: a series with no trained control limits must fail
+    loudly, not fold with (0, 0, 0) and flag every event."""
+    import pandas as pd
+    import pytest as _pt
+
+    from ltss_spark.streaming.stateful import _make_cusum_fn
+
+    fold = _make_cusum_fn({1: (0.0, 1.0, 100)})
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1],
+            "user_id": 99,
+            "ts": pd.to_datetime([100], unit="s"),
+            "value": [5.0],
+        }
+    )
+    with _pt.raises(ValueError, match="no trained control limits"):
+        list(fold((99,), iter([pdf]), _FakeGroupState()))
