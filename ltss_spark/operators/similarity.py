@@ -31,8 +31,20 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    """L2 norm, with zero mapped to NULL: cosine against a zero vector is
+    undefined, and under Spark 4's default ANSI mode a raw 0.0 divisor
+    raises DIVIDE_BY_ZERO and kills the whole job (r12 self-review,
+    reproduced live). NULL instead propagates through every
+    ``dot/(nrm*nrm)`` consumer: threshold filters drop the pair, DESC
+    rankings sort it last — a zero vector simply participates in no
+    similarity, matching the numpy kernels' explicit nrm>0 guards."""
+    return F.nullif(
+        F.sqrt(
+            F.aggregate(
+                a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            )
+        ),
+        F.lit(0.0),
     )
 
 
@@ -262,10 +274,6 @@ def cosine_topk_lsh(
     )
 
 
-def with_norm(df: DataFrame, vec_col: str = "embedding") -> Column:
-    return _norm(F.col(vec_col))
-
-
 def cap_pairs_per_vector(pairs: DataFrame, m: int) -> DataFrame:
     """Bound a similarity pair set to ~m pairs per vector: keep a pair iff
     it ranks in the top-m (cosine desc, partner id asc — deterministic) for
@@ -369,10 +377,16 @@ def embedding_dup_pairs(
     b = base.select(
         F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
     )
+    # auto: exact below the size bound; exact_limit=None reads as
+    # UNBOUNDED exact (the natural meaning of "no limit" — previously the
+    # falsy None silently flipped to the approximate path, the opposite,
+    # r12 self-review)
     use_exact = method == "exact" or (
         method == "auto"
-        and exact_limit
-        and corpus.limit(exact_limit + 1).count() <= exact_limit
+        and (
+            exact_limit is None
+            or corpus.limit(exact_limit + 1).count() <= exact_limit
+        )
     )
     def capped(pairs: DataFrame) -> DataFrame:
         if max_pairs_per_vector is None:
@@ -701,12 +715,16 @@ def cosine_topk_ivf(
 
     lists = assign(corpus, "candidate_id", 1)
     probes = assign(queries, "query_id", nprobe)
+    # no dedup needed: each candidate lives in exactly ONE list (keep_n=1
+    # above — the knn_join invariant), so a (query, candidate) pair can
+    # arise from at most one centroid join row; the former .distinct()
+    # shuffled full query+candidate vectors per search for nothing (r12
+    # self-review)
     cand = (
         lists.join(probes, "centroid_id")
         .filter(F.col("candidate_id") != F.col("query_id"))
         .select("query_id", "query_id_vec", "query_id_nrm",
                 "candidate_id", "candidate_id_vec", "candidate_id_nrm")
-        .distinct()
     )
     scored = cand.select(
         "query_id",
@@ -743,6 +761,15 @@ def pq_codebooks(
     broadcast dimension."""
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        # fail loudly (the _infer_dim rule): with dim not divisible by m,
+        # pq_encode would recompute dim = m*(dim//m) and its width filter
+        # would silently exclude EVERY real vector — an empty ANN result
+        # with no error (r12 self-review)
+        raise ValueError(
+            f"pq_codebooks: embedding dim {dim} is not divisible by "
+            f"m={m} subspaces; choose m dividing the dimension"
+        )
     d_sub = dim // m
     # id-type-agnostic deterministic sample: the kc rows with the smallest
     # xxhash64(id) — a TakeOrdered top-k (map-side partial, no full sort),
@@ -1580,32 +1607,57 @@ def _cluster_witness_arrow(
 
     def cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
-        nrm = pdf["nrm"].to_numpy()
-        cos = np.round((V @ V.T) / np.outer(nrm, nrm), 6)
-        ids = pdf["vec_id"].to_numpy()
-        hit = np.tril(cos > threshold, k=-1)  # strict lower: only j < i
-        any_hit = hit.any(axis=1)
-        first = hit.argmax(axis=1)
-        dup_of = pd.array(
-            [ids[j] if h else None for h, j in zip(any_hit, first)],
-            dtype="Int64",
-        )
+        # valid-row mask (the _assign_nearest_arrow/_cell_local_topk
+        # guard this kernel was missing, r12 self-review): one NULL,
+        # ragged, or zero-norm vector must not np.stack-crash the whole
+        # task — such rows are similar to nothing, verdict (False, None)
+        lens = pdf["vec"].map(lambda v: -1 if v is None else len(v))
+        width = int(lens.max()) if len(lens) else 0
+        ok = (
+            (lens == width) & pdf["nrm"].notna() & (pdf["nrm"] > 0)
+        ).to_numpy()
+        sub = pdf[ok]
+        n = len(pdf)
+        any_hit = np.zeros(n, dtype=bool)
+        # object dtype, not Int64: ids may be strings/UUIDs — the module
+        # supports arbitrary id types and Arrow casts objects per the
+        # declared schema (r12 self-review)
+        dup_of = pd.Series([None] * n, dtype="object")
+        if len(sub):
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in sub["vec"]]
+            )
+            nrm = sub["nrm"].to_numpy()
+            cos = np.round((V @ V.T) / np.outer(nrm, nrm), 6)
+            ids = sub["vec_id"].to_numpy()
+            hit = np.tril(cos > threshold, k=-1)  # strict lower: j < i
+            sub_hit = hit.any(axis=1)
+            first = hit.argmax(axis=1)
+            idx = np.flatnonzero(ok)
+            any_hit[idx] = sub_hit
+            for p, h, j in zip(idx, sub_hit, first):
+                if h:
+                    dup_of.iloc[p] = ids[j]
         return pd.DataFrame(
             {
-                "vec_id": ids,
-                "centroid_id": pdf["centroid_id"].to_numpy(),
+                "vec_id": pdf["vec_id"],
+                "centroid_id": pdf["centroid_id"],
                 "is_dup": any_hit,
                 "dup_of": dup_of,
             }
         )
 
+    # centroid_id's type comes from the ASSIGNMENT frame, not the id
+    # column: semantic_dedup centroids are anchor ids (id-typed) but the
+    # kmeans path numbers them with int row_numbers — declaring id_dt
+    # there was an Arrow cast failure for string ids (r12 self-review)
+    cent_dt = assigned.schema["centroid_id"].dataType.simpleString()
     return (
         assigned.select("vec_id", "centroid_id", "vec", "nrm")
         .groupBy("centroid_id")
         .applyInPandas(
             cell,
-            f"vec_id {id_dt}, centroid_id {id_dt}, is_dup boolean, "
+            f"vec_id {id_dt}, centroid_id {cent_dt}, is_dup boolean, "
             f"dup_of {id_dt}",
         )
     )

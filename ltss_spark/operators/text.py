@@ -107,7 +107,11 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 #: the IP pattern must not see first.
 PII_PATTERNS = (
     ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
-    ("PHONE", r"\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"),
+    # country code OPTIONAL: the mandatory 1-2 digit prefix left plain
+    # 3-3-4 numbers ("555-123-4567", the most common US written form)
+    # unredacted (r12 self-review); non-capturing so extract_all keeps
+    # returning whole matches in both engines
+    ("PHONE", r"(?:\+?[0-9]{1,2}[- ])?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"),
     ("IP", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
 )
 
@@ -392,7 +396,14 @@ def token_topk_sketch(
     sketch's approximation on the boundary ranks. The sketch's own
     ordering is undefined on count ties, so the result OVER-FETCHES 2k
     items and re-ranks deterministically (count DESC, token ASC) before
-    cutting to k."""
+    cutting to k. KNOWN LIMIT (r12 self-review): the over-fetch makes
+    boundary ties deterministic only while the tie group at rank k fits
+    inside the 2k candidates — a tie group straddling the over-fetch
+    boundary gets an engine-undefined membership (the sketch decides
+    which tied tokens are returned at all). The registered entry's
+    Zipfian fixture has no such straddle (its oracle has been hash-green
+    every check); an open-vocabulary caller needing a hard determinism
+    guarantee should use the exact ``token_topk`` instead."""
     sk = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .filter(F.col("token") != "")
@@ -540,15 +551,21 @@ def pmi_collocations(
         _est_row_bytes,
     )
 
-    toks = docs.select(tokens(F.col(text_col)).alias("t"))
+    # tokenize ONCE behind a lazy checkpoint: the bigram explode and the
+    # unigram explode both feed off `toks` — previously each re-ran the
+    # normalize+split pipeline (the dominant scan cost) on its own scan
+    # (r12 self-review; bigram_logprob set the pattern)
+    toks = docs.select(tokens(F.col(text_col)).alias("t")).localCheckpoint(
+        eager=False
+    )
     pairs = F.zip_with(
         F.slice(F.col("t"), 1, F.size("t") - 1),
         F.slice(F.col("t"), 2, F.size("t") - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    occ = docs.select(
-        F.explode(tokens(F.col(text_col))).alias("token")
-    ).filter(F.col("token") != "")
+    occ = toks.select(F.explode(F.col("t")).alias("token")).filter(
+        F.col("token") != ""
+    )
     c1 = occ.groupBy("token").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
         eager=False
     )  # feeds both word joins; N and |vocab| derive from it below

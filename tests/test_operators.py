@@ -3150,3 +3150,114 @@ try:
 
 except ImportError:  # hypothesis not installed — fixture differentials above still run
     pass
+
+
+def test_zero_norm_vectors_participate_in_no_similarity(spark):
+    """r12 self-review: Spark 4 defaults ANSI mode on, so a raw zero-norm
+    divisor killed every cosine operator with DIVIDE_BY_ZERO. _norm now
+    maps zero to NULL: the job runs and the zero vector pairs with
+    nothing (threshold filters drop NULL, DESC ranks sort it last)."""
+    from ltss_spark.operators.similarity import cosine_topk, embedding_dup_pairs
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    out = cosine_topk(emb, emb, k=2).collect()
+    assert all(
+        r["cosine"] is None
+        for r in out
+        if r["query_id"] == 2 or r["candidate_id"] == 2
+    )
+    pairs = embedding_dup_pairs(emb, threshold=0.5, method="exact").collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in pairs) == [(1, 3)]
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    """r12 self-review: dim % m != 0 used to silently exclude EVERY
+    vector (empty ANN results, no error); now it raises."""
+    import pytest
+
+    from ltss_spark.operators.similarity import pq_codebooks
+
+    emb = spark.createDataFrame(
+        [(1, [0.1] * 60)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(emb, m=16)
+
+
+def test_semantic_dedup_arrow_handles_string_ids_and_null_vectors(spark):
+    """r12 self-review: the arrow witness kernel hardcoded Int64 dup_of
+    (crashing string/UUID ids), declared centroid_id with the id type
+    (an Arrow cast failure for the kmeans path's int centroids), and
+    lacked the NULL/ragged vector guard its sibling kernels have."""
+    from ltss_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_kmeans,
+    )
+
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.99, 0.01]), ("c", [0.0, 1.0]), ("d", None)],
+        "vec_id string, embedding array<double>",
+    )
+    for fn in (semantic_dedup, semantic_dedup_kmeans):
+        rows = {
+            r["vec_id"]: r
+            for r in fn(emb, n_centroids=2, threshold=0.9, score="arrow").collect()
+        }
+        assert set(rows) == {"a", "b", "c", "d"}
+        assert rows["d"]["is_dup"] is False and rows["d"]["dup_of"] is None
+    # the kmeans path (int centroids + string ids) finds the near-pair
+    km = {
+        r["vec_id"]: r
+        for r in semantic_dedup_kmeans(
+            emb, n_centroids=2, threshold=0.9, score="arrow"
+        ).collect()
+    }
+    assert km["b"]["is_dup"] and km["b"]["dup_of"] == "a"
+
+
+def test_pii_phone_without_country_code_redacted(spark):
+    """r12 self-review: the PHONE pattern required a 1-2 digit country
+    code, so plain 3-3-4 numbers survived the scrub."""
+    from ltss_spark.operators.text import pii_counts, pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "call 555-123-4567 now"), (2, "intl +1 555-123-4567"), (3, "no pii")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            pii_redact(F.col("text")).alias("red"),
+            pii_counts(F.col("text"))["n_phone"].alias("n"),
+        ).collect()
+    }
+    assert out[1]["red"] == "call [PHONE] now" and out[1]["n"] == 1
+    assert out[2]["red"] == "intl [PHONE]" and out[2]["n"] == 1
+    assert out[3]["n"] == 0
+
+
+def test_embedding_dup_pairs_none_exact_limit_means_unbounded_exact(spark):
+    """r12 self-review: exact_limit=None silently took the approximate
+    LSH path (the opposite of 'no limit'); it now means unbounded
+    exact."""
+    from ltss_spark.operators.similarity import embedding_dup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i % 3) * 0.01]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(emb, threshold=0.999, method="exact").collect()
+    }
+    auto_none = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(
+            emb, threshold=0.999, method="auto", exact_limit=None
+        ).collect()
+    }
+    assert auto_none == exact and len(exact) > 0
