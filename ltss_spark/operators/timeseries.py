@@ -894,9 +894,18 @@ def cusum_changepoints(
     looks window-inexpressible; the reflection identity turns it into
     two plain windows: with c_i = prefix-sum(y), the reflected walk is
     exactly c_i - min(0, prefix-min(c)). So the whole detector is ONE
-    window shuffle per series key (all four cumulative aggregates share
-    the partition/order spec and compile into one WindowExec), no joins
-    but the broadcast 1-row-per-key stats join, no recursion.
+    window shuffle per series key, no joins, no recursion.
+
+    The per-series mean/sigma are WHOLE-FRAME window aggregates over the
+    SAME (key, time, tie) sort the cumulative windows need (r12, guide
+    §2.4): the previous form computed them as a groupBy aggregate on a
+    second scan of the input and broadcast-joined them back — one extra
+    pass over the events plus a broadcast wave, when the rows are already
+    partitioned and sorted per series for the prefix sums. The frame is
+    unboundedPreceding..unboundedFollowing, so the values (count/sum of
+    exact decimals) are order-insensitive and bit-identical to the
+    aggregate form; key_col NULLs are filtered explicitly to preserve the
+    old inner-join semantics (a JOIN USING(key) drops them).
 
     Determinism (the repo's transcendental rule, ts_ewma's micro-unit
     form): per-series mean and sigma round to 6 BEFORE use (sqrt is
@@ -914,23 +923,30 @@ def cusum_changepoints(
     ordered recursion (same posture as ts_ewma/ts_sessionize).
     """
     x = F.col("x")
-    base = events.filter(F.col(value_col).isNotNull()).select(
+    base = events.filter(
+        F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
         tie_col, key_col, time_col, F.col(value_col).cast("double").alias("x")
     )
     d6 = lambda c: F.round(c, 6).cast("decimal(38,6)")  # noqa: E731
-    sums = base.groupBy(key_col).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(d6(x)).alias("sx"),
-        F.sum(d6(x * x)).alias("sxx"),
+    order = [F.col(time_col).asc(), F.col(tie_col).asc()]
+    wstat = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    mu = F.round(F.col("sx").cast("double") / F.col("n"), 6)
-    stats = sums.select(
+    n = F.count(F.lit(1)).over(wstat)
+    mu = F.round(F.sum(d6(x)).over(wstat).cast("double") / n, 6)
+    with_stats = base.select(
+        tie_col,
         key_col,
+        time_col,
+        "x",
         mu.alias("mu"),
         F.round(
             F.sqrt(
                 F.greatest(
-                    F.col("sxx").cast("double") / F.col("n") - mu * mu,
+                    F.sum(d6(x * x)).over(wstat).cast("double") / n - mu * mu,
                     F.lit(0.0),
                 )
             ),
@@ -940,10 +956,10 @@ def cusum_changepoints(
     micro = lambda c: F.round(c * 1e6, 0).cast("long")  # noqa: E731
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col(time_col).asc(), F.col(tie_col).asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = base.join(F.broadcast(stats), key_col).select(
+    cum = with_stats.select(
         tie_col,
         key_col,
         time_col,

@@ -1,0 +1,42 @@
+"""Capture .explain("formatted") for every headline query into plans/r12/.
+
+Usage: python scripts/capture_plans.py <suffix> [query ...]
+Writes plans/r12/<name>_<suffix>.txt for each headline query (or just the
+named ones). The judge reads these; bench.py's HEADLINE list is the set.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+
+
+def main() -> None:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:] or HEADLINE
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r12",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    import ltss_spark.plans as plans
+    from ltss_spark.session import get_spark
+
+    spark = get_spark("ltss-capture-plans")
+    qmap = plans.queries()
+    for name in names:
+        df = qmap[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({plan.count('Exchange')} Exchange mentions)")
+
+
+if __name__ == "__main__":
+    main()
