@@ -176,24 +176,27 @@ def connected_components(
     edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
-    # EAGER checkpoint of the incoming pair set: every star self-unions its
-    # input, so without this the (potentially expensive — LSH band joins)
-    # upstream pipeline would be computed twice inside the first round's job.
-    # One extra small job buys exactly-once evaluation of the candidate
-    # generator.
-    edges = edges.localCheckpoint()
-    # Adaptive path pick in ONE action: collect at most threshold+1 rows
-    # from the just-checkpointed blocks — if the limit did not bind, that
-    # IS the full edge set and the union-find runs on it directly (no
-    # separate count job); if it did bind, fall through to the star loop.
-    # Pass small_graph_edges=0 to force the distributed loop (tests and
-    # scale probes do).
+    # Adaptive path pick FIRST, checkpoint after (r12; the pagerank order):
+    # collect at most threshold+1 rows — if the limit did not bind, that IS
+    # the full edge set and the union-find runs on it directly, so the
+    # small-graph path is ONE job (the old eager-checkpoint-then-probe
+    # order paid a checkpoint-write job whose blocks the probe read once
+    # and discarded). Pass small_graph_edges=0 to force the distributed
+    # loop (tests and scale probes do).
     if small_graph_edges:
         probe = edges.limit(small_graph_edges + 1).collect()
         if len(probe) <= small_graph_edges:
             return _driver_union_find_rows(
                 probe, edges.schema["a"].dataType, edges.sparkSession, stats
             )
+    # EAGER checkpoint of the incoming pair set: every star self-unions its
+    # input, so without this the (potentially expensive — LSH band joins)
+    # upstream pipeline would be computed twice inside the first round's job.
+    # On the fall-through from the probe above, the upstream shuffle map
+    # outputs are reused (same lineage) — the probe costs the large path a
+    # few final-stage partitions (bounded by the incremental limit jobs),
+    # not a second upstream pass.
+    edges = edges.localCheckpoint()
     spark = edges.sparkSession
     conf = spark.conf
     prev_shuf = conf.get("spark.sql.shuffle.partitions", "200")

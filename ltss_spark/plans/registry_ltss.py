@@ -1396,19 +1396,26 @@ def join_asof_near_q(spark, sf_dir):
     survey="B1 join_semi agg_basic limit (TPC-H Q18 shape: HAVING subquery semi-join)",
 )
 def sql_q18(spark, sf_dir):
-    """Large-volume-customer query: the IN-subquery over a grouped HAVING
-    becomes a semi-join against an aggregate — Catalyst plans the
-    aggregation once, no correlated re-execution."""
+    """Large-volume-customer query. The IN-subquery form let Catalyst push
+    the rewritten semi-join to BOTH sides of o_orderkey = l_orderkey, so
+    the heavy per-orderkey lineitem aggregation was planned — and executed
+    — TWICE (two scans, two 2-phase aggregates, two broadcasts; observed
+    in the r12 formatted plan). The HAVING aggregate keys are unique
+    (GROUP BY l_orderkey), so an inner join against the aggregate computed
+    ONCE is row-for-row identical to the IN semi-join — one lineitem
+    aggregation instead of two, oracle hash unchanged (the registered
+    oracle keeps the IN form)."""
     register_views(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql(
         """
-        SELECT c_custkey, c_name, o_orderkey, o_totalprice,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS total_qty
-        FROM customer, orders, lineitem
-        WHERE o_orderkey IN (
-            SELECT l_orderkey FROM lineitem
+        WITH big AS (
+            SELECT l_orderkey AS big_orderkey FROM lineitem
             GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
         )
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS total_qty
+        FROM customer, orders, lineitem, big
+        WHERE o_orderkey = big_orderkey
           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
         GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
         ORDER BY o_totalprice DESC, o_orderkey ASC
