@@ -141,7 +141,15 @@ def _driver_union_find_rows(rows, id_type, spark, stats: dict | None) -> DataFra
         [T.StructField("node", id_type), T.StructField("component", id_type)]
     )
     data = [(x, comp_min[find(x)]) for x in parent]
-    return spark.createDataFrame(data, schema)
+    # broadcast hint (r12): this frame is BOUNDED by construction (the
+    # caller collected <= small_graph_edges rows, so <= 2x that many
+    # nodes — a few MB at the 100k default), and callers join it back to
+    # the corpus (dedup_clusters, the cluster registry entries). Unhinted,
+    # the planner saw a LocalRelation with no usable stats and picked a
+    # sort-merge join — shuffling the CORPUS side by doc_id to meet a
+    # frame that always fits in memory. The star-loop path (unbounded
+    # result) keeps the generic join.
+    return F.broadcast(spark.createDataFrame(data, schema))
 
 
 def connected_components(
