@@ -214,9 +214,20 @@ def write_bucketed(
 
     ``saveAsTable`` is required (bucket metadata lives in the catalog, not
     the files); the session's in-memory catalog works — no Hive needed.
+
+    The frame is hash-repartitioned on the bucket column into
+    ``n_buckets`` partitions BEFORE the write (r12, guide §6): Spark's
+    bucketed writer emits one file per (task, non-empty bucket), so an
+    unclustered write from T tasks produces up to T x n_buckets small
+    files (measured 256 x ~7 KB per table at sf0.1). ``repartition(n,
+    col)`` uses the same pmod(murmur3) mapping as the bucket id, so each
+    task then holds exactly one bucket and writes exactly one file —
+    the "hash distribution mode" trade (one shuffle for a sane file
+    count) that table formats make on every bucketed/clustered write.
     """
     w = (
-        df.write.mode("overwrite")
+        df.repartition(n_buckets, F.col(bucket_col))
+        .write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
     )
