@@ -137,7 +137,13 @@ def extract_features(assets: DataFrame) -> DataFrame:
                 }
             )
 
-    return assets.mapInPandas(fn, schema=FEATURE_SCHEMA)
+    # guide §4.1: project to exactly the consumed columns before the
+    # opaque function — Spark cannot see which columns fn touches, so
+    # an unpruned frame would ship (and scan) every column, e.g. the
+    # adapter's meta map, through Arrow for no reader
+    return assets.select("asset_id", "media_type", "payload").mapInPandas(
+        fn, schema=FEATURE_SCHEMA
+    )
 
 
 def documents_as_assets(docs: DataFrame) -> DataFrame:
@@ -189,7 +195,10 @@ def resize_images(assets: DataFrame, max_side: int = 32) -> DataFrame:
                 rows, columns=["asset_id", "width", "height", "out_w", "out_h", "thumb_sha"]
             ).astype({"width": "Int32", "height": "Int32", "out_w": "Int32", "out_h": "Int32"})
 
-    return assets.mapInPandas(fn, schema=RESIZE_SCHEMA)
+    # guide §4.1: fn reads only (asset_id, payload)
+    return assets.select("asset_id", "payload").mapInPandas(
+        fn, schema=RESIZE_SCHEMA
+    )
 
 
 FRAME_SCHEMA = T.StructType(
@@ -223,7 +232,10 @@ def sample_frames(assets: DataFrame, every_n: int = 4) -> DataFrame:
                 rows, columns=["asset_id", "n_frames", "frame_idx", "frame_sha"]
             ).astype({"n_frames": "int32", "frame_idx": "int32"})
 
-    return assets.mapInPandas(fn, schema=FRAME_SCHEMA)
+    # guide §4.1: fn reads only (asset_id, payload)
+    return assets.select("asset_id", "payload").mapInPandas(
+        fn, schema=FRAME_SCHEMA
+    )
 
 
 AUDIO_SCHEMA = T.StructType(
@@ -264,4 +276,7 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
                 rows, columns=["asset_id", "n_bytes", "duration_ms", "sample_rate", "loudness"]
             ).astype({"n_bytes": "int32", "duration_ms": "int32", "sample_rate": "int32"})
 
-    return assets.mapInPandas(fn, schema=AUDIO_SCHEMA)
+    # guide §4.1: fn reads only (asset_id, payload)
+    return assets.select("asset_id", "payload").mapInPandas(
+        fn, schema=AUDIO_SCHEMA
+    )
