@@ -26,6 +26,8 @@ action per round, no collect of data rows).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+
+from ltss_spark.localrel import local_frame
 from pyspark.sql import DataFrame, Window
 
 
@@ -149,7 +151,10 @@ def _driver_union_find_rows(rows, id_type, spark, stats: dict | None) -> DataFra
     # sort-merge join — shuffling the CORPUS side by doc_id to meet a
     # frame that always fits in memory. The star-loop path (unbounded
     # result) keeps the generic join.
-    return F.broadcast(spark.createDataFrame(data, schema))
+    # local_frame: LocalTableScan, not a pickled-RDD scan — downstream
+    # actions on the joined result would otherwise respawn Python workers
+    # to unpickle these rows every time (~0.3 s/action at local[32], r12)
+    return F.broadcast(local_frame(spark, data, schema))
 
 
 def connected_components(
@@ -339,9 +344,7 @@ def _driver_pagerank_rows(
         for u, v in sym:
             s[v] += rank_n[u] // deg[u]
         rank_n = {v: base_n + (s[v] * damp_ppm) // 10**6 for v in nodes}
-    return spark.createDataFrame(
-        [(v, rank_n[v] / 1e9) for v in nodes], schema
-    )
+    return local_frame(spark, [(v, rank_n[v] / 1e9) for v in nodes], schema)
 
 
 def pagerank(
@@ -488,7 +491,7 @@ def _driver_lpa_rows(
     schema = T.StructType(
         [T.StructField("node", id_type), T.StructField("label", id_type)]
     )
-    return spark.createDataFrame(sorted(labels.items()), schema)
+    return local_frame(spark, sorted(labels.items()), schema)
 
 
 def label_propagation(
@@ -751,7 +754,7 @@ def _driver_bfs_rows(
             T.StructField("dist", T.IntegerType()),
         ]
     )
-    return spark.createDataFrame(sorted(dist.items()), schema)
+    return local_frame(spark, sorted(dist.items()), schema)
 
 
 def bfs_hops(

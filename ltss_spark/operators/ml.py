@@ -27,6 +27,8 @@ bit-exact across engines and a SQL oracle can replay every iteration
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+
+from ltss_spark.localrel import local_frame
 from pyspark.sql import Column, DataFrame, Window
 
 
@@ -69,8 +71,11 @@ def logreg_train(
     distributed LBFGS/SGD drivers, with none of the nondeterminism.
     """
     trace, _, _ = _fit(docs, n_iters, lr, text_col, label_col, pos_label)
-    return docs.sparkSession.createDataFrame(
-        trace, "step int, w0 double, w1 double, w2 double, train_acc double"
+    # local_frame: LocalTableScan, not a pickled-RDD scan (r12)
+    return local_frame(
+        docs.sparkSession,
+        trace,
+        "step int, w0 double, w1 double, w2 double, train_acc double",
     )
 
 

@@ -28,6 +28,8 @@ order is total.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+
+from ltss_spark.localrel import local_frame
 from pyspark.sql import Column, DataFrame, Window
 
 _PID = "__rank_pid"
@@ -93,7 +95,7 @@ def distributed_row_number(
     for r in sorted(counts, key=lambda r: r[_PID]):
         offsets.append((r[_PID], acc))
         acc += r["__n"]
-    off_df = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
+    off_df = local_frame(spark, offsets, f"{_PID} int, {_OFF} long")
     return (
         local.join(F.broadcast(off_df), _PID)
         .withColumn(out_col, (F.col(_OFF) + F.col(_LRN)).cast("int"))

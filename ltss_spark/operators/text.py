@@ -9,6 +9,8 @@ words); a BPE-ish regex token count is provided alongside.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+
+from ltss_spark.localrel import local_frame
 from pyspark.sql import Column, DataFrame, Window
 
 from ltss_spark.functions.numeric import davg
@@ -799,8 +801,10 @@ def bpe_train_merges(
     ``small_dict_rows=0`` to force the distributed loop.
     """
     merges, _ = _bpe_train_fold(docs, text_col, n_merges, small_dict_rows, stats)
-    return docs.sparkSession.createDataFrame(
-        merges, "step int, lhs string, rhs string, pair_count long"
+    # local_frame: LocalTableScan instead of a pickled-RDD scan (r12 —
+    # every action on the merge table re-paid a Python-worker unpickle)
+    return local_frame(
+        docs.sparkSession, merges, "step int, lhs string, rhs string, pair_count long"
     )
 
 
@@ -838,8 +842,8 @@ def _bpe_train_fold(
             if stats is not None:
                 stats["path"] = "driver-fold"
             merges, seg = _driver_bpe_fold(probe, n_merges)
-            return merges, spark.createDataFrame(
-                seg, "word string, n long, sym string"
+            return merges, local_frame(
+                spark, seg, "word string, n long, sym string"
             )
     if stats is not None:
         stats["path"] = "distributed"

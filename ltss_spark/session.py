@@ -93,6 +93,11 @@ def pin_session_for_oracle(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # Arrow createDataFrame: the adaptive driver-replay paths (localrel)
+    # depend on it to plan driver rows as a LocalTableScan; without it
+    # they fall back to a pickled-RDD scan that respawns Python workers
+    # on every downstream action (~0.3 s/action at local[32], r12)
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
 
 #: applicationIds already pinned — see pin_session_for_oracle docstring
