@@ -11,7 +11,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FEATURES = [
-    ("exchange", r"\bExchange (hashpartitioning|rangepartitioning|RoundRobin|SinglePartition)"),
+    # formatted-mode trees name the node bare ("+- Exchange (4)") and put
+    # the partitioning in the details section, so match the node name,
+    # excluding BroadcastExchange/ReusedExchange via the preceding space
+    ("exchange", r"[-: ] Exchange \(\d"),
     ("bcast_exch", r"\bBroadcastExchange\b"),
     ("scan", r"\bScan parquet\b"),
     ("scan_rdd", r"\bScan ExistingRDD\b"),
