@@ -763,3 +763,77 @@ def test_tws_replay_paths_are_pure_codegen(spark):
             # over a single row, not a cartesian blowup — only the markers
             # above are categorically banned
             assert marker not in s, f"{name} replay plan contains {marker}"
+
+
+def test_local_frame_plans_as_local_table_scan(spark):
+    """r12: adaptive driver-replay results (union-find, pagerank/LPA/BFS
+    replays, BPE fold, rank offsets) must plan as a pure-JVM
+    LocalTableScan — the pickled-RDD route (Scan ExistingRDD) respawns
+    Python workers on EVERY downstream action (~0.3 s each at local[32]).
+    Values must be identical to the classic list route, including NULLs
+    and >32-bit longs."""
+    from pyspark.sql import types as T
+
+    from ltss_spark.localrel import local_frame
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.LongType()),
+            T.StructField("c", T.DoubleType()),
+        ]
+    )
+    rows = [("x", 1, 0.5), (None, None, None), ("y", 2**40, 1e-9)]
+    df = local_frame(spark, rows, schema)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan, plan
+    assert "Scan ExistingRDD" not in plan, plan
+    ref = spark.createDataFrame(rows, schema)
+    assert df.exceptAll(ref).count() == 0
+    assert ref.exceptAll(df).count() == 0
+    # DDL-string schemas and the empty frame are part of the contract
+    assert local_frame(spark, [], "x int").count() == 0
+    ddl = local_frame(spark, [(1, "p")], "n int, s string").collect()
+    assert [(r["n"], r["s"]) for r in ddl] == [(1, "p")]
+
+
+def test_lsh_topk_ranks_on_single_exchange(spark):
+    """r12: the collision dedup + per-query top-k window must share ONE
+    hashpartitioning exchange (repartition on query_id satisfies both
+    clusterings). A second exchange here is the regression this guards."""
+    from ltss_spark.operators.similarity import cosine_topk_lsh
+    from ltss_spark.plans.registry import _t
+
+    emb = _t(spark, SF_SMOKE, "embeddings")
+    df = cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 3), k=5, dim=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exch = plan.count("Exchange hashpartitioning")
+    assert n_exch == 1, f"expected 1 hash exchange, saw {n_exch}:\n{plan}"
+
+
+def test_gram_windows_string_and_column_forms_agree(spark):
+    """r12: gram_windows builds the expression as one parsed SQL string
+    when given a column NAME (plan-construction latency) and as composed
+    Columns when given a Column — the two forms must stay
+    value-identical, including the short-document empty-array guard."""
+    from ltss_spark.operators.dedup import gram_windows
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c", "d", "e", "f"]),
+            (2, ["a", "b"]),  # shorter than k -> empty array
+            (3, []),
+            (4, None),
+        ],
+        "doc_id long, __toks array<string>",
+    )
+    got = docs.select(
+        "doc_id",
+        gram_windows("__toks", 3).alias("s"),
+        gram_windows(F.col("__toks"), 3).alias("c"),
+    ).collect()
+    for r in sorted(got, key=lambda r: r["doc_id"]):
+        assert r["s"] == r["c"], (r["doc_id"], r["s"], r["c"])
+    by_id = {r["doc_id"]: r["s"] for r in got}
+    assert by_id[1] == ["a b c", "b c d", "c d e", "d e f"]
+    assert by_id[2] == [] and by_id[3] == []
