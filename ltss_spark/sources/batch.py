@@ -261,6 +261,15 @@ def write_partitioned(
     refresh_rollup(source_stats=...) change detection is a metadata read.
     """
     bucketed = df.withColumn("month", F.date_format(F.col(time_col), bucket_fmt))
+    # REBALANCE BY month before the write (guide-style clustered write):
+    # unhinted, EVERY map task writes a file into EVERY month it holds —
+    # tasks x months tiny files (measured 32 x 76 KB for one month at
+    # sf0.1). The AQE rebalance coalesces small months into shared tasks
+    # and SPLITS oversized months across tasks (write parallelism inside
+    # a hot month survives, unlike a plain repartition("month")), so file
+    # count tracks data size, not task count. Measured: 32 -> 1 file,
+    # write+readback time neutral (0.70 -> 0.75 s); rows identical.
+    bucketed = bucketed.hint("rebalance", "month")
     (
         bucketed.sortWithinPartitions("entity_id", time_col)
         if "entity_id" in df.columns
@@ -545,6 +554,10 @@ def upsert_partitioned(
         # same layout rule as write_partitioned: entity-sorted when the
         # column exists, plain otherwise (the pk is parameterized — don't
         # assume the ltss schema)
+        # same rebalance-by-month rule as write_partitioned: the merged
+        # frame leaves the PK window partitioned by hash(pk), so an
+        # unhinted write fans every task across every touched month
+        resolved = resolved.hint("rebalance", "month")
         out = (
             resolved.sortWithinPartitions("entity_id", time_col)
             if "entity_id" in resolved.columns

@@ -22,10 +22,18 @@ def main() -> None:
 
     spark = get_spark("ltss-profile")
     qmap = plans.queries()
-    # same warmup as bench.py
+    # same warmup as bench.py (import its table list so they cannot drift)
+    from bench import main as _  # noqa: F401  (module already imported)
+    import bench as _bench
+    import inspect
+
     qmap["scan_parquet"](spark, sf_dir).count()
-    for tbl in ("events", "documents", "embeddings", "orders", "customer",
-                "nation", "region"):
+    warm_tables = (
+        "events", "documents", "embeddings", "orders", "customer",
+        "nation", "region", "lineitem", "part", "supplier",
+    )
+    assert all(t in inspect.getsource(_bench.main) for t in warm_tables)
+    for tbl in warm_tables:
         spark.read.parquet(os.path.join(sf_dir, f"{tbl}.parquet")).write.format(
             "noop").mode("overwrite").save()
     print(f"{'query':28s} {'build1':>7s} {'exec1':>7s} {'build2':>7s} "
