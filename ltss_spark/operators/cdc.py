@@ -128,7 +128,12 @@ def cdc_apply(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        resolved.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+        # rebalance-by-bucket (r12): resolved leaves the PK window
+        # partitioned by hash(pk), so each task would write a file into
+        # every bucket it touches
+        resolved.hint("rebalance", BUCKET_COL).write.mode("overwrite").partitionBy(
+            BUCKET_COL
+        ).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return buckets
@@ -175,9 +180,9 @@ def cdc_compact(
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         try:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            remaining.filter(F.col(BUCKET_COL).isin(sorted(kept))).write.mode(
-                "overwrite"
-            ).partitionBy(BUCKET_COL).parquet(path)
+            remaining.filter(F.col(BUCKET_COL).isin(sorted(kept))).hint(
+                "rebalance", BUCKET_COL
+            ).write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     hconf = spark._jsc.hadoopConfiguration()

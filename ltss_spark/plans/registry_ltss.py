@@ -1679,7 +1679,9 @@ def ltss_retention_q(spark, sf_dir):
     e = _t(spark, sf_dir, "events").withColumn(
         "month", F.date_format("ts", "yyyy-MM")
     ).select("event_id", "ts", "value", "month")
-    e.write.mode("overwrite").partitionBy("month").parquet(out)
+    e.hint("rebalance", "month").write.mode("overwrite").partitionBy(
+        "month"
+    ).parquet(out)
     drop_partitions(spark, out, before="2024-01")
     return spark.read.parquet(out).select(
         "event_id", "ts", "value", F.col("month").cast("string").alias("month")

@@ -106,6 +106,11 @@ def compact_rollup(spark: SparkSession, base: str, out: str) -> None:
         read_rollup(spark, base)
         .withColumn("epoch", F.lit(0))
         .withColumn("day", F.date_format("bucket_start", "yyyy-MM-dd"))
+        # rebalance-by-day (r12): the resolved frame leaves the epoch
+        # window partitioned by its group keys, so an unhinted write fans
+        # every task across every day — the small-files shape the sink's
+        # own repartition already avoids on the append path
+        .hint("rebalance", "day")
         .write.mode("overwrite")
         .partitionBy("day")
         .parquet(out)
