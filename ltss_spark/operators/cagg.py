@@ -87,32 +87,58 @@ def refresh_rollup(
         if source_stats is not None
         else bucket_fingerprints(source, time_col, unit, sig_cols)
     )
+    # materialize the fingerprints ONCE, driver-side: the frame is
+    # |buckets| rows (bounded by the time range / bucket unit, the same
+    # class the stale collect below always was), but its lineage is a
+    # full source scan — and it used to be consumed twice, so the sidecar
+    # rewrite at the end re-ran the whole fingerprint aggregation: a
+    # second full pass over the source per refresh (r12, measured). The
+    # stale compare is a sidecar-vs-sidecar diff over those bounded rows,
+    # so it runs driver-side too (one fewer job than the old full-outer
+    # join), and local_frame keeps the replayed frames pure-JVM
+    # LocalTableScans.
+    from ltss_spark.localrel import local_frame
+
+    fps_schema = fps.schema
+    fps_rows = fps.collect()
 
     try:
-        stored = spark.read.parquet(f"{rollup_path}/_fingerprints")
+        stored_rows = spark.read.parquet(f"{rollup_path}/_fingerprints").collect()
         first_build = False
     except Exception:  # no sidecar yet -> everything is stale
-        stored = None
+        stored_rows = None
         first_build = True
 
     if first_build:
-        stale = fps.select("bucket")
+        stale_buckets = [r["bucket"] for r in fps_rows]
     else:
-        cmp = fps.alias("cur").join(
-            stored.alias("old"), on="bucket", how="full_outer"
-        )
-        stale = cmp.filter(
-            F.col("old.src_rows").isNull()
-            | F.col("cur.src_rows").isNull()
-            | (F.col("cur.src_rows") != F.col("old.src_rows"))
-            | ~F.col("cur.src_sig").eqNullSafe(F.col("old.src_sig"))
-        ).select("bucket")
+        # same predicate as the old full-outer-join compare: a bucket is
+        # stale when it is missing on either side, either row count is
+        # NULL, the counts differ, or the signatures differ (NULL-safe)
+        old = {r["bucket"]: (r["src_rows"], r["src_sig"]) for r in stored_rows}
+        cur = {r["bucket"]: (r["src_rows"], r["src_sig"]) for r in fps_rows}
+        stale_buckets = [
+            b
+            for b in set(old) | set(cur)
+            if b not in old
+            or b not in cur
+            or old[b][0] is None
+            or cur[b][0] is None
+            or old[b] != cur[b]
+        ]
 
     stale_keys = sorted(
-        r["bucket"].isoformat() for r in stale.collect() if r["bucket"] is not None
+        b.isoformat() for b in stale_buckets if b is not None
     )
     if not stale_keys and not first_build:
         return []
+
+    from pyspark.sql import types as T
+
+    fps = local_frame(spark, fps_rows, fps_schema)
+    stale = local_frame(
+        spark, [(b,) for b in stale_buckets], T.StructType([fps_schema["bucket"]])
+    )
 
     # re-aggregate ONLY the stale slice; the bucket predicate prunes the
     # source scan (partition pruning on a bucket-partitioned layout)
@@ -134,9 +160,13 @@ def refresh_rollup(
             "spark.sql.sources.partitionOverwriteMode",
             "static" if first_build else "dynamic",
         )
-        fresh.write.mode("overwrite").partitionBy("p_bucket").parquet(
-            f"{rollup_path}/data"
-        )
+        # rebalance-by-bucket (r12): agg() leaves the frame partitioned
+        # by its group keys, so each task would write a file into every
+        # stale bucket it touches (the small-files fan-out fixed on the
+        # other partitioned writers this round)
+        fresh.hint("rebalance", "p_bucket").write.mode("overwrite").partitionBy(
+            "p_bucket"
+        ).parquet(f"{rollup_path}/data")
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

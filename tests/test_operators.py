@@ -1189,6 +1189,38 @@ def test_cagg_refresh_touches_only_stale_buckets(spark, tmp_path):
     assert got == {("b", 1), ("c", 1)}
 
 
+def test_cagg_refresh_stale_compare_edge_cases(spark, tmp_path):
+    """Pins the driver-side stale compare (r12: the old full-outer-join
+    SQL predicate became a bounded sidecar-vs-sidecar diff on the
+    driver): a value edit that keeps the row COUNT identical must still
+    flip the bucket stale via the signature, and NULL-ts rows must
+    neither crash the compare nor mark anything stale."""
+    from ltss_spark.operators.cagg import read_rollup, refresh_rollup
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "ts timestamp, k string, v double")
+
+    d1 = dt.datetime(2024, 3, 1, 10)
+    d2 = dt.datetime(2024, 3, 2, 11)
+    base = str(tmp_path / "cagg_edge")
+
+    def agg(src):
+        return src.groupBy("bucket", "k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    v1 = mk([(d1, "a", 1.0), (d2, "b", 3.0), (None, "z", 9.0)])
+    assert len(refresh_rollup(spark, v1, base, agg, time_col="ts", unit="day")) == 2
+    # same rows, same counts -> no-op even with the NULL-ts row present
+    assert refresh_rollup(spark, v1, base, agg, time_col="ts", unit="day") == []
+    # modify ONE value in day 1 (count unchanged): signature must catch it
+    v2 = mk([(d1, "a", 5.0), (d2, "b", 3.0), (None, "z", 9.0)])
+    stale = refresh_rollup(spark, v2, base, agg, time_col="ts", unit="day")
+    assert stale == [d1.replace(hour=0).isoformat()]
+    got = {(r["k"], r["s"]) for r in read_rollup(spark, base).collect()}
+    assert got == {("a", 5.0), ("b", 3.0)}
+
+
 def test_refresh_from_write_time_stats(spark, tmp_path):
     """The petabyte change-detection path: refresh_rollup driven by the
     fingerprint sidecar recorded at WRITE time (write_partitioned /
