@@ -119,6 +119,13 @@ def cdc_apply(
     ch = _with_bucket(changes, pk, n_buckets).withColumn(
         TOMBSTONE_COL, (F.col(op_col) == F.lit(delete_op))
     ).drop(op_col)
+    # lazy checkpoint (r12): the change frame is consumed twice — the
+    # touched-bucket collect below and the survivor merge — and its
+    # lineage is the caller's change feed (a source re-read per
+    # consumption in a foreachBatch). The collect materializes the blocks
+    # once; the merge reuses them. Block footprint is the batch, not the
+    # table.
+    ch = ch.localCheckpoint(eager=False)
     buckets = sorted(
         r[BUCKET_COL] for r in ch.select(BUCKET_COL).distinct().collect()
     )
@@ -162,10 +169,18 @@ def cdc_compact(
     like the apply path). Returns the number of rows purged."""
     t = spark.read.parquet(path)
     purgeable = F.col(TOMBSTONE_COL) & (F.col("version") <= F.lit(version_horizon))
-    dirty = t.filter(purgeable).select(BUCKET_COL).distinct()
-    buckets = sorted(r[BUCKET_COL] for r in dirty.collect())
+    # per-bucket purgeable counts in ONE aggregate: the bucket list AND
+    # n_purged both fall out of the same scan (r12 — the old shape paid a
+    # second pruned scan just to count `scoped` for the purge tally;
+    # purgeable rows are exactly scoped-minus-remaining, so summing the
+    # per-bucket counts is the same number)
+    dirty = (
+        t.filter(purgeable).groupBy(BUCKET_COL).agg(F.count(F.lit(1)).alias("n"))
+    ).collect()
+    buckets = sorted(r[BUCKET_COL] for r in dirty)
     if not buckets:
         return 0
+    n_purged = sum(r["n"] for r in dirty)
     scoped = t.filter(F.col(BUCKET_COL).isin(buckets))
     # eager checkpoint: `remaining` is about to overwrite the very files it
     # reads from; materializing first also lets us see which buckets end
@@ -174,7 +189,6 @@ def cdc_compact(
     # old files (the initial implementation's bug, caught by
     # test_compact_purges_only_past_horizon)
     remaining = scoped.filter(~purgeable).localCheckpoint()
-    n_purged = scoped.count() - remaining.count()
     kept = {r[BUCKET_COL] for r in remaining.select(BUCKET_COL).distinct().collect()}
     if kept:
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

@@ -163,8 +163,11 @@ def ddl_migrate(spark, sf_dir):
         ((F.col("event_id") % 360).cast("double") - 180.0).alias("loc_lon"),
         "half",
     )
-    v1.write.partitionBy("half").mode("append").parquet(out)
-    v2.write.partitionBy("half").mode("append").parquet(out)
+    # rebalance-by-half (r12): each append is one partition value, so an
+    # unhinted write leaves one file per map task; the mergeSchema read
+    # below pays per-file footer merging, so file count is the read cost
+    v1.hint("rebalance", "half").write.partitionBy("half").mode("append").parquet(out)
+    v2.hint("rebalance", "half").write.partitionBy("half").mode("append").parquet(out)
     return (
         spark.read.option("mergeSchema", "true")
         .parquet(out)

@@ -508,6 +508,12 @@ def upsert_partitioned(
     partitioning.
     """
     upd = updates.withColumn("month", F.date_format(F.col(time_col), bucket_fmt))
+    # lazy checkpoint (r12): the update frame is consumed twice — the
+    # touched-month collect and the PK merge — and its lineage is the
+    # caller's delta (recomputed per consumption otherwise, e.g. a
+    # foreachBatch source re-read). The collect materializes the blocks
+    # once; the merge reuses them. Block footprint is the delta.
+    upd = upd.localCheckpoint(eager=False)
     months = [r["month"] for r in upd.select("month").distinct().collect()]
     if not months:
         return []
