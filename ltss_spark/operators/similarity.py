@@ -15,6 +15,8 @@ Two tiers:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -163,6 +165,69 @@ def _sig_kernel(vals, tables: int, bits: int, dim: int, mat_t) -> list:
     return out
 
 
+def _seq_norm(vec) -> float | None:
+    """Driver-side L2 norm, BIT-IDENTICAL to the :func:`_norm` fold: the
+    same sequential left-to-right ``acc + x*x`` over IEEE doubles (Python
+    floats ARE binary64, ``math.sqrt`` is the same correctly-rounded sqrt
+    as ``F.sqrt``), a NULL element propagates to NULL exactly like the
+    fold's ``acc + NULL``, and zero maps to None like the nullif guard."""
+    if vec is None:
+        return None
+    acc = 0.0
+    for x in vec:
+        if x is None:
+            return None
+        acc = acc + float(x) * float(x)
+    n = math.sqrt(acc)
+    return None if n == 0.0 else n
+
+
+def _local_query_sigs(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tables: int,
+    bits: int,
+    dim: int,
+) -> DataFrame:
+    """The probe side of :func:`cosine_topk_lsh` as a driver-computed
+    LocalTableScan: (query_id, q_vec, q_nrm, table, sig), one row per
+    (query, table) — exactly the rows ``with_sigs`` produced distributed.
+
+    The probe set is the BROADCAST side by contract (it is collected to
+    the driver for the hash relation either way), so collecting it first
+    is the same memory class — and it replaces a second corpus-table scan
+    plus a whole ArrowEvalPython stage with one bounded collect. Re-A/B'd
+    r13 now that local_frame plans as a pure-JVM LocalTableScan (the r11
+    rejection predates localrel and measured the PICKLED-RDD local route):
+    interleaved min-of-6 at sf0.1, rows identical — 1.059 -> 0.752 s
+    quiet-ish, 2.33 -> 1.33 s contended. Signature values come from the
+    SAME :func:`_sig_kernel`; norms from :func:`_seq_norm` (bit-identical
+    to the fold); NULL / wrong-width vectors emit no rows, exactly like
+    the empty signature list in the distributed form."""
+    from ltss_spark.localrel import local_frame
+
+    mat_t = _sig_matrix_t(tables, bits, dim)
+    qrows = queries.select(id_col, vec_col).collect()
+    vals = [r[vec_col] for r in qrows]
+    sigs = _sig_kernel(vals, tables, bits, dim, mat_t)
+    rows = []
+    for r, sig_list, v in zip(qrows, sigs, vals):
+        if not sig_list:
+            continue  # NULL / wrong-width vector: collides with nothing
+        nrm = _seq_norm(v)
+        vv = [None if x is None else float(x) for x in v]
+        for t, s in enumerate(sig_list):
+            rows.append((r[id_col], vv, nrm, t, s))
+    id_dt = queries.schema[id_col].dataType.simpleString()
+    return local_frame(
+        queries.sparkSession,
+        rows,
+        f"query_id {id_dt}, query_id_vec array<double>, "
+        "query_id_nrm double, table int, sig string",
+    )
+
+
 def _infer_dim(corpus: DataFrame, vec_col: str, sample: int = 64) -> int:
     """Embedding width from the data: the safe default for every dim
     parameter below. A hardcoded wrong width would silently exclude EVERY
@@ -239,12 +304,14 @@ def cosine_topk_lsh(
             F.posexplode(sig_udf(F.col(vec_col))).alias("table", "sig"),
         )
 
-    # NOTE (measured, do not "optimize"): computing the probe-side
-    # signatures driver-side (collect + numpy + createDataFrame + join)
-    # is SLOWER than this Arrow stage — the local-list frame is a
-    # pickled-RDD scan that spawns Python workers on every action
-    # (A/B at sf0.1: local 1.48-1.64 s vs distributed 1.22-1.35 s).
-    qs = with_sigs(queries, "query_id")
+    # probe-side signatures are computed DRIVER-SIDE (bounded: the probe
+    # set is the broadcast side by contract) and planned as a pure-JVM
+    # LocalTableScan — one collect replaces a second corpus scan + a
+    # whole ArrowEvalPython stage (r13 re-A/B of the r11 rejection, which
+    # predates localrel and measured the pickled-RDD local route; see
+    # _local_query_sigs for the numbers). The corpus side stays the
+    # distributed Arrow kernel — it is unbounded.
+    qs = _local_query_sigs(queries, id_col, vec_col, tables, bits, dim)
     cs = with_sigs(corpus, "candidate_id")
     # score per collision row, then dedupe multi-table collisions by id —
     # a distinct over the raw vector columns would hash 64-float arrays

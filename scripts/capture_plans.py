@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for every headline query into plans/r12/.
+"""Capture .explain("formatted") for every headline query into plans/r13/.
 
 Usage: python scripts/capture_plans.py <suffix> [query ...]
 Writes plans/r12/<name>_<suffix>.txt for each headline query (or just the
@@ -19,7 +19,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        "r13",
     )
     os.makedirs(out_dir, exist_ok=True)
     import ltss_spark.plans as plans
