@@ -459,6 +459,48 @@ def stream_stateful(spark, sf_dir):
     return streaming_user_totals(spark, sf_dir)
 
 
+def stage_batches(frame, batch_col, n_batches: int, src: str) -> None:
+    """HARNESS FIXTURE staging shared by the multi-micro-batch stream
+    entries: write ``frame`` — whose rows belong to micro-batch
+    ``batch_col`` (an int Column in [0, n_batches)) — as exactly one
+    parquet file per batch, ``b0.parquet`` .. ``b{n-1}.parquet`` with
+    increasing mtimes (Spark's file source orders by modification time,
+    so each file IS one micro-batch under maxFilesPerTrigger=1).
+
+    ONE Spark job for all batches (r13): ``repartition(n, __b)`` puts
+    every batch value in a single task and ``partitionBy(__b)`` keeps the
+    batch index OUT of the data files, so each ``__b=i`` directory holds
+    exactly one part file with the original schema — the previous
+    one-filtered-scan-plus-write PER BATCH (3-4 jobs, each rescanning the
+    source) collapses into one scan+write. An empty batch (not seen at
+    any tested SF, but layout-stability matters: the batch COUNT is
+    semantic for the watermark entries) still gets its file via an
+    empty single-part write."""
+    import glob as g
+    import os
+    import shutil
+
+    tmp = f"{src}/__tmp"
+    (
+        frame.withColumn("__b", batch_col)
+        .repartition(n_batches, "__b")
+        .write.partitionBy("__b")
+        .parquet(tmp)
+    )
+    now = 1_700_000_000
+    for i in range(n_batches):
+        dst = f"{src}/b{i}.parquet"
+        hits = g.glob(f"{tmp}/__b={i}/part-*.parquet")
+        assert len(hits) <= 1, f"batch {i}: {len(hits)} part files"
+        if hits:
+            shutil.move(hits[0], dst)
+        else:
+            frame.filter(F.lit(False)).coalesce(1).write.parquet(f"{tmp}/__e{i}")
+            shutil.move(g.glob(f"{tmp}/__e{i}/part-*.parquet")[0], dst)
+        os.utime(dst, (now + 600 * i, now + 600 * i))
+    shutil.rmtree(tmp)
+
+
 def stage_late_arrivals(spark, sf_dir):
     """HARNESS FIXTURE, not an operator: split the static events table into
     three files processed as three micro-batches (maxFilesPerTrigger=1 +
@@ -468,8 +510,6 @@ def stage_late_arrivals(spark, sf_dir):
     watermark has already passed. Returns a bounded streaming DataFrame
     whose third micro-batch is entirely late. Lives in the plans/ harness
     layer so ltss_spark.streaming stays pure plan code."""
-    import os
-
     from ltss_spark.sources.batch import normalize_event_times
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -478,20 +518,14 @@ def stage_late_arrivals(spark, sf_dir):
     )
     src = f'{scratch_dir("ltss_late")}/src'
     mn, mx = events.agg(F.min("ts"), F.max("ts")).collect()[0]
-    bulk = events.filter((F.col("ts") > mn) & (F.col("ts") < mx))
-    tail = events.filter(F.col("ts") == mx)  # advances the watermark
-    late = events.filter(F.col("ts") <= mn)  # straggler, arrives last
-    bulk.coalesce(1).write.parquet(f"{src}/a.parquet")
-    tail.coalesce(1).write.parquet(f"{src}/b.parquet")
-    late.coalesce(1).write.parquet(f"{src}/c.parquet")
-    now = 1_700_000_000
-    offsets = {"/a.parquet": 0, "/b.parquet": 600, "/c.parquet": 1200}
-    for root, _dirs, files in os.walk(src):
-        for f_ in files:
-            p = os.path.join(root, f_)
-            for marker, off in offsets.items():
-                if marker in p:
-                    os.utime(p, (now + off, now + off))
+    stage_batches(
+        events,
+        F.when(F.col("ts") <= mn, F.lit(2))  # straggler, arrives last
+        .when(F.col("ts") == mx, F.lit(1))  # advances the watermark
+        .otherwise(F.lit(0)),  # bulk of the on-time rows
+        3,
+        src,
+    )
     return (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", "1")
@@ -510,10 +544,19 @@ def stage_late_arrivals(spark, sf_dir):
     survey="stream_late_drop stream_watermark A10 (watermark drops stragglers)",
 )
 def stream_late_drop(spark, sf_dir):
-    from ltss_spark.streaming.windows import streaming_counts_dropping_late
+    from ltss_spark.streaming.windows import (
+        bounded_source_state_partitions,
+        streaming_counts_dropping_late,
+    )
 
     raw = stage_late_arrivals(spark, sf_dir)
-    return streaming_counts_dropping_late(raw, bucket="1 hour")
+    return streaming_counts_dropping_late(
+        raw,
+        bucket="1 hour",
+        state_partitions=bounded_source_state_partitions(
+            f"{sf_dir}/events.parquet"
+        ),
+    )
 
 
 @register(
@@ -537,10 +580,19 @@ def stream_watermark(spark, sf_dir):
     exactly (source - on_time) rows, checked against a plain DuckDB filter
     oracle rather than inferred from which buckets survived."""
     from ltss_spark.plans.registry import _t
-    from ltss_spark.streaming.windows import streaming_counts_dropping_late
+    from ltss_spark.streaming.windows import (
+        bounded_source_state_partitions,
+        streaming_counts_dropping_late,
+    )
 
     raw = stage_late_arrivals(spark, sf_dir)
-    kept = streaming_counts_dropping_late(raw, bucket="1 hour")
+    kept = streaming_counts_dropping_late(
+        raw,
+        bucket="1 hour",
+        state_partitions=bounded_source_state_partitions(
+            f"{sf_dir}/events.parquet"
+        ),
+    )
     n_source = _t(spark, sf_dir, "events").count()
     return kept.agg(
         F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_on_time")
@@ -948,12 +1000,11 @@ def stream_changepoint_q(spark, sf_dir):
     it). The emitted per-event
     walk values hash-match the batch CUSUM oracle — the stream IS the
     batch computation, incrementalized."""
-    import glob as g
     import os
-    import shutil
 
     from ltss_spark.plans.registry import _t
     from ltss_spark.streaming.stateful import streaming_cusum
+    from ltss_spark.streaming.windows import bounded_source_state_partitions
 
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
         "event_id", "user_id", "ts", "value"
@@ -998,19 +1049,14 @@ def stream_changepoint_q(spark, sf_dir):
     lo, hi = bounds["lo"], bounds["hi"]
     span = (hi - lo) / 3
     cuts = [lo + span, lo + span + span]
-    now = 1_700_000_000
-    parts = [
-        e.filter(F.col("ts") < cuts[0]),
-        e.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
-        e.filter(F.col("ts") >= cuts[1]),
-    ]
-    for i, part in enumerate(parts):
-        part.coalesce(1).write.parquet(f"{src}/__tmp")
-        shutil.move(
-            g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/b{i}.parquet"
-        )
-        shutil.rmtree(f"{src}/__tmp")
-        os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
+    stage_batches(
+        e,
+        F.when(F.col("ts") < F.lit(cuts[0]), F.lit(0))
+        .when(F.col("ts") < F.lit(cuts[1]), F.lit(1))
+        .otherwise(F.lit(2)),
+        3,
+        src,
+    )
     raw = (
         spark.readStream.schema(
             "event_id long, user_id long, ts timestamp, value double"
@@ -1018,7 +1064,7 @@ def stream_changepoint_q(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    return streaming_cusum(raw, limits)
+    return streaming_cusum(raw, limits, bounded_source_state_partitions(src))
 
 
 _GAP_CLOSE_MS = 21_600_000  # 6 hours — yields interior AND final closes
@@ -1075,9 +1121,7 @@ def stream_gap_close_q(spark, sf_dir):
     a worker-visible protobuf runtime (the Kafka entries' precedent:
     same result either way, hash-checked; a pytest pins the real timer
     stream equal to the replay where the runtime IS available)."""
-    import glob as g
     import os
-    import shutil
 
     from ltss_spark.plans.registry import _t
     from ltss_spark.streaming.stateful import (
@@ -1104,19 +1148,12 @@ def stream_gap_close_q(spark, sf_dir):
     base = scratch_dir("ltss_stream_gapclose")
     src = f"{base}/src"
     os.makedirs(src, exist_ok=True)
-    parts = [
-        e.filter(us < cut1),
-        e.filter((us >= cut1) & (us < cut2)),
-        e.filter(us >= cut2),
-    ]
-    now = 1_700_000_000
-    for i, part in enumerate(parts):
-        part.coalesce(1).write.parquet(f"{src}/__tmp")
-        shutil.move(
-            g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/b{i}.parquet"
-        )
-        shutil.rmtree(f"{src}/__tmp")
-        os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
+    stage_batches(
+        e,
+        F.when(us < cut1, F.lit(0)).when(us < cut2, F.lit(1)).otherwise(F.lit(2)),
+        3,
+        src,
+    )
     return streaming_gap_close_tws(spark, src, _GAP_CLOSE_MS)
 
 
@@ -1152,9 +1189,7 @@ def stream_tws_totals_q(spark, sf_dir):
     a worker-visible protobuf runtime (stream_gap_close's precedent:
     same values either way, and tests/test_streaming.py pins
     stream == replay where the runtime IS available)."""
-    import glob as g
     import os
-    import shutil
 
     from ltss_spark.plans.registry import _t
     from ltss_spark.streaming.stateful import (
@@ -1181,19 +1216,12 @@ def stream_tws_totals_q(spark, sf_dir):
     base = scratch_dir("ltss_stream_tws_totals")
     src = f"{base}/src"
     os.makedirs(src, exist_ok=True)
-    parts = [
-        e.filter(us < cut1),
-        e.filter((us >= cut1) & (us < cut2)),
-        e.filter(us >= cut2),
-    ]
-    now = 1_700_000_000
-    for i, part in enumerate(parts):
-        part.coalesce(1).write.parquet(f"{src}/__tmp")
-        shutil.move(
-            g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/b{i}.parquet"
-        )
-        shutil.rmtree(f"{src}/__tmp")
-        os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
+    stage_batches(
+        e,
+        F.when(us < cut1, F.lit(0)).when(us < cut2, F.lit(1)).otherwise(F.lit(2)),
+        3,
+        src,
+    )
     return streaming_running_totals_tws_dir(spark, src)
 
 
@@ -1232,9 +1260,7 @@ def stream_tws_ooo_q(spark, sf_dir):
     session's JVM lacks a worker-visible protobuf runtime (the
     stream_tws_totals precedent); tests/test_streaming.py pins
     stream == replay where the runtime IS available."""
-    import glob as g
     import os
-    import shutil
 
     from ltss_spark.plans.registry import _t
     from ltss_spark.streaming.stateful import (
@@ -1276,20 +1302,21 @@ def stream_tws_ooo_q(spark, sf_dir):
             F.lit(0.0).alias("value"),
         )
     )
-    parts = [
-        e.filter((us >= cut1) & (us < cut2)),  # middle FIRST
-        e.filter(us < cut1),  # then early — genuinely out of order
-        e.filter(us >= cut2),  # then late
-        sentinel.select("event_id", "user_id", "ts", "value"),
-    ]
-    now = 1_700_000_000
-    for i, part in enumerate(parts):
-        part.coalesce(1).write.parquet(f"{src}/__tmp")
-        shutil.move(
-            g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/b{i}.parquet"
-        )
-        shutil.rmtree(f"{src}/__tmp")
-        os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
+    # batch order: middle FIRST, then early — genuinely out of order —
+    # then late; the watermark-punctuation sentinels ride IN the final
+    # batch (r13: one fewer micro-batch than a separate sentinel file;
+    # identical output — sentinels are dropped before buffering and only
+    # move the watermark, which is computed AFTER the batch either way,
+    # so the same end-of-input drain happens in availableNow's
+    # finalization batch)
+    stage_batches(
+        e.unionByName(sentinel.select("event_id", "user_id", "ts", "value")),
+        F.when((us >= cut1) & (us < cut2), F.lit(0))
+        .when(us < cut1, F.lit(1))
+        .otherwise(F.lit(2)),
+        3,
+        src,
+    )
     return streaming_running_totals_tws_ooo(spark, src, delay_ms)
 
 
@@ -1319,9 +1346,7 @@ def stream_distinct_state_q(spark, sf_dir):
     lacks a worker-visible protobuf runtime, the stream_tws_totals /
     stream_gap_close precedent; a pytest pins stream == replay where
     the runtime is available."""
-    import glob as g
     import os
-    import shutil
 
     from ltss_spark.plans.registry import _t
     from ltss_spark.streaming.stateful import (
@@ -1350,19 +1375,12 @@ def stream_distinct_state_q(spark, sf_dir):
     base = scratch_dir("ltss_stream_distinct_state")
     src = f"{base}/src"
     os.makedirs(src, exist_ok=True)
-    parts = [
-        e.filter(us < cut1),
-        e.filter((us >= cut1) & (us < cut2)),
-        e.filter(us >= cut2),
-    ]
-    now = 1_700_000_000
-    for i, part in enumerate(parts):
-        part.coalesce(1).write.parquet(f"{src}/__tmp")
-        shutil.move(
-            g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/b{i}.parquet"
-        )
-        shutil.rmtree(f"{src}/__tmp")
-        os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
+    stage_batches(
+        e,
+        F.when(us < cut1, F.lit(0)).when(us < cut2, F.lit(1)).otherwise(F.lit(2)),
+        3,
+        src,
+    )
     return streaming_distinct_types_tws(spark, src)
 
 
@@ -1397,9 +1415,7 @@ def stream_list_state_q(spark, sf_dir):
     recent_k_replay when the JVM lacks a worker-visible protobuf
     runtime (stream_tws_totals precedent); a pytest pins
     stream == replay where the runtime is available."""
-    import glob as g
     import os
-    import shutil
 
     from ltss_spark.plans.registry import _t
     from ltss_spark.streaming.stateful import (
@@ -1426,19 +1442,12 @@ def stream_list_state_q(spark, sf_dir):
     base = scratch_dir("ltss_stream_list_state")
     src = f"{base}/src"
     os.makedirs(src, exist_ok=True)
-    parts = [
-        e.filter(us < cut1),
-        e.filter((us >= cut1) & (us < cut2)),
-        e.filter(us >= cut2),
-    ]
-    now = 1_700_000_000
-    for i, part in enumerate(parts):
-        part.coalesce(1).write.parquet(f"{src}/__tmp")
-        shutil.move(
-            g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/b{i}.parquet"
-        )
-        shutil.rmtree(f"{src}/__tmp")
-        os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
+    stage_batches(
+        e,
+        F.when(us < cut1, F.lit(0)).when(us < cut2, F.lit(1)).otherwise(F.lit(2)),
+        3,
+        src,
+    )
     return streaming_recent_k_tws(spark, src, k=5)
 
 
@@ -1482,9 +1491,7 @@ def stream_state_bootstrap_q(spark, sf_dir):
     Capability-gated onto bootstrap_totals_replay in JVMs without a
     worker-visible protobuf runtime; a pytest pins stream == replay
     where it is available."""
-    import glob as g
     import os
-    import shutil
 
     from ltss_spark.plans.registry import _t
     from ltss_spark.streaming.stateful import (
@@ -1513,16 +1520,10 @@ def stream_state_bootstrap_q(spark, sf_dir):
     base = scratch_dir("ltss_stream_bootstrap")
     src = f"{base}/src"
     os.makedirs(src, exist_ok=True)
-    parts = [
-        e.filter((us >= cut1) & (us < cut2)),
-        e.filter(us >= cut2),
-    ]
-    now = 1_700_000_000
-    for i, part in enumerate(parts):
-        part.coalesce(1).write.parquet(f"{src}/__tmp")
-        shutil.move(
-            g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/b{i}.parquet"
-        )
-        shutil.rmtree(f"{src}/__tmp")
-        os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
+    stage_batches(
+        e.filter(us >= cut1),
+        F.when(us < cut2, F.lit(0)).otherwise(F.lit(1)),
+        2,
+        src,
+    )
     return streaming_bootstrap_totals_tws(spark, src, init)

@@ -376,13 +376,26 @@ def run_ingest_availablenow(
         from ltss_spark.scratch import scratch_dir
 
         checkpoint = scratch_dir("ltss_ckpt")
-    q = (
-        states.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # scope the state/shuffle partition count to the bounded source size
+    # (guide §2; windows.bounded_source_state_partitions): the dedup path
+    # keeps one state store per partition, and even the plain path shuffles
+    # each micro-batch — sizing either to the batch session's core-count
+    # constant pays ~32 store/task fixed costs per batch for KB-scale files
+    from ltss_spark.streaming.windows import bounded_source_state_partitions
+
+    n_parts = bounded_source_state_partitions(source_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        q = (
+            states.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def streaming_bucket_counts(
@@ -396,7 +409,11 @@ def streaming_bucket_counts(
     a batch DataFrame (bucket_start, event_type, n). Source and sink reuse
     the windows-module helpers (uuid-named memory table — a process-salted
     hash name could collide and silently share a table between queries)."""
-    from ltss_spark.streaming.windows import bounded_events_stream, run_to_memory
+    from ltss_spark.streaming.windows import (
+        bounded_events_stream,
+        bounded_source_state_partitions,
+        run_to_memory,
+    )
 
     raw = bounded_events_stream(spark, source_dir)
     agg = (
@@ -405,7 +422,12 @@ def streaming_bucket_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("bucket_start"), "event_type", "n")
     )
-    return run_to_memory(agg, "complete", "stream_bucket")
+    return run_to_memory(
+        agg,
+        "complete",
+        "stream_bucket",
+        bounded_source_state_partitions(f"{source_dir}/events.parquet"),
+    )
 
 
 def shutdown_streams(spark: SparkSession, timeout_s: int = 30) -> int:

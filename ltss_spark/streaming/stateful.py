@@ -24,7 +24,11 @@ import pyspark.sql.functions as F  # noqa: F401  (re-exported convenience)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ltss_spark.streaming.windows import bounded_events_stream, run_to_memory
+from ltss_spark.streaming.windows import (
+    bounded_events_stream,
+    bounded_source_state_partitions,
+    run_to_memory,
+)
 
 _OUT_SCHEMA = (
     "user_id bigint, n_events bigint, id_checksum bigint, max_value double"
@@ -69,7 +73,12 @@ def streaming_user_totals(spark: SparkSession, source_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = run_to_memory(updates, "update", "stream_stateful")
+    out = run_to_memory(
+        updates,
+        "update",
+        "stream_stateful",
+        bounded_source_state_partitions(f"{source_dir}/events.parquet"),
+    )
     # update-mode emissions accumulate in the memory sink; the final state
     # per user is the one with the largest n_events
     w_latest = (
@@ -307,7 +316,9 @@ def _require_tws(spark: SparkSession) -> None:
     _require_worker_visible_protobuf(spark)
 
 
-def _run_totals_stream(spark: SparkSession, raw: DataFrame) -> DataFrame:
+def _run_totals_stream(
+    spark: SparkSession, raw: DataFrame, state_partitions: int | None = None
+) -> DataFrame:
     """Run the RunningTotals StatefulProcessor over ``raw`` (a STREAMING
     frame carrying user_id, ts, event_id, value) with a RocksDB state
     store — the shared core of :func:`streaming_running_totals_tws`
@@ -384,7 +395,7 @@ def _run_totals_stream(spark: SparkSession, raw: DataFrame) -> DataFrame:
             outputMode="append",
             timeMode="none",
         )
-        return run_to_memory(updates, "append", "stream_tws")
+        return run_to_memory(updates, "append", "stream_tws", state_partitions)
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
@@ -417,7 +428,11 @@ def streaming_running_totals_tws(spark: SparkSession, source_dir: str) -> DataFr
     ``stream_tws_ooo``) does over deliberately time-shuffled files.
     """
     _require_tws(spark)
-    return _run_totals_stream(spark, bounded_events_stream(spark, source_dir))
+    return _run_totals_stream(
+        spark,
+        bounded_events_stream(spark, source_dir),
+        bounded_source_state_partitions(f"{source_dir}/events.parquet"),
+    )
 
 
 def streaming_running_totals_tws_dir(
@@ -440,7 +455,9 @@ def streaming_running_totals_tws_dir(
         .option("maxFilesPerTrigger", 1)
         .parquet(src_path)
     )
-    return _run_totals_stream(spark, raw)
+    return _run_totals_stream(
+        spark, raw, bounded_source_state_partitions(src_path)
+    )
 
 
 def running_totals_replay(events: DataFrame) -> DataFrame:
@@ -510,11 +527,15 @@ def streaming_running_totals_tws_ooo(
     Rows with ``event_id < 0`` are WATERMARK PUNCTUATION, not data: a
     bounded out-of-order stream ends with up to ``delay_ms`` of events
     still unprovable (final watermark = stream max - delay), so the
-    layout appends a final sentinel file whose far-future timestamps
-    push the closing watermark past every real event — Flink's
+    layout rides sentinel rows with far-future timestamps in the FINAL
+    batch, pushing the closing watermark past every real event — Flink's
     end-of-bounded-input MAX_WATERMARK semantics, which Spark's
-    availableNow finalization does not provide on its own. Sentinels
-    are dropped before buffering and never appear in the output.
+    availableNow finalization does not provide on its own. (r13: the
+    sentinels previously shipped as their own extra micro-batch file;
+    the watermark is computed AFTER a batch either way, so carrying them
+    in the last data batch produces the identical drain one batch
+    sooner.) Sentinels are dropped before buffering and never appear in
+    the output.
 
     State per key is O(events within the delay window), not O(stream) —
     the buffer holds only rows the watermark has not yet proven, the
@@ -630,7 +651,12 @@ def streaming_running_totals_tws_ooo(
             outputMode="append",
             timeMode="eventTime",
         )
-        return run_to_memory(updates, "append", "stream_tws_ooo")
+        return run_to_memory(
+            updates,
+            "append",
+            "stream_tws_ooo",
+            bounded_source_state_partitions(src_path),
+        )
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
@@ -717,7 +743,12 @@ def streaming_distinct_types_tws(
             outputMode="append",
             timeMode="none",
         )
-        out = run_to_memory(updates, "append", "stream_distinct_state")
+        out = run_to_memory(
+            updates,
+            "append",
+            "stream_distinct_state",
+            bounded_source_state_partitions(src_path),
+        )
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
@@ -840,7 +871,12 @@ def streaming_recent_k_tws(
             outputMode="append",
             timeMode="none",
         )
-        out = run_to_memory(updates, "append", "stream_list_state")
+        out = run_to_memory(
+            updates,
+            "append",
+            "stream_list_state",
+            bounded_source_state_partitions(src_path),
+        )
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
@@ -960,7 +996,12 @@ def streaming_bootstrap_totals_tws(
             timeMode="none",
             initialState=init.groupBy("user_id"),
         )
-        out = run_to_memory(updates, "append", "stream_state_bootstrap")
+        out = run_to_memory(
+            updates,
+            "append",
+            "stream_state_bootstrap",
+            bounded_source_state_partitions(src_path),
+        )
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
@@ -1144,7 +1185,12 @@ def streaming_gap_close_tws(
             outputMode="append",
             timeMode="eventTime",
         )
-        return run_to_memory(closes, "append", "stream_gap_close")
+        return run_to_memory(
+            closes,
+            "append",
+            "stream_gap_close",
+            bounded_source_state_partitions(src_path),
+        )
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
@@ -1345,7 +1391,9 @@ def _make_cusum_fn(limits: dict):
     return fold
 
 
-def streaming_cusum(raw: DataFrame, limits: dict) -> DataFrame:
+def streaming_cusum(
+    raw: DataFrame, limits: dict, state_partitions: int | None = None
+) -> DataFrame:
     """Per-event CUSUM monitoring as a STREAM: the batch operator's
     reflected-walk arithmetic (operators/timeseries.cusum_changepoints)
     carried across micro-batches in four longs of state per series (walk
@@ -1366,4 +1414,4 @@ def streaming_cusum(raw: DataFrame, limits: dict) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory(updates, "append", "stream_cusum")
+    return run_to_memory(updates, "append", "stream_cusum", state_partitions)

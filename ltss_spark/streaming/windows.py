@@ -19,12 +19,58 @@ are the foreachBatch path in ltss_spark.streaming.ingest.
 
 from __future__ import annotations
 
+import math
+import os
 import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ltss_spark.sources.batch import normalize_event_times
+
+#: bytes of bounded-stream input per state partition. One state store
+#: instance (plus its per-micro-batch commit) per partition is the fixed
+#: cost being sized here, so the target is deliberately coarse; the floor
+#: keeps a handful of stores even for tiny fixtures (measured r13: a
+#: single-partition stream SERIALIZES the python-worker and commit path
+#: and loses ~25%).
+_STATE_PARTITION_TARGET_BYTES = 64 << 20
+
+
+def bounded_source_state_partitions(
+    *paths: str, floor: int = 4, target_bytes: int = _STATE_PARTITION_TARGET_BYTES
+) -> int:
+    """State/shuffle partition count for a BOUNDED file-fed stream, derived
+    from the actual input size instead of inherited from the batch
+    session's core-count constant (guide §2: scale-adaptive partitioning;
+    streaming has no AQE to coalesce for us, so every stateful micro-batch
+    otherwise runs ``spark.sql.shuffle.partitions`` state-store instances
+    — 32 on this box — each paying an open+commit per batch. Measured r13
+    at sf0.01: stream-stream join 7.0 s -> 2.9 s, TWS running totals
+    8.1 s -> 5.0 s, rows identical).
+
+    The env override ``LTSS_STREAM_STATE_PARTITIONS`` pins the count for
+    production long-running jobs, where state partitioning is a durable
+    checkpoint property sized for peak throughput, not for the first
+    batch's input."""
+    env = os.environ.get("LTSS_STREAM_STATE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        else:
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                pass
+    return max(floor, math.ceil(total / target_bytes))
 
 #: (applicationId, path, mtime_ns, size) -> RAW file schema. Every stream
 #: entry pays a ~0.1 s footer read for the batch schema peek; the RAW
@@ -70,19 +116,40 @@ def bounded_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
-def run_to_memory(df: DataFrame, output_mode: str, name_hint: str) -> DataFrame:
+def run_to_memory(
+    df: DataFrame,
+    output_mode: str,
+    name_hint: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Run a bounded streaming query to completion through a memory sink and
-    return the finished result as a batch DataFrame."""
-    name = f"{name_hint}_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    return the finished result as a batch DataFrame.
+
+    ``state_partitions`` (callers: :func:`bounded_source_state_partitions`)
+    scopes ``spark.sql.shuffle.partitions`` around the query — the value is
+    captured at query start and fixes the state-store partition count for
+    the checkpoint's lifetime, which for these bounded one-shot runs is
+    exactly this call. The previous session value is restored before
+    returning, so batch plans are untouched."""
+    spark = df.sparkSession
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        name = f"{name_hint}_{uuid.uuid4().hex[:12]}"
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def streaming_sliding_counts(
@@ -100,7 +167,12 @@ def streaming_sliding_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
-    return run_to_memory(agg, "complete", "stream_sliding")
+    return run_to_memory(
+        agg,
+        "complete",
+        "stream_sliding",
+        bounded_source_state_partitions(f"{source_dir}/events.parquet"),
+    )
 
 
 def streaming_session_windows(
@@ -126,7 +198,12 @@ def streaming_session_windows(
             "id_checksum",
         )
     )
-    return run_to_memory(agg, "complete", "stream_session")
+    return run_to_memory(
+        agg,
+        "complete",
+        "stream_session",
+        bounded_source_state_partitions(f"{source_dir}/events.parquet"),
+    )
 
 
 def streaming_dedup(spark: SparkSession, source_dir: str) -> DataFrame:
@@ -139,13 +216,19 @@ def streaming_dedup(spark: SparkSession, source_dir: str) -> DataFrame:
     deduped = raw.dropDuplicates(["user_id", "event_type"]).select(
         "user_id", "event_type"
     )
-    return run_to_memory(deduped, "append", "stream_dedup")
+    return run_to_memory(
+        deduped,
+        "append",
+        "stream_dedup",
+        bounded_source_state_partitions(f"{source_dir}/events.parquet"),
+    )
 
 
 def streaming_counts_dropping_late(
     raw: DataFrame,
     bucket: str = "1 hour",
     delay: str = "0 seconds",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """stream_late_drop: watermark-based late-row dropping.
 
@@ -169,7 +252,7 @@ def streaming_counts_dropping_late(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("bucket_start"), "event_type", "n")
     )
-    out = run_to_memory(agg, "update", "stream_late")
+    out = run_to_memory(agg, "update", "stream_late", state_partitions)
     # update mode re-emits a group each time it changes; keep the final count
     return (
         out.groupBy("bucket_start", "event_type")
@@ -223,4 +306,12 @@ def streaming_interval_join(
         & (F.col("right_ts") >= F.col("left_ts"))
         & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}")),
     ).select("user_id", "left_id", "left_ts", "right_id", "right_ts")
-    return run_to_memory(joined, "append", "stream_join")
+    # a stream-stream join keeps FOUR state stores per partition, so the
+    # input-derived count matters 4x here (measured r13: 7.0 -> 2.9 s at
+    # sf0.01 going from the session's 32 to the derived count)
+    return run_to_memory(
+        joined,
+        "append",
+        "stream_join",
+        bounded_source_state_partitions(f"{source_dir}/events.parquet"),
+    )
