@@ -33,6 +33,12 @@ def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
     rows = list(rows)
     if not rows:
         return spark.createDataFrame([], schema)
+    # the LocalTableScan plan depends on the Arrow conversion path; a
+    # session built outside ltss_spark.session (scripts, embedders) may
+    # not have it enabled, silently regressing every driver-replay frame
+    # to the pickled-RDD scan this module exists to avoid (ADVICE r12) —
+    # the conf is runtime-settable, so pin it here
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     import pandas as pd
 
     pdf = pd.DataFrame(rows, columns=schema.fieldNames(), dtype=object)

@@ -34,6 +34,12 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+#: loud ceiling on the driver-side fingerprint materialization in
+#: refresh_rollup: |buckets| rows collect per refresh (time-range/unit).
+#: 10^6 buckets ≈ 11 days at 'second' / a century at 'hour' — anything
+#: past it is a unit/range mistake, not a workload.
+MAX_DRIVER_BUCKETS = 1_000_000
+
 
 def _bucket(time_col: str, unit: str) -> F.Column:
     return F.date_trunc(unit, F.col(time_col)).alias("bucket")
@@ -100,7 +106,19 @@ def refresh_rollup(
     from ltss_spark.localrel import local_frame
 
     fps_schema = fps.schema
-    fps_rows = fps.collect()
+    # loud ceiling (VERDICT r12): the collect is bounded by |buckets| =
+    # time-range/unit — fine at any realistic retention, but a 'second'
+    # unit over years would quietly scale driver memory with the range.
+    # The limit probe costs nothing extra (same single action) and fails
+    # actionably instead of OOMing the driver mid-collect.
+    fps_rows = fps.limit(MAX_DRIVER_BUCKETS + 1).collect()
+    if len(fps_rows) > MAX_DRIVER_BUCKETS:
+        raise ValueError(
+            f"refresh_rollup: more than {MAX_DRIVER_BUCKETS} "
+            f"'{unit}' buckets in the source time range; the driver-side "
+            "fingerprint compare is sized for bounded bucket counts. "
+            "Coarsen `unit` or refresh a narrower time slice."
+        )
 
     try:
         stored_rows = spark.read.parquet(f"{rollup_path}/_fingerprints").collect()

@@ -40,6 +40,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 BUCKET_COL = "__cdc_bucket"
 TOMBSTONE_COL = "_tombstone"
 
+#: loud ceiling on the bucket count: the touched-bucket and dirty-bucket
+#: driver collects are bounded by n_buckets, so an absurd bucket count is
+#: rejected at apply time instead of OOMing the driver later (VERDICT r12)
+MAX_DRIVER_BUCKETS = 1_000_000
+
 
 def _with_bucket(df: DataFrame, pk: tuple[str, ...], n_buckets: int) -> DataFrame:
     # xxhash64 over the PK columns directly (not a concat — no separator
@@ -116,8 +121,21 @@ def cdc_apply(
     Returns the rewritten bucket ids (sorted). Idempotent under replay:
     re-applying any batch, in any order, converges to the same table
     because the survivor rule depends only on (version, tombstone)."""
+    if n_buckets > MAX_DRIVER_BUCKETS:
+        raise ValueError(
+            f"cdc_apply: n_buckets={n_buckets} exceeds "
+            f"{MAX_DRIVER_BUCKETS}; the touched-bucket collect (and "
+            "cdc_compact's dirty-bucket tally) are driver-side lists "
+            "bounded by n_buckets — a bucket count this high is a "
+            "layout mistake, not a workload."
+        )
+    # eqNullSafe (ADVICE r12): a NULL op must normalize to tombstone=False
+    # (kept, counted as a regular row) — a NULL tombstone would slip
+    # through BOTH cdc_read's `~tombstone` filter and cdc_compact's
+    # purge tally, silently dropping the row from `remaining` while
+    # never counting it as purged.
     ch = _with_bucket(changes, pk, n_buckets).withColumn(
-        TOMBSTONE_COL, (F.col(op_col) == F.lit(delete_op))
+        TOMBSTONE_COL, F.col(op_col).eqNullSafe(F.lit(delete_op))
     ).drop(op_col)
     # lazy checkpoint (r12): the change frame is consumed twice — the
     # touched-bucket collect below and the survivor merge — and its

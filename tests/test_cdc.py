@@ -217,3 +217,37 @@ def test_randomized_arrival_orders_converge(spark):
         for b in batches:
             cdc_apply(spark, p, _ch(spark, b), ("k",))
         assert _state(spark, p) == expect, f"schedule {seed} diverged"
+
+
+def test_null_op_rows_are_kept_and_counted(spark):
+    """ADVICE r12: a NULL op must normalize to tombstone=False — kept by
+    cdc_read, kept by compaction, and never silently dropped from
+    `remaining` without being counted as purged."""
+    path = scratch_dir("cdc_null_op")
+    cdc_apply(
+        spark,
+        path,
+        _ch(spark, [("a", 1, 1.0, None), ("b", 2, 2.0, "D"), ("c", 3, 3.0, "U")]),
+        ("k",),
+    )
+    # NULL-op row is a regular (non-tombstone) row
+    assert _state(spark, path) == {"a": (1, 1.0), "c": (3, 3.0)}
+    stored = spark.read.parquet(path)
+    assert stored.filter(F.col(TOMBSTONE_COL).isNull()).count() == 0
+    # compaction purges exactly the tombstone and keeps the NULL-op row
+    assert cdc_compact(spark, path, version_horizon=10) == 1
+    assert _state(spark, path) == {"a": (1, 1.0), "c": (3, 3.0)}
+
+
+def test_apply_rejects_absurd_bucket_count(spark):
+    """VERDICT r12 item 5: the touched/dirty-bucket collects are bounded
+    by n_buckets — an absurd count must fail loudly at apply time."""
+    path = scratch_dir("cdc_guard")
+    with pytest.raises(ValueError, match="n_buckets"):
+        cdc_apply(
+            spark,
+            path,
+            _ch(spark, [("a", 1, 1.0, "U")]),
+            ("k",),
+            n_buckets=2_000_000,
+        )

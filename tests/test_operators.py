@@ -3293,3 +3293,33 @@ def test_embedding_dup_pairs_none_exact_limit_means_unbounded_exact(spark):
         ).collect()
     }
     assert auto_none == exact and len(exact) > 0
+
+
+def test_cagg_refresh_bucket_ceiling_guard(spark, tmp_path, monkeypatch):
+    """VERDICT r12 item 5: the driver-side fingerprint collect is bounded
+    by |buckets|; past the ceiling the refresh must fail actionably, not
+    OOM the driver mid-collect."""
+    import ltss_spark.operators.cagg as cagg_mod
+    from ltss_spark.operators.cagg import refresh_rollup
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "ts timestamp, k string, v double")
+
+    src = mk(
+        [
+            (dt.datetime(2024, 3, 1, 10), "a", 1.0),
+            (dt.datetime(2024, 3, 2, 11), "b", 2.0),
+            (dt.datetime(2024, 3, 3, 12), "c", 3.0),
+        ]
+    )
+
+    def agg(s):
+        return s.groupBy("bucket", "k").agg(F.count(F.lit(1)).alias("n"))
+
+    import pytest
+
+    monkeypatch.setattr(cagg_mod, "MAX_DRIVER_BUCKETS", 2)
+    with pytest.raises(ValueError, match="buckets"):
+        refresh_rollup(
+            spark, src, str(tmp_path / "cagg_guard"), agg, time_col="ts", unit="day"
+        )
