@@ -80,94 +80,54 @@ def register(name: str, oracle: str | None, survey: str = ""):
 # Driver CORRECTNESS-window priority.
 #
 # The per-round driver check covers roughly the first 50 `queries()` entries
-# in dict order. After the r11 window, every entry's latest check is green
-# with staleness distribution r6:7 r7:49 r8:46 r9:46 r10:45 r11:50.
-# Round 12 heads the window with its TWO never-driver-verified entries
-# (ext_graph_lpa — label-propagation communities, VERDICT r11 item 4;
-# ext_dedup_suffix — prefix-doubling duplicated-substring groups, VERDICT
-# r11 item 3), then drains the staleness cohort oldest-first (VERDICT r11
-# item 1): the seven r6 carryover entries displaced last round, then 41 of
-# the 49-entry r7 cohort — the remaining 8 are the r13 carryover at the
-# head of _DRIVER_SECOND. The r12 BFS edge-case fix (null-seed drop +
-# seed/edge type assertion, ADVICE r11) touches ext_graph_bfs but is
-# value-preserving for every driver input by TESTED contract (the entry's
-# seeds are non-null longs matching the edge type; re-verified hash-green
-# at sf0.01 in-session), so it keeps its r11 row rather than displacing
-# the drain. _DRIVER_SECOND continues strictly least-recently-verified-
-# first, so the window never re-checks fresh surface while stale surface
-# waits.
+# in dict order. After the r12 window, every entry has a green driver row
+# (staleness distribution r7:8 r8:42 r9:46 r10:45 r11:50 r12:50 before this
+# round's reorder). Round 13 is an OPTIMIZATION round: the window leads
+# with the 18 entries whose implementation materially changed this round
+# (the `_CHANGED_ENTRIES` comment inside the list itemizes the changes),
+# then drains staleness oldest-first exactly as VERDICT r12 item 7 asked —
+# the 8 r7-cohort carryovers from the head of last round's _DRIVER_SECOND,
+# then the oldest 24 of the r8 cohort. _DRIVER_SECOND continues strictly
+# least-recently-verified-first, so the window never re-checks fresh
+# surface while stale surface waits.
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY: list[str] = [
-    # --- new in round 12 (never driver-verified) ---
-    "ext_graph_lpa",
-    "ext_dedup_suffix",
-    # --- staleness drain (VERDICT r11 item 1): the r6 carryover first ---
-    "stream_snapshot",
-    "ts_cohort",
-    "ts_ewma",
-    "ts_funnel",
-    "ts_ohlc",
-    "ts_outliers",
-    "win_lag_lead",
-    # --- then the r7 cohort, oldest 41 that fit ---
-    "agg_basic",
-    "agg_collect",
-    "agg_distinct",
-    "agg_first_last",
-    "agg_groupsets",
-    "agg_minmax_by",
-    "agg_pivot",
-    "agg_skew_distinct",
-    "agg_unpivot",
-    "ext_cluster_balance",
-    "ext_dedup_semantic",
-    "ext_hybrid_rrf",
-    "ext_importance_resample",
-    "ext_token_budget_mix",
-    "ext_vocab_encode",
-    "filter_basic",
-    "filter_entity",
-    "filter_in",
-    "filter_like",
-    "filter_not_in",
-    "filter_null",
-    "fn_array",
-    "fn_conditional",
-    "fn_fuzzy",
-    "fn_json",
-    "fn_map",
-    "fn_math",
-    "fn_string",
-    "join_anti",
-    "join_broadcast",
-    "join_inner",
-    "join_interval",
-    "join_semi",
-    "join_theta",
-    "limit",
-    "ltss_bucket_origin",
-    "ltss_states",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sort",
-]
-
-#: entries with a PRE-existing driver row whose implementation or oracle
-#: changed materially this round — they justify a window slot exactly like a
-#: never-verified entry (tests/test_plans.py window-packing guard). Round
-#: 12 has none: the BFS edge-case fix is value-preserving for the
-#: registered entry's inputs (see the packing comment above).
-_CHANGED_ENTRIES: set[str] = set()
-
-# Entries with an existing green driver row; least-recently-verified first
-# (r7 remainder, then r8, r9, r10, r11) — any window wider than the
-# priority block re-confirms the stalest surface next.
-_DRIVER_SECOND: list[str] = [
-    # --- latest driver row: round 7 (r13 carryover of the staleness
-    # drain — the 8 displaced from the priority block by round-12 new
-    # entries; put them first next round) ---
+    # --- materially CHANGED in round 13 (justify a window slot like
+    # never-verified entries, tests/test_plans.py packing guard):
+    # ext_sim_search_lsh — probe-side signatures now a driver-computed
+    # LocalTableScan; the stream_* family — input-derived state-store
+    # partition count (bounded_source_state_partitions) + single-job
+    # micro-batch fixture staging (stage_batches); stream_tws_ooo
+    # additionally rides its watermark-punctuation sentinels in the
+    # final data batch; stream_ingest/stream_upsert — the availableNow
+    # ingest scopes its shuffle partitions the same way. (stream_cdc and
+    # stream_rollup are NOT in the changed set: cdc_apply's eqNullSafe
+    # tombstone normalization is value-preserving for every non-NULL-op
+    # feed — the registered feed's op is always 'U'/'D' — and the rollup
+    # pipeline is untouched; scan_stream only saw a no-op signature
+    # default on run_to_memory.)
+    "ext_sim_search_lsh",
+    "stream_ingest",
+    "stream_upsert",
+    "stream_stateful",
+    "stream_changepoint",
+    "stream_gap_close",
+    "stream_tws_totals",
+    "stream_tws_ooo",
+    "stream_distinct_state",
+    "stream_list_state",
+    "stream_state_bootstrap",
+    "stream_join",
+    "stream_dedup",
+    "stream_late_drop",
+    "stream_watermark",
+    "stream_window_tumbling",
+    "stream_window_sliding",
+    "stream_window_session",
+    # --- staleness drain: the 8 r7-cohort carryovers displaced from the
+    # r12 window (VERDICT r12 item 7: these go first), then the oldest
+    # 24 of the r8 cohort ---
     "sort_nulls",
     "sql_subquery",
     "stream_cdc",
@@ -176,7 +136,6 @@ _DRIVER_SECOND: list[str] = [
     "ts_seasonal_anomaly",
     "win_cumulative",
     "win_distribution",
-    # --- latest driver row: round 8 ---
     "agg_approx",
     "agg_percentile",
     "agg_sketch_rollup",
@@ -201,6 +160,20 @@ _DRIVER_SECOND: list[str] = [
     "ltss_entity_range",
     "ltss_geo_ingest",
     "ltss_json_attr",
+]
+
+#: entries with a PRE-existing driver row whose implementation changed
+#: materially this round — they justify a window slot exactly like a
+#: never-verified entry (tests/test_plans.py window-packing guard).
+_CHANGED_ENTRIES: set[str] = set(_DRIVER_PRIORITY[:18])
+
+# Entries with an existing green driver row; least-recently-verified first
+# (r8 remainder, then r9, r10, r11, then the r12-verified cohort) — any
+# window wider than the priority block re-confirms the stalest surface
+# next. Names materially changed this round were pulled forward into the
+# priority block above.
+_DRIVER_SECOND: list[str] = [
+    # --- latest driver row: round 8 (remainder after the drain above) ---
     "ltss_json_contains",
     "ltss_state_transitions",
     "scan_stream",
@@ -209,11 +182,7 @@ _DRIVER_SECOND: list[str] = [
     "sql_select",
     "stream_kafka_decode",
     "stream_kafka_roundtrip",
-    "stream_late_drop",
     "stream_rollup",
-    "stream_window_session",
-    "stream_window_sliding",
-    "stream_window_tumbling",
     "ts_changepoint_cusum",
     "ts_counter_delta",
     "ts_interpolate",
@@ -241,7 +210,6 @@ _DRIVER_SECOND: list[str] = [
     "ext_pagerank",
     "ext_pii_redact",
     "ext_sim_search_ivf",
-    "ext_sim_search_lsh",
     "join_asof_fwd",
     "join_asof_near",
     "ltss_compress",
@@ -262,17 +230,11 @@ _DRIVER_SECOND: list[str] = [
     "sql_q21",
     "sql_q22",
     "sql_q4",
-    "stream_changepoint",
-    "stream_gap_close",
-    "stream_join",
-    "stream_watermark",
     "ts_heartbeat",
     "ts_histogram",
     "ts_lttb",
     "ts_trend",
     # --- latest driver row: round 10 ---
-    # (ext_bpe_train / ext_bpe_encode moved to the priority block: the
-    # r11 adaptive-dictionary change makes them _CHANGED_ENTRIES)
     "ext_bigram_lm",
     "ext_dedup_semantic_kmeans",
     "ext_multimodal",
@@ -304,24 +266,13 @@ _DRIVER_SECOND: list[str] = [
     "sql_q3",
     "sql_q5",
     "sql_q6",
-    "stream_dedup",
-    "stream_distinct_state",
-    "stream_ingest",
-    "stream_list_state",
-    "stream_state_bootstrap",
-    "stream_stateful",
-    "stream_tws_totals",
-    "stream_upsert",
     "ts_gapfill",
     "ts_sessionize",
     "udaf",
     "udf_scalar",
     "udtf",
     "win_time_range",
-    # --- latest driver row: round 11 (the freshest cohort: the r11-new
-    # entries, the r6 cohort drained that round, and the r11 changed
-    # re-verifies) ---
-    "stream_tws_ooo",
+    # --- latest driver row: round 11 ---
     "ext_dedup_containment",
     "ext_setsim_join",
     "ext_triangle_count",
@@ -371,6 +322,59 @@ _DRIVER_SECOND: list[str] = [
     "ext_lr_calibration",
     "ext_bpe_train",
     "ext_bpe_encode",
+    # --- latest driver row: round 12 (the freshest cohort: the two
+    # r12-new entries, the r6 carryover drained that round, and 41 of
+    # the r7 cohort) ---
+    "ext_graph_lpa",
+    "ext_dedup_suffix",
+    "stream_snapshot",
+    "ts_cohort",
+    "ts_ewma",
+    "ts_funnel",
+    "ts_ohlc",
+    "ts_outliers",
+    "win_lag_lead",
+    "agg_basic",
+    "agg_collect",
+    "agg_distinct",
+    "agg_first_last",
+    "agg_groupsets",
+    "agg_minmax_by",
+    "agg_pivot",
+    "agg_skew_distinct",
+    "agg_unpivot",
+    "ext_cluster_balance",
+    "ext_dedup_semantic",
+    "ext_hybrid_rrf",
+    "ext_importance_resample",
+    "ext_token_budget_mix",
+    "ext_vocab_encode",
+    "filter_basic",
+    "filter_entity",
+    "filter_in",
+    "filter_like",
+    "filter_not_in",
+    "filter_null",
+    "fn_array",
+    "fn_conditional",
+    "fn_fuzzy",
+    "fn_json",
+    "fn_map",
+    "fn_math",
+    "fn_string",
+    "join_anti",
+    "join_broadcast",
+    "join_inner",
+    "join_interval",
+    "join_semi",
+    "join_theta",
+    "limit",
+    "ltss_bucket_origin",
+    "ltss_states",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sort",
 ]
 
 
