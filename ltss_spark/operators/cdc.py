@@ -254,13 +254,26 @@ def run_cdc_stream(
             n_buckets=n_buckets,
         )
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(changes_dir)
-        .writeStream.foreachBatch(body)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # input-derived shuffle sizing for the per-batch merge (r13, guide
+    # §2): each micro-batch is one small change file and the survivor
+    # window + bucket rewrite otherwise fan out to the batch session's
+    # core-count constant per batch; env-overridable via
+    # LTSS_STREAM_STATE_PARTITIONS like every bounded-stream driver
+    from ltss_spark.streaming.windows import bounded_source_state_partitions
+
+    n_parts = bounded_source_state_partitions(changes_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(changes_dir)
+            .writeStream.foreachBatch(body)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

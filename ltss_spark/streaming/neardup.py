@@ -188,13 +188,25 @@ def run_streaming_near_dup(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy(EPOCH_COL, SIG_BUCKET_COL).parquet(store_path)
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(docs_dir)
-        .writeStream.foreachBatch(body)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # input-derived shuffle sizing for the per-batch joins/aggregates
+    # (r13, guide §2): micro-batches are single small files here and the
+    # foreachBatch body's plans run without AQE coalescing help at the
+    # fan-out stage; sized from the bounded source, env-overridable
+    from ltss_spark.streaming.windows import bounded_source_state_partitions
+
+    n_parts = bounded_source_state_partitions(docs_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(docs_dir)
+            .writeStream.foreachBatch(body)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -75,14 +75,26 @@ def maintain_rollup_availablenow(
             .parquet(base)
         )
 
-    q = (
-        agg.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # input-derived state partitioning (r13, guide §2): the windowed
+    # aggregation keeps one state-store instance per shuffle partition and
+    # streaming has no AQE to coalesce — sized from the bounded source
+    # instead of the batch session's core-count constant
+    from ltss_spark.streaming.windows import bounded_source_state_partitions
+
+    n_parts = bounded_source_state_partitions(f"{source_dir}/events.parquet")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def read_rollup(spark: SparkSession, base: str) -> DataFrame:

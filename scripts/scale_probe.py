@@ -1338,6 +1338,157 @@ def main():
             results["r12ops"]["suffix"][str(factor)] = row
             print(json.dumps({"suffix": {factor: row}}))
 
+    if want("r13"):
+        # VERDICT r12 item 6: re-time the r12/r13-touched operators at
+        # replica factors where shuffles dominate stage waves, and record
+        # the core count in the key so a cpus=8 companion run exposes the
+        # 8->32 wall-clock ratio that sf0.1 alone cannot resolve.
+        # Sub-probes: ts_changepoint_cusum (r12 window-aggregate rewrite),
+        # sql_q18 (r12 IN-subquery -> aggregate-once join), ext_dedup
+        # cluster pipeline (r12 broadcast union-find frame),
+        # cosine_topk_lsh (r13 LocalTableScan probe side).
+        from ltss_spark.operators.timeseries import cusum_changepoints
+        from ltss_spark.sources.batch import load_table as _lt
+
+        key = f"r13_cpus{cpus}"
+        results[key] = {"cusum": {}, "q18": {}, "cluster": {}, "lsh": {}}
+
+        ev0 = _lt(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        n_users = ev0.agg(F.max("user_id")).first()[0] + 1
+        n_ids = ev0.agg(F.max("event_id")).first()[0] + 1
+
+        def rep_events(factor):
+            parts = [
+                ev0.select(
+                    (F.col("event_id") + F.lit(i * n_ids)).alias("event_id"),
+                    (F.col("user_id") + F.lit(i * n_users)).alias("user_id"),
+                    "ts",
+                    "value",
+                )
+                for i in range(factor)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.union(p)
+            path = os.path.join(base, f"r13_events_x{factor}")
+            out.repartition(
+                spark.sparkContext.defaultParallelism
+            ).write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+
+        cusum_changepoints(rep_events(1)).count()  # warm
+        for factor in (1, 4, 16):
+            ev = rep_events(factor)
+            row = {"n_events": ev.count()}
+            row["rows"], row["sec"] = timed(
+                lambda: cusum_changepoints(ev).count()
+            )
+            results[key]["cusum"][str(factor)] = row
+            print(json.dumps({f"cusum@{cpus}": {factor: row}}))
+
+        li0 = _lt(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        o0 = _lt(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        cust = _lt(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name"
+        )
+        n_ord = o0.agg(F.max("o_orderkey")).first()[0] + 1
+
+        def rep_orders_lineitem(factor):
+            lps, ops = [], []
+            for i in range(factor):
+                lps.append(
+                    li0.select(
+                        (F.col("l_orderkey") + F.lit(i * n_ord)).alias("l_orderkey"),
+                        "l_quantity",
+                    )
+                )
+                ops.append(
+                    o0.select(
+                        (F.col("o_orderkey") + F.lit(i * n_ord)).alias("o_orderkey"),
+                        "o_custkey",
+                        "o_totalprice",
+                    )
+                )
+            lo, oo = lps[0], ops[0]
+            for p in lps[1:]:
+                lo = lo.union(p)
+            for p in ops[1:]:
+                oo = oo.union(p)
+            lpath = os.path.join(base, f"r13_li_x{factor}")
+            opath = os.path.join(base, f"r13_o_x{factor}")
+            lo.repartition(
+                spark.sparkContext.defaultParallelism
+            ).write.mode("overwrite").parquet(lpath)
+            oo.repartition(
+                spark.sparkContext.defaultParallelism
+            ).write.mode("overwrite").parquet(opath)
+            return spark.read.parquet(lpath), spark.read.parquet(opath)
+
+        def q18(li, oo):
+            li.createOrReplaceTempView("r13_lineitem")
+            oo.createOrReplaceTempView("r13_orders")
+            cust.createOrReplaceTempView("r13_customer")
+            return spark.sql(
+                """
+                WITH big AS (
+                    SELECT l_orderkey AS big_orderkey FROM r13_lineitem
+                    GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+                )
+                SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+                         AS total_qty
+                FROM r13_customer, r13_orders, r13_lineitem, big
+                WHERE o_orderkey = big_orderkey
+                  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+                GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+                ORDER BY o_totalprice DESC, o_orderkey ASC
+                LIMIT 100
+                """
+            )
+
+        q18(*rep_orders_lineitem(1)).count()  # warm
+        for factor in (1, 4, 16):
+            li, oo = rep_orders_lineitem(factor)
+            row = {"n_lineitem": li.count()}
+            row["rows"], row["sec"] = timed(lambda: q18(li, oo).count())
+            results[key]["q18"][str(factor)] = row
+            print(json.dumps({f"q18@{cpus}": {factor: row}}))
+
+        warm13 = replicated_docs(spark, sf_dir, 1, base, tag="r13w")
+        connected_components(
+            minhash_lsh_pairs(warm13), small_graph_edges=0
+        ).count()
+        for factor in (1, 4, 16):
+            docs = replicated_docs(spark, sf_dir, factor, base, tag="r13")
+            row = {"n_docs": docs.count()}
+            row["components"], row["sec"] = timed(
+                lambda: connected_components(
+                    minhash_lsh_pairs(docs), small_graph_edges=0
+                ).count()
+            )
+            results[key]["cluster"][str(factor)] = row
+            print(json.dumps({f"cluster@{cpus}": {factor: row}}))
+
+        # warm frames get their OWN tag: the factor loop overwrites the
+        # <tag>_x1 path, and probe13 must keep resolving across iterations
+        emb_warm13 = replicated_embeddings(spark, sf_dir, 1, base, tag="r13w")
+        probe13 = emb_warm13.filter(F.col("vec_id") < 3)
+        cosine_topk_lsh(emb_warm13, probe13).count()
+        for factor in (1, 4, 16):
+            emb = replicated_embeddings(spark, sf_dir, factor, base, tag="r13")
+            row = {"n_vectors": emb.count()}
+            row["rows"], row["sec"] = timed(
+                lambda: cosine_topk_lsh(emb, probe13).count()
+            )
+            results[key]["lsh"][str(factor)] = row
+            print(json.dumps({f"lsh@{cpus}": {factor: row}}))
+
     # partial runs merge into the existing probe file: one new operator
     # family should not require re-timing (or losing) the whole suite
     if "all" not in sections and os.path.exists(out_json):
