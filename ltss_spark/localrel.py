@@ -36,10 +36,21 @@ def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
     # the LocalTableScan plan depends on the Arrow conversion path; a
     # session built outside ltss_spark.session (scripts, embedders) may
     # not have it enabled, silently regressing every driver-replay frame
-    # to the pickled-RDD scan this module exists to avoid (ADVICE r12) —
-    # the conf is runtime-settable, so pin it here
-    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # to the pickled-RDD scan this module exists to avoid (ADVICE r12).
+    # The conversion happens eagerly inside createDataFrame, so the conf
+    # is SCOPED to this call and restored — a host that deliberately
+    # disabled Arrow keeps its setting for its own frames (r13
+    # self-review).
     import pandas as pd
 
-    pdf = pd.DataFrame(rows, columns=schema.fieldNames(), dtype=object)
-    return spark.createDataFrame(pdf, schema)
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        pdf = pd.DataFrame(rows, columns=schema.fieldNames(), dtype=object)
+        return spark.createDataFrame(pdf, schema)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

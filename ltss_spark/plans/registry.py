@@ -101,12 +101,13 @@ _DRIVER_PRIORITY: list[str] = [
     # micro-batch fixture staging (stage_batches); stream_tws_ooo
     # additionally rides its watermark-punctuation sentinels in the
     # final data batch; stream_ingest/stream_upsert — the availableNow
-    # ingest scopes its shuffle partitions the same way. (stream_cdc and
-    # stream_rollup are NOT in the changed set: cdc_apply's eqNullSafe
-    # tombstone normalization is value-preserving for every non-NULL-op
-    # feed — the registered feed's op is always 'U'/'D' — and the rollup
-    # pipeline is untouched; scan_stream only saw a no-op signature
-    # default on run_to_memory.)
+    # ingest scopes its shuffle partitions the same way; stream_cdc and
+    # stream_rollup — their foreachBatch drivers gained the same scoped
+    # partition sizing (plus cdc_apply's eqNullSafe tombstone
+    # normalization, value-preserving for the registered all-'U'/'D'
+    # feed) and stream_cdc/stream_dedup_near now stage their change
+    # files through stage_batches. (scan_stream only saw a no-op
+    # signature default on run_to_memory.)
     "ext_sim_search_lsh",
     "stream_ingest",
     "stream_upsert",
@@ -125,12 +126,14 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_window_tumbling",
     "stream_window_sliding",
     "stream_window_session",
-    # --- staleness drain: the 8 r7-cohort carryovers displaced from the
-    # r12 window (VERDICT r12 item 7: these go first), then the oldest
-    # 24 of the r8 cohort ---
+    "stream_cdc",
+    "stream_rollup",
+    # --- staleness drain: the 7 remaining r7-cohort carryovers displaced
+    # from the r12 window (VERDICT r12 item 7: these go first; the 8th,
+    # stream_cdc, moved into the changed block above), then the oldest
+    # 23 of the r8 cohort ---
     "sort_nulls",
     "sql_subquery",
-    "stream_cdc",
     "stream_dedup_near",
     "topk_group",
     "ts_seasonal_anomaly",
@@ -159,13 +162,12 @@ _DRIVER_PRIORITY: list[str] = [
     "ltss_deadletter",
     "ltss_entity_range",
     "ltss_geo_ingest",
-    "ltss_json_attr",
 ]
 
 #: entries with a PRE-existing driver row whose implementation changed
 #: materially this round — they justify a window slot exactly like a
 #: never-verified entry (tests/test_plans.py window-packing guard).
-_CHANGED_ENTRIES: set[str] = set(_DRIVER_PRIORITY[:18])
+_CHANGED_ENTRIES: set[str] = set(_DRIVER_PRIORITY[:20])
 
 # Entries with an existing green driver row; least-recently-verified first
 # (r8 remainder, then r9, r10, r11, then the r12-verified cohort) — any
@@ -174,6 +176,7 @@ _CHANGED_ENTRIES: set[str] = set(_DRIVER_PRIORITY[:18])
 # priority block above.
 _DRIVER_SECOND: list[str] = [
     # --- latest driver row: round 8 (remainder after the drain above) ---
+    "ltss_json_attr",
     "ltss_json_contains",
     "ltss_state_transitions",
     "scan_stream",
@@ -182,7 +185,6 @@ _DRIVER_SECOND: list[str] = [
     "sql_select",
     "stream_kafka_decode",
     "stream_kafka_roundtrip",
-    "stream_rollup",
     "ts_changepoint_cusum",
     "ts_counter_delta",
     "ts_interpolate",

@@ -169,9 +169,7 @@ def stream_dedup_near_q(spark, sf_dir):
     visibility boundary exactly: a streamed doc is dup_of_earlier iff it
     shares an LSH band bucket with any doc of a strictly earlier batch
     (store for batch 1; store ∪ batch 1 for batch 2)."""
-    import glob as g
     import os
-    import shutil
 
     from ltss_spark.operators.dedup import band_signatures
     from ltss_spark.plans.registry import _t
@@ -187,15 +185,12 @@ def stream_dedup_near_q(spark, sf_dir):
     m = F.col("doc_id") % 10
     seed_signature_store(band_signatures(docs.filter(m < 6)), store, n_buckets=16)
     os.makedirs(src, exist_ok=True)
-    now = 1_700_000_000
-    for i, (fname, part) in enumerate(
-        (("a.parquet", docs.filter((m >= 6) & (m < 8))),
-         ("b.parquet", docs.filter(m >= 8)))
-    ):
-        part.coalesce(1).write.parquet(f"{src}/__tmp")
-        shutil.move(g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/{fname}")
-        shutil.rmtree(f"{src}/__tmp")
-        os.utime(f"{src}/{fname}", (now + 600 * i, now + 600 * i))
+    stage_batches(
+        docs.filter(m >= 6),
+        F.when(m < 8, F.lit(0)).otherwise(F.lit(1)),
+        2,
+        src,
+    )
     run_streaming_near_dup(spark, src, store, out, ckpt, n_buckets=16)
     # drop the __epoch replay-idempotency partition column — the entry's
     # contract (and oracle) is (doc_id, dup_of_earlier)
@@ -696,9 +691,7 @@ def stream_cdc_q(spark, sf_dir):
     Contrast stream_upsert (sources/batch.upsert_partitioned): that sink
     covers the reference's ON-CONFLICT posture (models.py:31-32, no
     deletes); this entry adds the delete verb + out-of-order durability."""
-    import glob as g
     import os
-    import shutil
 
     from ltss_spark.operators.cdc import cdc_read, run_cdc_stream
     from ltss_spark.plans.registry import _t
@@ -714,13 +707,7 @@ def stream_cdc_q(spark, sf_dir):
         F.when(F.col("event_id") % 7 == 0, "D").otherwise("U").alias("op"),
     )
     os.makedirs(src, exist_ok=True)
-    now = 1_700_000_000
-    for i in range(3):
-        part = changes.filter(F.col("version") % 3 == i)
-        part.coalesce(1).write.parquet(f"{src}/__tmp")
-        shutil.move(g.glob(f"{src}/__tmp/part-*.parquet")[0], f"{src}/b{i}.parquet")
-        shutil.rmtree(f"{src}/__tmp")
-        os.utime(f"{src}/b{i}.parquet", (now + 600 * i, now + 600 * i))
+    stage_batches(changes, (F.col("version") % 3).cast("int"), 3, src)
     for ck in ("ckpt1", "ckpt2"):  # second pass = full replay, must be a no-op
         run_cdc_stream(
             spark,

@@ -427,6 +427,32 @@ def _interleave_bits(a, b, bits: int):
     return z
 
 
+def quantile_bucket_sql(col_name: str, bounds: list[float]) -> str:
+    """Quantile-bucket id as a BINARY-SEARCH CASE tree over the sorted
+    boundary multiset: bucket = |{b in bounds : x >= b}| (upper bound;
+    NULL x descends every comparison's ELSE to bucket 0). Previously an
+    interpreted filter-HOF over a 2^bits literal array PER ROW per column
+    (VERDICT r12 item 8); the CASE tree whole-stage-codegens to
+    log2(|bounds|) short-circuited comparisons per row, value-identical
+    (pinned by tests/test_zorder.py::test_case_tree_bucket_matches_hof_count).
+    Boundary literals go through CAST('<repr>' AS DOUBLE): repr is the
+    shortest round-trip form, so the parsed double is bit-identical (a
+    bare SQL decimal literal would parse as DECIMAL and change the
+    comparison's type promotion)."""
+    srt = sorted(float(x) for x in bounds)
+
+    def go(lo: int, hi: int) -> str:
+        if lo == hi:
+            return f"CAST({lo} AS BIGINT)"
+        mid = (lo + hi) // 2
+        return (
+            f"CASE WHEN {col_name} >= CAST('{srt[mid]!r}' AS DOUBLE) "
+            f"THEN {go(mid + 1, hi)} ELSE {go(lo, mid)} END"
+        )
+
+    return go(0, len(srt))
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
@@ -444,8 +470,9 @@ def zorder_write(
     Scale posture: per-column bucket boundaries come from
     ``approxQuantile`` (one sampling pass, boundaries collected to the
     driver — 2^bits scalars, not data); each row then maps to its bucket
-    via comparisons against the broadcast literal boundary array (map-side,
-    no shuffle), and the single range-partition + in-partition sort on the
+    via a codegen binary-search CASE tree over the boundary literals
+    (map-side, no shuffle — :func:`quantile_bucket_sql`), and the single
+    range-partition + in-partition sort on the
     z-value is the one exchange a layout rewrite inherently needs. NULLs
     sort to bucket 0. The z-value is layout metadata only — it is not
     written into the files, so readers see the exact input schema.
@@ -462,33 +489,10 @@ def zorder_write(
     # the input twice just for the stats pass)
     bounds_a, bounds_b = nums.stat.approxQuantile(["__a", "__b"], qs, 0.01)
 
-    # bucket id = |{b in bounds : x >= b}| (upper bound over the sorted
-    # boundary multiset; NULL x -> 0). Previously an interpreted
-    # filter-HOF over a 2^bits literal array PER ROW per column (VERDICT
-    # r12 item 8); now a binary-search CASE tree — whole-stage codegen,
-    # `bits` short-circuited comparisons per row instead of 2^bits array
-    # lambda evaluations, value-identical (pinned by
-    # tests/test_zorder.py::test_case_tree_bucket_matches_hof_count).
-    # Boundary literals go through CAST('<repr>' AS DOUBLE): repr is the
-    # shortest round-trip form, so the parsed double is bit-identical
-    # (a bare SQL decimal literal would parse as DECIMAL and change the
-    # comparison's type promotion). The bucket columns are materialized
-    # in their own projection so the Morton interleave (which references
-    # each bucket id `bits` times) never re-evaluates the tree.
-    def bucket_sql(c: str, bounds: list[float]) -> str:
-        srt = sorted(float(x) for x in bounds)
-
-        def go(lo: int, hi: int) -> str:
-            if lo == hi:
-                return f"CAST({lo} AS BIGINT)"
-            mid = (lo + hi) // 2
-            return (
-                f"CASE WHEN {c} >= CAST('{srt[mid]!r}' AS DOUBLE) "
-                f"THEN {go(mid + 1, hi)} ELSE {go(lo, mid)} END"
-            )
-
-        return go(0, len(srt))
-
+    # bucket ids materialize in their OWN projection: the Morton
+    # interleave references each id `bits` times, and CollapseProject
+    # declines to inline a non-cheap expression referenced more than once
+    # — the CASE tree is evaluated exactly once per row per column
     num_cols = df.select(
         "*",
         F.col(ca).cast("double").alias("__za"),
@@ -496,8 +500,8 @@ def zorder_write(
     )
     bucketed = num_cols.select(
         "*",
-        F.expr(bucket_sql("__za", bounds_a)).alias("__ba"),
-        F.expr(bucket_sql("__zb", bounds_b)).alias("__bb"),
+        F.expr(quantile_bucket_sql("__za", bounds_a)).alias("__ba"),
+        F.expr(quantile_bucket_sql("__zb", bounds_b)).alias("__bb"),
     )
     out = bucketed.withColumn(
         "__z", _interleave_bits(F.col("__ba"), F.col("__bb"), bits)

@@ -381,9 +381,18 @@ def run_ingest_availablenow(
     # keeps one state store per partition, and even the plain path shuffles
     # each micro-batch — sizing either to the batch session's core-count
     # constant pays ~32 store/task fixed costs per batch for KB-scale files
+    import glob as _glob
+    import os
+
     from ltss_spark.streaming.windows import bounded_source_state_partitions
 
-    n_parts = bounded_source_state_partitions(source_dir)
+    # size from the glob-MATCHED input only: source_dir holds every table,
+    # but the stream reads just path_glob (r13 self-review — sizing from
+    # the whole directory would derive the count from data the query
+    # never touches)
+    n_parts = bounded_source_state_partitions(
+        *_glob.glob(os.path.join(source_dir, path_glob))
+    )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:

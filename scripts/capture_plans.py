@@ -1,7 +1,7 @@
 """Capture .explain("formatted") for every headline query into plans/r13/.
 
 Usage: python scripts/capture_plans.py <suffix> [query ...]
-Writes plans/r12/<name>_<suffix>.txt for each headline query (or just the
+Writes plans/r13/<name>_<suffix>.txt for each headline query (or just the
 named ones). The judge reads these; bench.py's HEADLINE list is the set.
 """
 import os

@@ -208,20 +208,22 @@ def test_case_tree_bucket_matches_hof_count(spark):
 
 
 def test_zorder_plan_has_no_interpreted_hof(spark):
-    """r13 (VERDICT item 8): the z-ordered write path must carry no
-    filter/aggregate HOF — the bucket mapping is a codegen CASE tree."""
+    """r13 (VERDICT item 8): the z-ordered bucket mapping must plan as a
+    codegen CASE tree — no interpreted array-lambda HOF anywhere in the
+    physical plan of the bucket projection."""
+    import io
+    import contextlib
+
     import pyspark.sql.functions as F
 
-    df = spark.range(100).select(
-        F.col("id").cast("double").alias("a"),
-        (F.col("id") % 7).cast("double").alias("b"),
-    )
-    nums = df
-    bounds_a, bounds_b = nums.stat.approxQuantile(["a", "b"], [0.25, 0.5, 0.75], 0.01)
+    from ltss_spark.sources.batch import quantile_bucket_sql
 
-    # replicate zorder_write's projection pipeline up to the sort input
-    from ltss_spark.sources.batch import zorder_write
-    import inspect
-
-    src = inspect.getsource(zorder_write)
-    assert "F.filter" not in src and "ArrayFilter" not in src
+    df = spark.range(100).select(F.col("id").cast("double").alias("x"))
+    bounds = df.stat.approxQuantile(["x"], [0.25, 0.5, 0.75], 0.01)[0]
+    proj = df.select(F.expr(quantile_bucket_sql("x", bounds)).alias("b"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        proj.explain("formatted")
+    plan = buf.getvalue()
+    assert "lambdafunction" not in plan and "ArrayFilter" not in plan, plan
+    assert "CASE WHEN" in plan
